@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total wall-clock over the headline set (lower is better).
+Each query is forced to full materialization with a count-collect (no
+rows shipped to the driver beyond the count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tagmarshal_data_lakehouse_spark.queries import registry  # noqa: E402
+from tagmarshal_data_lakehouse_spark.session import get_spark  # noqa: E402
+
+# Headline set: one representative per operator family, weighted toward
+# the scans/joins/aggs that dominate real workloads. Rows-only extras
+# (minhash, lsh) are included because dedup IS a headline capability here.
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_global",
+    "agg_percentile",
+    "join_multiway",
+    "join_broadcast",
+    "join_range_broadcast",
+    "window_dedup",
+    "window_topn",
+    "events_sessionize",
+    "events_tumbling_window",
+    "doc_dedup_exact",
+    "doc_token_stats",
+    "doc_minhash_near_dups",
+    "emb_cosine_topk_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    reg = registry()
+
+    # warm the JVM + parquet footers once so per-query timings measure the
+    # query, not session bootstrap
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = reg[name]
+        start = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Named-query registry.
+
+The reference keeps its analytic surface as named SQL strings
+(dashboard/utils/queries.py, pipeline/queries/**). This engine keeps the
+same idea but each query is a *builder*: a function (spark, sf_dir) ->
+DataFrame, declared with an optional ANSI-SQL oracle equivalent (runnable
+by DuckDB on the same parquet files) used by the correctness harness.
+
+Determinism contract (so a value-hash against the oracle matches):
+- every computed column is aliased identically in builder and oracle;
+- double aggregations go through exact DECIMAL sums and are converted
+  back to double with identical expression shape on both sides (IEEE ops
+  on identical inputs are bit-identical);
+- ties in top-k / dedup windows are broken by a unique key;
+- approximate aggregates (percentile_approx, minhash, …) never appear in
+  oracle-checked outputs — exact forms are checked, approximate forms are
+  exposed as separate rows-only queries (the 100 TB scale path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class Query:
+    """One registry entry: a Spark builder + optional DuckDB oracle SQL."""
+
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register the testdata parquet tables as temp views.
+
+    Reading straight from parquet keeps Catalyst's filter pushdown and
+    column pruning live (the scan only materializes what each query
+    projects — check `.explain` for PushedFilters/ReadSchema).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for t in tables:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events" and isinstance(df.schema["ts"].dataType, LongType):
+            # TIMESTAMP(NANOS) read as long (session.py nanosAsLong); the
+            # data is µs-precision so nanos are exact multiples of 1000 and
+            # the floor division is lossless. DuckDB performs the same
+            # ns->µs truncation when it maps this column to TIMESTAMP.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df.createOrReplaceTempView(t)
+
+
+def registry() -> dict[str, Query]:
+    """Assemble the full named-query registry."""
+    from . import events_ops, relational
+    from ..training import queries as training_queries
+
+    out: dict[str, Query] = {}
+    for mod in (relational, events_ops, training_queries):
+        for q in mod.QUERIES:
+            if q.name in out:
+                raise ValueError(f"duplicate query name {q.name}")
+            out[q.name] = q
+    return out

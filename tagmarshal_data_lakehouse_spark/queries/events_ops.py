@@ -1,0 +1,162 @@
+"""Event-stream operators in batch form (SURVEY.md §2.10 extension).
+
+The reference is batch-only; its late-data handling is the is_cache dedup
+preference.  This engine adds proper event-time operators — tumbling
+windows, sessionization, funnel steps — expressed so the SAME logical
+transform runs in batch (here, oracle-checked) and in Structured Streaming
+(streaming/ingest.py wires readStream + watermark around the identical
+column expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import Query, load_views
+from .relational import dsum
+
+
+def _shared(name: str, sql: str, doc: str) -> Query:
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return Query(name=name, build=build, oracle=sql, doc=doc)
+
+
+q_events_tumbling_window = _shared(
+    "events_tumbling_window",
+    f"""
+SELECT DATE_TRUNC('hour', ts)       AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT)     AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {dsum('value')}              AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    "Tumbling event-time window aggregate (batch form of streaming "
+    "groupBy(window(ts, '1 hour')); Structured Streaming variant in "
+    "streaming/ingest.py).",
+)
+
+q_events_sessionize = Query(
+    name="events_sessionize",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            """
+            WITH gaps AS (
+                SELECT user_id, ts, event_id,
+                       UNIX_MICROS(ts) - LAG(UNIX_MICROS(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap_micros
+                FROM events
+            ), marked AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN gap_micros IS NULL OR gap_micros > 1800000000 THEN 1 ELSE 0 END AS is_session_start
+                FROM gaps
+            ), sessions AS (
+                SELECT user_id, ts, event_id,
+                       SUM(is_session_start) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                FROM marked
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   CAST(UNIX_MICROS(MAX(ts)) - UNIX_MICROS(MIN(ts)) AS BIGINT) AS duration_micros
+            FROM sessions
+            GROUP BY user_id, session_seq
+            """
+        ),
+    )[1],
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts, event_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_micros
+            FROM events
+        ), marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN gap_micros IS NULL OR gap_micros > 1800000000 THEN 1 ELSE 0 END AS is_session_start
+            FROM gaps
+        ), sessions AS (
+            SELECT user_id, ts, event_id,
+                   SUM(is_session_start) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM marked
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_micros
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30-min gap): LAG + running-SUM session "
+    "ids — batch equivalent of session_window/applyInPandasWithState "
+    "(SURVEY §2.5 W3 lag idiom at scale).",
+)
+
+q_events_funnel = _shared(
+    "events_funnel",
+    """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS first_signup,
+           MIN(CASE WHEN event_type = 'view'     THEN ts END) AS first_view,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT)                                   AS n_users,
+       CAST(COUNT(first_signup) AS BIGINT)                        AS n_signed_up,
+       CAST(COUNT(CASE WHEN first_view > first_signup THEN 1 END) AS BIGINT) AS n_viewed_after_signup,
+       CAST(COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS BIGINT) AS n_purchased_after_signup
+FROM per_user
+""",
+    "Funnel: per-user conditional MIN timestamps then step counts — the "
+    "min-over-filter idiom (SURVEY §2.4 A2/A5 composition).",
+)
+
+q_events_dedup_exact = Query(
+    name="events_dedup_exact",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_raw,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) - COUNT(DISTINCT CONCAT(CAST(user_id AS STRING), ':',
+                        CAST(UNIX_MICROS(ts) AS STRING))) AS BIGINT) AS n_dup_user_instants
+            FROM events
+            GROUP BY event_type
+            """
+        ),
+    )[1],
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) - COUNT(DISTINCT CONCAT(CAST(user_id AS VARCHAR), ':',
+                    CAST(epoch_us(ts) AS VARCHAR))) AS BIGINT) AS n_dup_user_instants
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Exact duplicate detection on a composite key — grain-contract audit "
+    "(SURVEY §5.3; reference duplicate_round_fix_timestamp.sql:1-18).",
+)
+
+
+QUERIES = [
+    q_events_tumbling_window,
+    q_events_sessionize,
+    q_events_funnel,
+    q_events_dedup_exact,
+]

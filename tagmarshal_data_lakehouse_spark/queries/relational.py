@@ -1,0 +1,815 @@
+"""Relational operator coverage queries (SURVEY.md §2.2-§2.8).
+
+Each query exercises one operator family from the reference's inventory,
+re-expressed over the driver's TPC-H-ish testdata so the DuckDB oracle can
+verify it.  Where the reference pattern is cited, the query is the same
+*shape* (same operator composition), with golf-telemetry columns swapped
+for testdata columns.
+
+Determinism: see queries/__init__.py module docstring.  ``dsum(x)`` =
+exact decimal sum cast back to double — identical IEEE value in Spark and
+DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import Query, load_views
+
+
+def dsum(expr: str, scale: int = 4) -> str:
+    """Exact decimal sum of a double expression, returned as double.
+
+    SUM over doubles is order-dependent (differs between engines and
+    between partitionings of the *same* engine); SUM over decimals is
+    exact, so casting each input to decimal makes the aggregate
+    bit-reproducible everywhere — including across a 1000-executor
+    cluster, which is why the engine's own gold models use it too.
+    """
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def davg(expr: str, scale: int = 4) -> str:
+    """Deterministic average: exact decimal sum / count."""
+    return f"{dsum(expr, scale)} / COUNT(*)"
+
+
+def _shared(name: str, sql: str, doc: str) -> Query:
+    """Query whose Spark SQL and DuckDB oracle are the same ANSI text."""
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return Query(name=name, build=build, oracle=sql, doc=doc)
+
+
+# --------------------------------------------------------------------------
+# Aggregations (§2.4)
+# --------------------------------------------------------------------------
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum('l_quantity')}                                        AS sum_qty,
+       {dsum('l_extendedprice')}                                   AS sum_base_price,
+       {dsum('l_extendedprice * (1 - l_discount)', 6)}             AS sum_disc_price,
+       {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       ROUND({davg('l_quantity')}, 6)                              AS avg_qty,
+       ROUND({davg('l_extendedprice')}, 6)                         AS avg_price,
+       ROUND({davg('l_discount', 6)}, 6)                           AS avg_disc,
+       CAST(COUNT(*) AS BIGINT)                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+q_agg_pricing_summary = _shared(
+    "agg_pricing_summary",
+    PRICING_SUMMARY_SQL,
+    "Hash aggregate with multiple SUM/AVG/COUNT (SURVEY §2.4 A1/A3/A12; "
+    "reference fact_rounds.sql:41-87 shape). Flagship query.",
+)
+
+q_agg_conditional = _shared(
+    "agg_conditional",
+    f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT)                                              AS n_orders,
+       CAST(COUNT_IF(o_totalprice > 200000) AS BIGINT)                       AS n_high_value,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       {dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent_revenue,
+       ROUND(1.0e2 * COUNT_IF(o_totalprice > 200000) / NULLIF(COUNT(*), 0), 4) AS pct_high_value
+FROM orders
+GROUP BY o_orderstatus
+""",
+    "Conditional aggregation: COUNT_IF / SUM(CASE WHEN) / pct-of-total with "
+    "NULLIF divide guard (SURVEY §2.4 A1, A13; reference "
+    "data_quality_overview.sql:44-84).",
+)
+
+q_agg_filter_clause = _shared(
+    "agg_filter_clause",
+    f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT)                                    AS n_customers,
+       CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT)       AS n_negative_bal,
+       {dsum('c_acctbal')}                                         AS total_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) FILTER (WHERE c_acctbal > 5000) AS DOUBLE) AS rich_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    "Aggregate FILTER (WHERE ...) clause (SURVEY §2.4 A5; reference "
+    "global_overview.sql:58-59, dim_course.sql:39).",
+)
+
+q_agg_minmax_duration = Query(
+    name="agg_minmax_duration",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS first_ts,
+                   MAX(ts) AS last_ts,
+                   CAST(UNIX_MICROS(MAX(ts)) - UNIX_MICROS(MIN(ts)) AS BIGINT) AS span_micros
+            FROM events GROUP BY user_id
+            """
+        ),
+    )[1],
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS span_micros
+        FROM events GROUP BY user_id
+    """,
+    doc="MIN/MAX timestamps -> duration (SURVEY §2.4 A2; reference "
+    "fact_rounds.sql:47-49 DATE_DIFF('second', MIN, MAX)).",
+)
+
+q_agg_percentile = _shared(
+    "agg_percentile",
+    """
+SELECT o_orderpriority,
+       ROUND(CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 4) AS median_price,
+       ROUND(CAST(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 4) AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    "Exact median/p90 (SURVEY §2.4 A4 — reference APPROX_PERCENTILE "
+    "global_overview.sql:59; exact form checked against oracle, approx "
+    "form exposed separately for the 100TB path).",
+)
+
+q_agg_stddev = _shared(
+    "agg_stddev",
+    f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(
+         SQRT(
+           ( {dsum('l_discount * l_discount', 8)}
+             - {dsum('l_discount', 8)} * {dsum('l_discount', 8)} / COUNT(*)
+           ) / (COUNT(*) - 1)
+         ), 6)                  AS stddev_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    "Deterministic STDDEV via exact decimal sum-of-squares (SURVEY §2.4 A3; "
+    "reference bottleneck_analysis.sql:23-28 STDDEV(pace)). Engine-order-"
+    "independent — the reason: plain stddev over doubles is not "
+    "reproducible across partitionings.",
+)
+
+q_agg_bool_array = Query(
+    name="agg_bool_array",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            """
+            SELECT c_nationkey,
+                   BOOL_OR(c_acctbal < 0)                                 AS any_negative,
+                   BOOL_AND(c_acctbal > -1000)                            AS all_above_floor,
+                   ARRAY_JOIN(SORT_ARRAY(COLLECT_SET(c_mktsegment)), '+') AS segments,
+                   CAST(SIZE(ARRAY_DISTINCT(COLLECT_LIST(c_mktsegment))) AS INT) AS n_segments
+            FROM customer GROUP BY c_nationkey
+            """
+        ),
+    )[1],
+    oracle="""
+        SELECT c_nationkey,
+               BOOL_OR(c_acctbal < 0)  AS any_negative,
+               BOOL_AND(c_acctbal > -1000) AS all_above_floor,
+               ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(c_mktsegment))), '+') AS segments,
+               CAST(LEN(LIST_DISTINCT(LIST(c_mktsegment))) AS INT) AS n_segments
+        FROM customer GROUP BY c_nationkey
+    """,
+    doc="BOOL_OR rollup + sorted-distinct array join (SURVEY §2.4 A6/A7/A8; "
+    "reference fact_rounds.sql:64-65, dashboard queries.py:596,607 "
+    "'nines played = 1+2' idiom).",
+)
+
+q_agg_mode_deterministic = _shared(
+    "agg_mode_deterministic",
+    """
+WITH counts AS (
+    SELECT p_type, p_brand, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM part GROUP BY p_type, p_brand
+), ranked AS (
+    SELECT p_type, p_brand, cnt,
+           ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY cnt DESC, p_brand ASC) AS rn
+    FROM counts
+)
+SELECT p_type, p_brand AS dominant_brand, cnt AS brand_count
+FROM ranked WHERE rn = 1
+""",
+    "Deterministic MODE (dominant value per group) via count + ordered "
+    "row_number — tie-broken by value so it hash-matches; reference uses "
+    "F.mode() for dominant hole per section (SURVEY §2.4 A9, "
+    "dimensions.py:118-124).",
+)
+
+q_agg_having = _shared(
+    "agg_having",
+    f"""
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines, {dsum('l_quantity')} AS total_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING COUNT(*) > 40
+""",
+    "Post-aggregate HAVING filter (SURVEY §2.4 A11; reference "
+    "bottleneck_analysis.sql:38 HAVING COUNT(*) > 50).",
+)
+
+q_agg_global = _shared(
+    "agg_global",
+    f"""
+SELECT CAST(COUNT(*) AS BIGINT)                 AS n_lineitems,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT)  AS n_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)  AS n_suppliers,
+       {dsum('l_extendedprice')}                AS total_price,
+       MIN(l_shipdate)                          AS first_ship,
+       MAX(l_shipdate)                          AS last_ship
+FROM lineitem
+""",
+    "Global no-group single-row aggregate (SURVEY §2.4 A12; reference "
+    "global_overview.sql:34-60, executive_summary.sql).",
+)
+
+q_agg_weighted_score = _shared(
+    "agg_weighted_score",
+    """
+WITH base AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.0e2 * COUNT_IF(o_orderstatus = 'F') / NULLIF(COUNT(*), 0), 6) AS pct_finished,
+           ROUND(1.0e2 * COUNT_IF(o_totalprice > 150000) / NULLIF(COUNT(*), 0), 6) AS pct_large,
+           ROUND(1.0e2 * COUNT_IF(o_orderstatus = 'O') / NULLIF(COUNT(*), 0), 6) AS pct_open
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, pct_finished, pct_large, pct_open,
+       ROUND(4.0e-1 * pct_finished + 3.0e-1 * pct_large + 2.0e-1 * pct_open + 1.0e1, 6) AS composite_score,
+       GREATEST(pct_finished, pct_large, pct_open) AS worst_dimension_pct
+FROM base
+""",
+    "Weighted composite score over conditional aggregates + GREATEST "
+    "(SURVEY §2.4 A13/A14; reference critical_column_gaps.sql:53-56,146-154 "
+    "40/30/20/10 weighting). Scientific-notation literals force DOUBLE "
+    "arithmetic in both engines — plain `100.0` parses as DECIMAL in "
+    "Spark and the decimal result would type/hash-mismatch the oracle.",
+)
+
+q_distinct_projection = _shared(
+    "distinct_projection",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "DISTINCT projection anchor (SURVEY §2.4 A15; reference dim_course.sql:18-21).",
+)
+
+# --------------------------------------------------------------------------
+# Joins (§2.3)
+# --------------------------------------------------------------------------
+
+q_join_multiway = _shared(
+    "join_multiway",
+    f"""
+SELECT r_name AS region_name, n_name AS nation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum('o_totalprice')}   AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    "Chained multiway equi-join fact->dims (SURVEY §2.3 J3; reference "
+    "dim_course.sql:89-99 5-way stitch). Catalyst auto-broadcasts the "
+    "small dims (nation/region under the 10MB threshold).",
+)
+
+
+def _build_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    lineitem = spark.table("lineitem")
+    part = spark.table("part")
+    # Explicit broadcast hint, mirroring the reference's F.broadcast(topology)
+    # (etl.py:518-519): dimension is small, fact is huge — never shuffle the
+    # fact for this join.
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+q_join_broadcast = Query(
+    name="join_broadcast",
+    build=_build_join_broadcast,
+    oracle=f"""
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {dsum('l_quantity')}     AS total_qty,
+               {dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    doc="Broadcast hash join fact x small dim with explicit hint "
+    "(SURVEY §2.3 J1-style broadcast, §4; reference etl.py:518-519).",
+)
+
+
+def _build_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    # Band dimension built in-memory, exactly like the reference's tiny
+    # topology dim; the range condition prevents a hash join, so Catalyst
+    # plans BroadcastNestedLoopJoin — correct call for a <=10-row dim
+    # (SURVEY §2.3 J1, §4; reference etl.py:505-528).
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 60.0, "high")],
+        "qty_lo double, qty_hi double, qty_band string",
+    )
+    lineitem = spark.table("lineitem")
+    joined = lineitem.join(
+        F.broadcast(bands),
+        (lineitem.l_quantity > bands.qty_lo) & (lineitem.l_quantity <= bands.qty_hi),
+        "left",
+    )
+    return joined.groupBy("qty_band").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+    )
+
+
+q_join_range_broadcast = Query(
+    name="join_range_broadcast",
+    build=_build_join_range,
+    oracle=f"""
+        SELECT qty_band,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {dsum('l_extendedprice')} AS total_price
+        FROM lineitem
+        LEFT JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 60.0, 'high'))
+             AS bands(qty_lo, qty_hi, qty_band)
+          ON l_quantity > qty_lo AND l_quantity <= qty_hi
+        GROUP BY qty_band
+    """,
+    doc="Broadcast LEFT range join (non-equi BETWEEN-style) against a tiny "
+    "band dim — the reference's topology nine_number join (SURVEY §2.3 J1; "
+    "etl.py:505-528).",
+)
+
+
+def _build_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    customer = spark.table("customer")
+    big_orders = spark.table("orders").filter(F.col("o_totalprice") > 250000)
+    return (
+        customer.join(big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+q_join_semi = Query(
+    name="join_semi",
+    build=_build_join_semi,
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+    """,
+    doc="Left-semi join / EXISTS (SURVEY §2.3 J6 eligible-rounds idiom; "
+    "reference demo_all_insights.sql:180-201).",
+)
+
+
+def _build_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    customer = spark.table("customer")
+    orders = spark.table("orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+q_join_anti = Query(
+    name="join_anti",
+    build=_build_join_anti,
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join / NOT EXISTS — customers with no orders (completes "
+    "the join surface; SURVEY §2.3 notes the reference never needs it).",
+)
+
+q_join_coverage_audit = _shared(
+    "join_coverage_audit",
+    """
+WITH order_counts AS (
+    SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+), line_counts AS (
+    SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+)
+SELECT c_custkey,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_lines, 0)  AS n_lines,
+       CASE WHEN COALESCE(n_orders, 0) = 0 THEN 'no_orders'
+            WHEN COALESCE(n_lines, 0) = 0 THEN 'orders_without_lines'
+            ELSE 'ok' END    AS coverage_status
+FROM customer
+LEFT JOIN order_counts ON c_custkey = custkey
+LEFT JOIN line_counts  ON c_custkey = line_counts.custkey
+""",
+    "Multi-CTE LEFT-JOIN coverage audit — counts from two grains reconciled "
+    "per key (SURVEY §2.3 J4, §5.4; reference gold_coverage_audit.sql:121-127).",
+)
+
+q_join_share_of_total = _shared(
+    "join_share_of_total",
+    """
+WITH seg_nation AS (
+    SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer GROUP BY c_mktsegment, c_nationkey
+)
+SELECT c_mktsegment, c_nationkey, n_customers,
+       ROUND(1.0e2 * n_customers / NULLIF(SUM(n_customers) OVER (PARTITION BY c_mktsegment), 0), 6) AS pct_of_segment
+FROM seg_nation
+""",
+    "Share-of-total via window SUM OVER (PARTITION BY) — the Spark-first "
+    "rewrite of the reference's aggregate-then-join-back (SURVEY §2.3 J5; "
+    "course_rounds_by_month.sql:54-63).",
+)
+
+q_join_outlier_vs_max = _shared(
+    "join_outlier_vs_max",
+    """
+WITH per_pair AS (
+    SELECT l_suppkey, l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+SELECT l_suppkey, l_partkey, n_lines,
+       MAX(n_lines) OVER (PARTITION BY l_suppkey) AS max_lines_for_supp,
+       n_lines = MAX(n_lines) OVER (PARTITION BY l_suppkey) AS is_busiest_part
+FROM per_pair
+""",
+    "Per-group max attached to detail rows via window MAX — Spark-first "
+    "form of the reference's self-join against per-hole MAX(section) "
+    "(SURVEY §2.3 J7; demo_all_insights.sql:308-338).",
+)
+
+# --------------------------------------------------------------------------
+# Window functions (§2.5)
+# --------------------------------------------------------------------------
+
+
+def _build_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    events = spark.table("events")
+    # The reference's dedup: ordered window, keep rn=1 — ordering encodes
+    # business preference, NOT dropDuplicates (SURVEY §2.5 W1, §7.4 trap 4;
+    # etl.py:572-586). Here: latest event per (user, type), ties broken by
+    # event_id so the survivor set is unique.
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+q_window_dedup = Query(
+    name="window_dedup",
+    build=_build_window_dedup,
+    oracle="""
+        SELECT user_id, event_type, event_id, ts, value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) deduped WHERE rn = 1
+    """,
+    doc="Ordered-window dedup keeping preferred record (SURVEY §2.5 W1; "
+    "reference etl.py:572-586 is_cache/battery preference).",
+)
+
+q_window_topn = _shared(
+    "window_topn",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn AS price_rank
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+) ranked WHERE rn <= 3
+""",
+    "Top-N per group via ROW_NUMBER (SURVEY §2.5 W2; reference "
+    "demo_all_insights.sql:47-86 top/bottom-3 months).",
+)
+
+q_window_lag_transitions = _shared(
+    "window_lag_transitions",
+    """
+WITH seq AS (
+    SELECT user_id, ts, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT event_type, prev_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY event_type, prev_type
+""",
+    "LAG sequence analysis -> transition classification (SURVEY §2.5 W3; "
+    "reference queries.py:1011-1097 hole-transition validation).",
+)
+
+q_window_rank_dense = _shared(
+    "window_rank_dense",
+    """
+SELECT c_nationkey, c_custkey, c_acctbal, bal_rank, bal_dense_rank
+FROM (
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense_rank
+    FROM customer
+) ranked
+WHERE bal_rank <= 5
+""",
+    "RANK / DENSE_RANK + post-window filter (SURVEY §2.5 W4; reference "
+    "queries.py:1246 global quality ranking).",
+)
+
+q_window_running_total = _shared(
+    "window_running_total",
+    f"""
+SELECT o_orderdate, daily_revenue,
+       ROUND(SUM(daily_revenue) OVER (ORDER BY o_orderdate
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_revenue
+FROM (
+    SELECT o_orderdate, {dsum('o_totalprice')} AS daily_revenue
+    FROM orders GROUP BY o_orderdate
+) daily
+""",
+    "Running total over an explicit ROWS frame — extension beyond the "
+    "reference's ranking-only window use (SURVEY §2.5 note); daily grain "
+    "keeps the frame deterministic.",
+)
+
+# --------------------------------------------------------------------------
+# Sorts / limits (§2.6), set ops (§2.7)
+# --------------------------------------------------------------------------
+
+q_sort_limit_nulls_last = _shared(
+    "sort_limit_nulls_last",
+    """
+SELECT event_id, user_id,
+       CASE WHEN value < 5 THEN NULL ELSE value END AS capped_value
+FROM events
+ORDER BY capped_value DESC NULLS LAST, event_id ASC
+LIMIT 50
+""",
+    "ORDER BY ... NULLS LAST + LIMIT with unique-key tiebreak "
+    "(SURVEY §2.6; reference queries.py:419, etl.py:578-580).",
+)
+
+q_sort_case_key = _shared(
+    "sort_case_key",
+    """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            WHEN o_totalprice < 300000 THEN 'large'
+            ELSE 'jumbo' END AS price_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY CASE price_bucket WHEN 'small' THEN 1 WHEN 'medium' THEN 2
+                           WHEN 'large' THEN 3 ELSE 4 END
+""",
+    "Custom CASE sort key + GROUP BY ordinal (SURVEY §2.6, §7.4 trap 2; "
+    "reference queries.py:573-582 round-length buckets).",
+)
+
+
+def _build_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    # Two frames with different column order and one missing column —
+    # the ragged-CSV union trap (SURVEY §2.7, §7.4 trap 5; reference
+    # etl.py:155-184): positional union would silently misalign; union
+    # by NAME with missing-column fill is the only safe form.
+    a = li.filter("l_linenumber = 1").select("l_orderkey", "l_quantity", "l_extendedprice")
+    b = li.filter("l_linenumber = 2").select("l_extendedprice", "l_orderkey")  # reordered, missing qty
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+q_union_by_name = Query(
+    name="union_by_name",
+    build=_build_union_by_name,
+    oracle="""
+        SELECT l_orderkey, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l_orderkey, CAST(NULL AS DOUBLE) AS l_quantity, l_extendedprice
+        FROM lineitem WHERE l_linenumber = 2
+    """,
+    doc="unionByName(allowMissingColumns=True) across mismatched schemas "
+    "(SURVEY §2.7; reference etl.py:184 ragged CSV union).",
+)
+
+# --------------------------------------------------------------------------
+# Scalar function surface (§2.8)
+# --------------------------------------------------------------------------
+
+q_scalar_datetime = Query(
+    name="scalar_datetime",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            """
+            SELECT DATE_TRUNC('month', o_orderdate)                    AS order_month,
+                   CAST(YEAR(o_orderdate) AS INT)                      AS order_year,
+                   CAST(MONTH(o_orderdate) AS INT)                     AS order_month_num,
+                   CAST(((DAYOFWEEK(o_orderdate) + 5) % 7) + 1 AS INT) AS iso_dow,
+                   DATE_FORMAT(o_orderdate, 'MMMM')                    AS month_name,
+                   DATE_FORMAT(o_orderdate, 'EEEE')                    AS day_name,
+                   CAST(((DAYOFWEEK(o_orderdate) + 5) % 7) + 1 >= 6 AS BOOLEAN) AS is_weekend,
+                   CAST(COUNT(*) AS BIGINT)                            AS n_orders
+            FROM orders
+            GROUP BY 1, 2, 3, 4, 5, 6, 7
+            """
+        ),
+    )[1],
+    oracle="""
+        SELECT DATE_TRUNC('month', o_orderdate)   AS order_month,
+               CAST(YEAR(o_orderdate) AS INT)     AS order_year,
+               CAST(MONTH(o_orderdate) AS INT)    AS order_month_num,
+               CAST(ISODOW(o_orderdate) AS INT)   AS iso_dow,
+               MONTHNAME(o_orderdate)             AS month_name,
+               DAYNAME(o_orderdate)               AS day_name,
+               ISODOW(o_orderdate) >= 6           AS is_weekend,
+               CAST(COUNT(*) AS BIGINT)           AS n_orders
+        FROM orders
+        GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+    doc="Datetime family incl. the ISO day-of-week conversion — the Spark "
+    "1=Sunday vs Trino 1=Monday trap (SURVEY §2.8, §7.4 trap 1; reference "
+    "fact_rounds.sql:110-114, global_time_patterns.sql:46-59).",
+)
+
+q_scalar_string_math = _shared(
+    "scalar_string_math",
+    """
+SELECT p_partkey,
+       CONCAT(p_brand, ':', p_type)                         AS brand_type,
+       CAST(LENGTH(p_name) AS INT)                          AS name_len,
+       UPPER(p_brand)                                       AS brand_upper,
+       p_name LIKE '%green%'                                AS is_green,
+       ROUND(p_retailprice / NULLIF(p_size, 0), 4)          AS price_per_size,
+       COALESCE(NULLIF(p_size, 0), -1)                      AS size_or_sentinel,
+       GREATEST(p_size, 10)                                 AS size_floor10
+FROM part
+""",
+    "String + math + null-handling scalar surface: CONCAT/LENGTH/UPPER/"
+    "LIKE/ROUND/NULLIF/COALESCE/GREATEST (SURVEY §2.8; reference "
+    "etl.py:560-566 WKT concat, fact_rounds.sql:93-99 guards).",
+)
+
+q_scalar_json = Query(
+    name="scalar_json",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            """
+            SELECT CAST(GET_JSON_OBJECT(props, '$.k') AS INT) AS k_value,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+            """
+        ),
+    )[1],
+    oracle="""
+        SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    """,
+    doc="Semi-structured JSON field extraction — the engine's analogue of "
+    "the reference's Mongo $oid/$date unwrapping of nested documents "
+    "(SURVEY §2.8 JSON/Mongo family; api.py:22-40).",
+)
+
+
+def _build_scalar_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    # Coordinate validity + WKT construction, the quarantine predicate
+    # re-expressed on testdata numerics (SURVEY §2.2 P5, §2.8 Misc;
+    # reference etl.py:554-567,590-608; bounds constants.py:78-83).
+    ev = spark.table("events")
+    lon = (F.col("value") * 8 - 80).alias("lon")
+    lat = (F.col("value") * 4 - 40).alias("lat")
+    df = ev.select("event_id", lon, lat)
+    valid = (
+        F.col("lon").isNotNull()
+        & F.col("lat").isNotNull()
+        & (F.col("lon") >= -180.0)
+        & (F.col("lon") <= 180.0)
+        & (F.col("lat") >= -90.0)
+        & (F.col("lat") <= 90.0)
+    )
+    return df.select(
+        "event_id",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        valid.alias("is_valid_coordinate"),
+        F.when(
+            valid,
+            F.concat(
+                F.lit("POINT("),
+                F.round("lon", 6).cast("string"),
+                F.lit(" "),
+                F.round("lat", 6).cast("string"),
+                F.lit(")"),
+            ),
+        ).alias("geometry_wkt"),
+    )
+
+
+q_scalar_coordinates = Query(
+    name="scalar_coordinates",
+    build=_build_scalar_coordinates,
+    oracle="""
+        WITH pts AS (
+            SELECT event_id, value * 8 - 80 AS lon, value * 4 - 40 AS lat
+            FROM events
+        ), flagged AS (
+            SELECT event_id, ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat,
+                   (lon IS NOT NULL AND lat IS NOT NULL
+                    AND lon >= -180.0 AND lon <= 180.0
+                    AND lat >= -90.0 AND lat <= 90.0) AS is_valid_coordinate
+            FROM pts
+        )
+        SELECT event_id, lon, lat, is_valid_coordinate,
+               CASE WHEN is_valid_coordinate
+                    THEN CONCAT('POINT(', CAST(lon AS VARCHAR), ' ', CAST(lat AS VARCHAR), ')')
+               END AS geometry_wkt
+        FROM flagged
+    """,
+    doc="Coordinate-validity predicate + POINT WKT synthesis — the "
+    "quarantine split condition (SURVEY §2.2 P5; reference "
+    "etl.py:554-567,590-608).",
+)
+
+
+QUERIES = [
+    q_agg_pricing_summary,
+    q_agg_conditional,
+    q_agg_filter_clause,
+    q_agg_minmax_duration,
+    q_agg_percentile,
+    q_agg_stddev,
+    q_agg_bool_array,
+    q_agg_mode_deterministic,
+    q_agg_having,
+    q_agg_global,
+    q_agg_weighted_score,
+    q_distinct_projection,
+    q_join_multiway,
+    q_join_broadcast,
+    q_join_range_broadcast,
+    q_join_semi,
+    q_join_anti,
+    q_join_coverage_audit,
+    q_join_share_of_total,
+    q_join_outlier_vs_max,
+    q_window_dedup,
+    q_window_topn,
+    q_window_lag_transitions,
+    q_window_rank_dense,
+    q_window_running_total,
+    q_sort_limit_nulls_last,
+    q_sort_case_key,
+    q_union_by_name,
+    q_scalar_datetime,
+    q_scalar_string_math,
+    q_scalar_json,
+    q_scalar_coordinates,
+]

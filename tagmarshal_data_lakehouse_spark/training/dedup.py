@@ -1,0 +1,265 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the part that matters at 100 TB):
+- exact dedup is a single hash-aggregate on a digest — one shuffle keyed
+  by a uniformly-distributed hash, no skew by construction;
+- near-dup candidate generation is LSH band-bucketing: the only shuffle
+  is on (band_id, band_hash); pairs are generated per-bucket via a
+  self-join of bucket members, so cost is O(sum of bucket^2), never the
+  O(n^2) cross product.  Oversized buckets (degenerate content) are
+  capped to keep a single hot bucket from dominating a task;
+- verification (exact Jaccard on shingle sets) touches only candidate
+  pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .text import normalize_text
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a low-partition input across the cluster's execution slots.
+
+    Small local files arrive as a single split, serializing the
+    explode-heavy shingling work; at real scale (many parquet splits)
+    this is a no-op.  The repartition shuffles raw text once — cheap
+    relative to the O(tokens) work it parallelizes.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+# Deterministic salts for minhash permutations, derived from a fixed seed
+# and masked into the signed-64 range Spark literals require — public
+# technique (Broder 1997 min-wise permutations).
+_MINHASH_SEEDS = [
+    (0x9E3779B97F4A7C15 + 0x6C62272E07BB0142 * i) & 0x7FFFFFFFFFFFFFFF for i in range(1, 65)
+]
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 5, out: str = "shingles") -> DataFrame:
+    """Distinct k-char shingles of the normalized text, as array<string>.
+
+    Pure built-ins: sequence -> transform -> substring -> array_distinct,
+    all codegen'd; short texts yield the whole text as a single shingle.
+    """
+    # normalize ONCE into a temp column — referencing the normalization
+    # expression inside the transform lambda would re-run the regex per
+    # shingle position (O(len^2) per document).
+    tmp = df.withColumn("_norm", normalize_text(F.col(text_col)))
+    n = F.length(F.col("_norm"))
+    shingles = F.when(n <= F.lit(k), F.array(F.col("_norm"))).otherwise(
+        F.array_distinct(
+            F.expr(f"transform(sequence(1, length(_norm) - {k - 1}), i -> substring(_norm, i, {k}))")
+        )
+    )
+    return tmp.withColumn(out, shingles).drop("_norm")
+
+
+def with_token_grams(df: DataFrame, text_col: str = "text", n: int = 3, out: str = "grams") -> DataFrame:
+    """Distinct token n-gram shingles, as array<string>.
+
+    Token grams (not char shingles) are the discriminative unit for
+    corpus dedup: the gram space is vocabulary^n, so unrelated documents
+    share almost none, which keeps LSH candidate volume near-linear.
+    Texts shorter than n tokens contribute their full token sequence.
+    """
+    # tokenize ONCE into a temp column (see with_shingles: putting the
+    # split inside the lambda re-tokenizes per gram position).
+    tmp = df.withColumn("_toks", F.split(normalize_text(F.col(text_col)), " "))
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
+            f"i -> array_join(slice(_toks, i, {n}), ' '))"
+        )
+    )
+    return tmp.withColumn(out, grams).drop("_toks")
+
+
+def _norm_sql(text_col: str) -> str:
+    return f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact (normalized) dedup via content digest.
+
+    Returns one row per document with its cluster digest, cluster size and
+    canonical flag (lowest id wins).  Reference analogue: the grain-
+    contract dedup of W1 (etl.py:572-586) — here keyed by content, not
+    business key.  Single shuffle on the digest.
+    """
+    digest = F.md5(normalize_text(F.col(text_col)))
+    w = W.partitionBy("content_md5")
+    w_rank = w.orderBy(F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), digest.alias("content_md5"))
+        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("is_canonical", F.row_number().over(w_rank) == 1)
+        .withColumn("is_duplicate", (F.col("cluster_size") > 1) & ~F.col("is_canonical"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_perm: int = 32, ngram: int = 3
+) -> DataFrame:
+    """MinHash signature per document: num_perm minima over token-gram
+    hashes.
+
+    One explode + one groupBy(id) with num_perm MIN aggregates — partial
+    aggregation makes the shuffle carry only (id, num_perm longs) per doc
+    regardless of document length.  Hashing is xxhash64 with per-
+    permutation salts (JVM built-in, no UDF).
+    """
+    shingled = with_token_grams(ensure_parallelism(df), text_col=text_col, n=ngram, out="shingles").select(
+        id_col, "shingles"
+    )
+    exploded = shingled.select(id_col, F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh_{j}")
+        for j, seed in enumerate(_MINHASH_SEEDS[:num_perm])
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Shuffle key is (band_id, band_hash) — uniform by construction.
+    Buckets larger than `max_bucket` are dropped (degenerate boilerplate
+    content); at 100 TB this bound is what keeps the worst-case task from
+    exploding quadratically.
+    """
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*cols).alias("band_hash"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    # bucket-size cap via window count: one shuffle on the bucket key,
+    # no second scan of the banded frame (an agg+join-back would compute
+    # it twice)
+    w = W.partitionBy("band_id", "band_hash")
+    small = (
+        banded.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    a = small.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a"))
+    b = small.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard on shingle sets for candidate pairs only.
+
+    array_intersect/array_union are JVM built-ins; the join fans shingle
+    arrays out to candidate pairs (O(candidates), not O(n^2)).
+    """
+    s = shingled.select(F.col(id_col), F.col("shingles"))
+    out = (
+        candidates.join(s.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(s.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: token-gram shingle -> sign ->
+    band -> bucket-join -> exact-Jaccard verify.
+
+    Default 32 perms / 4 bands of 8 rows: band-collision probability is
+    J^8 per band — near-zero for unrelated docs, ~0.9 overall for
+    J>=0.9 true duplicates."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, ngram)
+    cands = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
+    shingled = with_token_grams(ensure_parallelism(df), text_col=text_col, n=ngram, out="shingles").select(
+        id_col, "shingles"
+    )
+    return verify_jaccard(cands, shingled, id_col, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Token n-gram Jaccard similarity for ALL pairs sharing >=1 n-gram.
+
+    Candidate generation is an inverted-index join on the n-gram (shuffle
+    on the gram string), with pair-count aggregation giving |A∩B| without
+    materializing set products; |A∪B| = |A|+|B|-|A∩B|.  This is the exact
+    (non-LSH) baseline — at 100 TB you'd use minhash_near_duplicates and
+    reserve this for verification.
+    """
+    grams = with_token_grams(ensure_parallelism(df), text_col=text_col, n=n, out="grams").select(
+        F.col(id_col), "grams"
+    )
+    sizes = grams.select(F.col(id_col), F.size("grams").alias("n_grams"))
+    inv = grams.select(F.col(id_col), F.explode("grams").alias("gram"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="gram")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_grams", "grams_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_grams", "grams_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", F.col("n_common").cast("bigint").alias("n_common"), "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as `binary` columns with a metadata struct; the
+decode/feature-extract step runs as mapInPandas over Arrow batches so
+each task touches a bounded batch of payloads (spark.sql.execution.arrow.
+maxRecordsPerBatch caps peak memory per task at 100 TB).
+
+The actual codec work is STUBBED: this container ships no image/audio
+libraries, so `decode_image_stub` derives deterministic fake features
+(dimensions from byte stats, md5 content digest).  The Spark-side
+plumbing — schema, batch iteration, UDF signature, partition behavior —
+is real and is what the tests cover; swap `_fake_decode` for PIL/ffmpeg
+in a real deployment.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("source_uri", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_md5", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real decoder. A real deployment
+    replaces this one function with PIL/libav calls; everything else in
+    the pipeline is production-shaped."""
+    n = len(payload)
+    return 64 + (n % 512), 64 + ((n * 7) % 512), 1 + (n % 16)
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow-batched: each iterator element is a bounded pandas batch, so
+    payload bytes never accumulate unboundedly in the Python worker.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(lambda p: len(p) if p is not None else 0)
+            md5 = payloads.map(
+                lambda p: hashlib.md5(p).hexdigest() if p is not None else None
+            )
+            dims = payloads.map(lambda p: _fake_decode(p) if p is not None else (0, 0, 0))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "content_md5": md5,
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "n_frames": dims.map(lambda d: d[2]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque media payloads (the
+    testdata ships no real binaries). Demonstrates the real schema path:
+    binary payload + typed metadata struct."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("source_uri"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - documentation stub
+    """Placeholder for the real decoder (PIL not shipped in this
+    container)."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv which are not available; "
+        "use extract_media_features (deterministic stub) instead"
+    )

@@ -1,0 +1,335 @@
+"""Registry entries for the training-data operators (documents/embeddings).
+
+Oracle-checked wherever the computation is SQL-expressible in DuckDB
+(exact dedup, token stats, quality scoring, language-ID, n-gram Jaccard,
+decimal-exact cosine top-k, multimodal feature extraction — the last one
+notable: the oracle verifies a mapInPandas pipeline end-to-end because the
+stub features are deterministic).  MinHash-LSH and SimHash use engine
+hashes (xxhash64 / packed md5) with no DuckDB twin, so they are rows-only
+checks by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import Query, load_views
+from . import dedup, multimodal, similarity, text
+from .simhash import simhash_near_duplicates
+
+# DuckDB spelling of normalize_text (regexp_replace needs the 'g' flag;
+# Spark replaces all matches by default).
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS = f"regexp_split_to_array({_NORM}, '\\s+')"
+_EN = "['the','a','of','and','to','in','is','it','that','for']"
+_DE = "['der','die','das','und','ist','ein','nicht','mit','den','von']"
+_ES = "['el','la','de','que','y','en','un','es','no','por']"
+_FR = "['le','la','de','et','un','est','que','pour','dans','ne']"
+
+
+def _hits(words: str) -> str:
+    return f"CAST(len(list_filter({_TOKENS}, x -> list_contains({words}, x))) AS INT)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+q_doc_dedup_exact = Query(
+    name="doc_dedup_exact",
+    build=lambda spark, sf_dir: dedup.exact_duplicates(_docs(spark, sf_dir)),
+    oracle=f"""
+        WITH hashed AS (
+            SELECT doc_id, md5({_NORM}) AS content_md5 FROM documents
+        )
+        SELECT doc_id, content_md5,
+               CAST(COUNT(*) OVER (PARTITION BY content_md5) AS BIGINT) AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id ASC) = 1 AS is_canonical,
+               (COUNT(*) OVER (PARTITION BY content_md5) > 1)
+                 AND NOT (ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id ASC) = 1)
+                 AS is_duplicate
+        FROM hashed
+    """,
+    doc="Exact dedup on normalized-content digest: cluster size + canonical "
+    "member election (hash-groupBy; single uniform shuffle at scale).",
+)
+
+q_doc_token_stats = Query(
+    name="doc_token_stats",
+    build=lambda spark, sf_dir: _docs(spark, sf_dir).select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_ish_token_count(F.col("text")).alias("n_subword_units"),
+        text.fingerprint(F.col("text")).alias("fingerprint16"),
+    ),
+    oracle=f"""
+        SELECT doc_id,
+               CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                         ELSE len({_TOKENS}) END AS INT)                    AS n_tokens,
+               CAST(list_sum(list_transform(
+                      regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'),
+                      p -> CAST(ceil(length(p) / 4.0) AS INT))) AS INT)     AS n_subword_units,
+               substr(md5({_NORM}), 1, 16)                                  AS fingerprint16
+        FROM documents
+    """,
+    doc="Token counting (whitespace + BPE-ish subword estimate) and md5 "
+    "document fingerprint — corpus budgeting primitives.",
+)
+
+q_doc_quality = Query(
+    name="doc_quality",
+    build=lambda spark, sf_dir: text.quality_features(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_bytes",
+        "n_tokens",
+        "mean_token_len",
+        "stopword_ratio_en",
+        "punct_ratio",
+        "quality_score",
+    ),
+    oracle=f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                             ELSE len({_TOKENS}) END AS INT) AS n_tokens,
+                   length({_NORM}) AS n_norm_chars,
+                   {_hits(_EN)} AS sw_hits,
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS INT) AS n_punct
+            FROM documents
+        )
+        SELECT doc_id, n_bytes, n_tokens,
+               ROUND(n_norm_chars / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) AS mean_token_len,
+               ROUND(sw_hits / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6)      AS stopword_ratio_en,
+               ROUND(n_punct / NULLIF(CAST(n_bytes AS DOUBLE), 0.0), 6)       AS punct_ratio,
+               ROUND(
+                 4.0e1 * CAST(n_bytes >= 100 AND n_bytes <= 100000 AS INT)
+                 + 3.0e1 * CAST(ROUND(n_norm_chars / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) >= 2.0
+                           AND ROUND(n_norm_chars / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) <= 12.0 AS INT)
+                 + 2.0e1 * CAST(ROUND(sw_hits / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) <= 0.6 AS INT)
+                 + 1.0e1 * CAST(ROUND(n_punct / NULLIF(CAST(n_bytes AS DOUBLE), 0.0), 6) <= 0.2 AS INT), 1) AS quality_score
+        FROM feat
+    """,
+    doc="Per-document quality features + 40/30/20/10 weighted score — the "
+    "reference's composite-score idiom (critical_column_gaps.sql:146-154) "
+    "applied to corpus QA.",
+)
+
+q_doc_lang_id = Query(
+    name="doc_lang_id",
+    build=lambda spark, sf_dir: _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.language_id(F.col("text")).alias("predicted_lang"),
+        text.stopword_hits(F.col("text"), "en").alias("en_hits"),
+        text.stopword_hits(F.col("text"), "de").alias("de_hits"),
+        text.stopword_hits(F.col("text"), "es").alias("es_hits"),
+        text.stopword_hits(F.col("text"), "fr").alias("fr_hits"),
+    ),
+    oracle=f"""
+        WITH hits AS (
+            SELECT doc_id, lang AS labeled_lang,
+                   {_hits(_EN)} AS en_hits, {_hits(_DE)} AS de_hits,
+                   {_hits(_ES)} AS es_hits, {_hits(_FR)} AS fr_hits
+            FROM documents
+        )
+        SELECT doc_id, labeled_lang,
+               CASE WHEN GREATEST(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+                    WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                    WHEN es_hits >= fr_hits THEN 'es'
+                    ELSE 'fr' END AS predicted_lang,
+               en_hits, de_hits, es_hits, fr_hits
+        FROM hits
+    """,
+    doc="Language-ID heuristic: per-language stopword hit counts with "
+    "deterministic argmax (tie-break by language order).",
+)
+
+q_doc_ngram_jaccard = Query(
+    name="doc_ngram_jaccard",
+    build=lambda spark, sf_dir: dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.15
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS tokens FROM documents
+        ), gram_lists AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(tokens) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS grams
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, len(grams) AS n_grams FROM gram_lists
+        ), inv AS (
+            SELECT doc_id, unnest(grams) AS gram FROM gram_lists
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_common,
+               ROUND(n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 6) >= 0.15
+    """,
+    doc="Token-trigram Jaccard near-dup pairs via inverted-index join "
+    "(|A∩B| by pair-count aggregation — no set products materialized).",
+)
+
+q_doc_minhash_near_dups = Query(
+    name="doc_minhash_near_dups",
+    build=lambda spark, sf_dir: dedup.minhash_near_duplicates(
+        _docs(spark, sf_dir), num_perm=32, bands=4, ngram=3, threshold=0.5
+    ),
+    oracle=None,  # xxhash64 signatures have no DuckDB twin; LSH output is
+    # verified structurally in tests (pairs ⊆ true-Jaccard pairs).
+    doc="MinHash(32 perms)+LSH(4 bands of 8) near-dup pipeline: token-gram "
+    "shingle -> sign -> band-bucket join -> exact-Jaccard verify. The "
+    "100 TB dedup path: shuffle O(candidates), never O(n^2).",
+)
+
+q_doc_simhash_near_dups = Query(
+    name="doc_simhash_near_dups",
+    build=lambda spark, sf_dir: simhash_near_duplicates(
+        _docs(spark, sf_dir), max_hamming=4, prefix_bits=8
+    ),
+    oracle=None,  # pandas-UDF bit packing; no SQL twin.
+    doc="SimHash near-dup pairs (Arrow-vectorized pandas UDF signature + "
+    "prefix blocking + built-in bit_count hamming filter).",
+)
+
+q_emb_label_stats = Query(
+    name="emb_label_stats",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.table("embeddings")
+        .select(F.col("label"), F.col("vec_id"), F.explode("embedding").alias("x"))
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum((F.col("x").cast("double") * F.col("x").cast("double")).cast("decimal(28,18)")).alias(
+                "norm2_dec"
+            )
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum("norm2_dec").cast("double") / F.count("*"),
+                6,
+            ).alias("avg_norm2"),
+        ),
+    )[1],
+    oracle="""
+        WITH elems AS (
+            SELECT label, vec_id, unnest(embedding) AS x FROM embeddings
+        ), norms AS (
+            SELECT label, vec_id,
+                   SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18))) AS norm2_dec
+            FROM elems GROUP BY 1, 2
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               ROUND(CAST(SUM(norm2_dec) AS DOUBLE) / COUNT(*), 6) AS avg_norm2
+        FROM norms GROUP BY label
+    """,
+    doc="Embedding column stats per label (exact decimal norms — "
+    "reproducible across engines and partitionings).",
+)
+
+q_emb_cosine_topk = Query(
+    name="emb_cosine_topk",
+    build=lambda spark, sf_dir: similarity.cosine_topk_exact(
+        _embs(spark, sf_dir), n_queries=20, k=3
+    ),
+    oracle="""
+        WITH queries AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20
+        ), pair_elems AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+                   unnest(q.embedding) AS qx, unnest(c.embedding) AS cx
+            FROM queries q JOIN embeddings c ON c.vec_id <> q.vec_id
+        ), dots AS (
+            SELECT query_id, candidate_id,
+                   SUM(CAST(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE) AS DECIMAL(28,18))) AS dot_dec
+            FROM pair_elems GROUP BY 1, 2
+        ), norm_elems AS (
+            SELECT vec_id, unnest(embedding) AS x FROM embeddings
+        ), norms AS (
+            SELECT vec_id, SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18))) AS norm2
+            FROM norm_elems GROUP BY 1
+        ), scored AS (
+            SELECT query_id, candidate_id,
+                   ROUND(CAST(dot_dec AS DOUBLE)
+                         / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(cn.norm2 AS DOUBLE))), 6) AS cosine
+            FROM dots
+            JOIN norms qn ON qn.vec_id = query_id
+            JOIN norms cn ON cn.vec_id = candidate_id
+        ), ranked AS (
+            SELECT query_id, candidate_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, candidate_id ASC) AS nn_rank
+            FROM scored
+        )
+        SELECT query_id, candidate_id, cosine, CAST(nn_rank AS INT) AS nn_rank
+        FROM ranked WHERE nn_rank <= 3
+    """,
+    doc="Brute-force cosine top-3 for 20 query vectors — ANN correctness "
+    "baseline with decimal-exact dot products (the LSH-bucketed scale "
+    "variant is cosine_topk_lsh, benched separately).",
+)
+
+q_emb_cosine_topk_lsh = Query(
+    name="emb_cosine_topk_lsh",
+    build=lambda spark, sf_dir: similarity.cosine_topk_lsh(
+        _embs(spark, sf_dir), n_queries=20, k=3, n_planes=4
+    ),
+    oracle=None,  # approximate by design (bucket recall < 1).
+    doc="Hyperplane-LSH approximate cosine top-k: bucket candidates, exact "
+    "re-score — the 100 TB similarity-search path (shuffle on bucket id, "
+    "no cross product).",
+)
+
+q_multimodal_features = Query(
+    name="multimodal_features",
+    build=lambda spark, sf_dir: multimodal.extract_media_features(
+        multimodal.documents_as_media(_docs(spark, sf_dir))
+    ),
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5,
+               CAST(64 + strlen(text) % 512 AS INT)       AS width,
+               CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height,
+               CAST(1 + strlen(text) % 16 AS INT)         AS n_frames
+        FROM documents
+    """,
+    doc="Multimodal binary-column plumbing: payload+metadata schema -> "
+    "mapInPandas Arrow-batched feature extraction (decode stubbed "
+    "deterministically; the oracle verifies the full UDF pipeline).",
+)
+
+
+QUERIES = [
+    q_doc_dedup_exact,
+    q_doc_token_stats,
+    q_doc_quality,
+    q_doc_lang_id,
+    q_doc_ngram_jaccard,
+    q_doc_minhash_near_dups,
+    q_doc_simhash_near_dups,
+    q_emb_label_stats,
+    q_emb_cosine_topk,
+    q_emb_cosine_topk_lsh,
+    q_multimodal_features,
+]

@@ -1,0 +1,122 @@
+"""Text analysis operators: normalization, token stats, quality scoring,
+language-ID heuristic, fingerprinting.
+
+All pure `pyspark.sql.functions` compositions — whole-stage-codegen'd,
+no Python in the data path, so they scan-scale linearly to 100 TB (the
+only shuffle any of them needs is the final aggregate, if the caller
+asks for one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small curated stopword lists for the language-ID heuristic. Token-level
+# match beats raw substring counting (no false hits inside words).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "den", "von"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ne"],
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for dedup/fingerprinting: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text -> array<string>."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Token count; 0 for empty/blank text."""
+    n = normalize_text(col)
+    return F.when(F.length(n) == 0, F.lit(0)).otherwise(F.size(F.split(n, " "))).cast("int")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: split on whitespace AND punctuation
+    boundaries, then count ~4-char chunks — a cheap, deterministic proxy
+    for BPE token counts used to budget training corpora."""
+    # words + standalone punctuation marks
+    pieces = F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+    # each word contributes ceil(len/4) subword units
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc + F.ceil(F.length(p) / F.lit(4.0)).cast("int"),
+    ).cast("int")
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang` (token-exact match)."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(words, t))).cast("int")
+
+
+def language_id(col: Column, langs: tuple[str, ...] = ("en", "de", "es", "fr")) -> Column:
+    """Deterministic argmax over per-language stopword hit counts;
+    ties broken by language code order in `langs`; 'und' when no hits."""
+    hit_cols = {lang: stopword_hits(col, lang) for lang in langs}
+    best = F.greatest(*hit_cols.values()) if len(hit_cols) > 1 else next(iter(hit_cols.values()))
+    expr: Column = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def punct_count(col: Column) -> Column:
+    """Count of punctuation characters (explicit class — portable regex)."""
+    return (F.length(col) - F.length(F.regexp_replace(col, "[.,!?;:'\"()-]", ""))).cast("int")
+
+
+def upper_ratio(col: Column) -> Column:
+    """Fraction of characters that are uppercase ASCII."""
+    n_upper = F.length(col) - F.length(F.regexp_replace(col, "[A-Z]", ""))
+    return n_upper / F.nullif(F.length(col), F.lit(0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-document quality features + a weighted score in [0,100].
+
+    Same weighted-composite shape as the reference's data-quality scores
+    (critical_column_gaps.sql:146-154), applied to corpus QA: length,
+    token shape, punctuation balance, stopword density.
+    """
+    c = F.col(text_col)
+    n_chars = F.octet_length(c)
+    n_tokens = token_count(c)
+    mean_token_len = F.round(F.length(normalize_text(c)) / F.nullif(n_tokens.cast("double"), F.lit(0.0)), 6)
+    sw = stopword_hits(c, "en")
+    stopword_ratio = F.round(sw / F.nullif(n_tokens.cast("double"), F.lit(0.0)), 6)
+    p_ratio = F.round(punct_count(c) / F.nullif(n_chars.cast("double"), F.lit(0.0)), 6)
+    length_ok = (n_chars >= 100) & (n_chars <= 100000)
+    token_shape_ok = (mean_token_len >= 2.0) & (mean_token_len <= 12.0)
+    score = F.round(
+        F.lit(40.0) * length_ok.cast("int")
+        + F.lit(30.0) * token_shape_ok.cast("int")
+        + F.lit(20.0) * (stopword_ratio <= 0.6).cast("int")
+        + F.lit(10.0) * (p_ratio <= 0.2).cast("int"),
+        1,
+    )
+    return df.select(
+        "*",
+        n_chars.cast("bigint").alias("n_bytes"),
+        n_tokens.alias("n_tokens"),
+        mean_token_len.alias("mean_token_len"),
+        stopword_ratio.alias("stopword_ratio_en"),
+        p_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(col: Column, prefix_len: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text
+    (hex prefix). Cross-engine stable (md5 is md5 everywhere), unlike
+    murmur/xxhash whose seeds differ between engines."""
+    return F.substring(F.md5(normalize_text(col)), 1, prefix_len)
