@@ -106,25 +106,33 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_perm: int = 32, ngram: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    ngram: int = 3,
+    keep_shingles: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: num_perm minima over token-gram
     hashes.
 
-    One explode + one groupBy(id) with num_perm MIN aggregates — partial
-    aggregation makes the shuffle carry only (id, num_perm longs) per doc
-    regardless of document length.  Hashing is xxhash64 with per-
-    permutation salts (JVM built-in, no UDF).
+    Entirely shuffle-free: each signature is computed row-locally as
+    array_min over per-permutation rehashes of a base xxhash64 array —
+    no explode, no groupBy, so the only data movement minhash ever does
+    is the LSH band shuffle downstream.  Shingles are string-hashed once
+    (`_hs`); per-permutation mixing rehashes the 8-byte long, which is
+    much cheaper than re-hashing the string num_perm times.
     """
-    shingled = with_token_grams(ensure_parallelism(df), text_col=text_col, n=ngram, out="shingles").select(
-        id_col, "shingles"
-    )
-    exploded = shingled.select(id_col, F.explode("shingles").alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh_{j}")
+    shingled = with_token_grams(ensure_parallelism(df), text_col=text_col, n=ngram, out="shingles")
+    hashed = shingled.withColumn("_hs", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("_hs"), lambda h, seed=seed: F.xxhash64(h, F.lit(seed)))
+        ).alias(f"mh_{j}")
         for j, seed in enumerate(_MINHASH_SEEDS[:num_perm])
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    cols = [F.col(id_col)] + ([F.col("shingles")] if keep_shingles else []) + sig_cols
+    return hashed.select(*cols)
 
 
 def minhash_lsh_candidates(
@@ -152,23 +160,26 @@ def minhash_lsh_candidates(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
 
-    # bucket-size cap via window count: one shuffle on the bucket key,
-    # no second scan of the banded frame (an agg+join-back would compute
-    # it twice)
-    w = W.partitionBy("band_id", "band_hash")
-    small = (
-        banded.withColumn("bucket_n", F.count("*").over(w))
-        .filter(F.col("bucket_n") <= max_bucket)
-        .drop("bucket_n")
+    # one shuffle on the bucket key; pairs are then generated row-locally
+    # from the sorted member list (sorted => id_a < id_b by position), so
+    # no self-join and no window pass over the banded frame
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    a = small.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a"))
-    b = small.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b"))
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "b -> named_struct('id_a', a, 'id_b', b)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.distinct()
 
 
 def verify_jaccard(
@@ -213,12 +224,17 @@ def minhash_near_duplicates(
 
     Default 32 perms / 4 bands of 8 rows: band-collision probability is
     J^8 per band — near-zero for unrelated docs, ~0.9 overall for
-    J>=0.9 true duplicates."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, ngram)
-    cands = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
-    shingled = with_token_grams(ensure_parallelism(df), text_col=text_col, n=ngram, out="shingles").select(
-        id_col, "shingles"
-    )
+    J>=0.9 true duplicates.
+
+    The shingled+signed frame is persisted (memory, spill-to-disk) so
+    shingling runs once, not once for candidates and again for the
+    verify join; at 100 TB the spill path keeps this bounded."""
+    from pyspark import StorageLevel
+
+    signed = minhash_signatures(df, id_col, text_col, num_perm, ngram, keep_shingles=True)
+    signed = signed.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = minhash_lsh_candidates(signed.drop("shingles"), id_col, num_perm, bands)
+    shingled = signed.select(id_col, "shingles")
     return verify_jaccard(cands, shingled, id_col, threshold)
 
 

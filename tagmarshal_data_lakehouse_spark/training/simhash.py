@@ -71,9 +71,14 @@ def simhash_near_duplicates(
     would use the 4-table rotation of Manku et al.; one rotation is
     enough here and keeps the plan a single equi-join).
     """
+    from pyspark import StorageLevel
+
     from .dedup import ensure_parallelism
 
     sigs = with_simhash(ensure_parallelism(df), text_col).select(F.col(id_col), F.col("simhash"))
+    # both sides of the block self-join read sigs: persist so the pandas
+    # UDF signature pass runs once, not twice
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     shift = 64 - prefix_bits
     blocked = sigs.withColumn("block", F.shiftrightunsigned(F.col("simhash"), shift))
     a = blocked.select(F.col("block"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))

@@ -117,6 +117,24 @@ def cosine_topk_fast(
     )
 
 
+def _bucket_col(vec_col: str, n_planes: int) -> F.Column:
+    """Packed sign-bit bucket, computed row-locally (no explode/shuffle).
+
+    Plane j's normal is a deterministic pseudo-random vector derived from
+    xxhash64(position, j) — reproducible with no stored model.  Each
+    projection is a sequential left-fold (`aggregate`), so the float sum
+    order is fixed and the bucket is deterministic."""
+    terms = []
+    for j in range(n_planes):
+        proj = (
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+            f"(x, i) -> cast(x as double) * (cast(xxhash64(i, {j}) % 10007 as double) / 1.0007e4)), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {2 ** j} ELSE 0 END")
+    return F.expr(" + ".join(terms)).cast("int")
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -125,22 +143,11 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Random-hyperplane sign sketch (Charikar 2002 SimHash for angles).
 
-    Plane j's normal is a deterministic pseudo-random vector derived from
-    xxhash64(position, j) — reproducible with no stored model.  Bucket =
-    packed sign bits.  At 100 TB: one narrow scan, shuffle only on
-    (bucket), skew bounded by 2^n_planes buckets.
+    Bucket = packed sign bits, computed in the scan itself.  At 100 TB:
+    one narrow scan, shuffle only on (bucket), skew bounded by
+    2^n_planes buckets.
     """
-    elem = embeddings.select(F.col(id_col), F.posexplode(vec_col).alias("pos", "x"))
-    # pseudo-random plane weight in [-1, 1): hash(pos, plane) scaled
-    sig_bits = []
-    for j in range(n_planes):
-        w_j = (F.xxhash64(F.col("pos"), F.lit(j)) % F.lit(10007)).cast("double") / F.lit(10007.0)
-        sig_bits.append(
-            F.when(F.sum(F.col("x").cast("double") * w_j) >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{j}")
-        )
-    per_vec = elem.groupBy(id_col).agg(*sig_bits)
-    bucket = sum((F.col(f"b{j}") * (2**j) for j in range(n_planes)), F.lit(0))
-    return per_vec.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+    return embeddings.select(F.col(id_col), _bucket_col(vec_col, n_planes).alias("bucket"))
 
 
 def cosine_topk_lsh(
@@ -157,8 +164,11 @@ def cosine_topk_lsh(
     higher recall & cost).  Candidate join is bucket-equi — a hash
     shuffle, never a cross product.
     """
-    buckets = hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
-    vecs = embeddings.join(buckets, id_col).select(F.col(id_col), F.col(vec_col), F.col("bucket"))
+    # bucket is computed inline in the scan (no join-back shuffle); the
+    # tiny query side is broadcast so candidates never shuffle at all
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col), _bucket_col(vec_col, n_planes).alias("bucket")
+    )
     queries = vecs.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
     )
@@ -167,7 +177,7 @@ def cosine_topk_lsh(
     qq = F.expr(_DOT.format(a="qvec", b="qvec"))
     cc = F.expr(_DOT.format(a="cvec", b="cvec"))
     scored = (
-        cands.join(queries, "bucket")
+        cands.join(F.broadcast(queries), "bucket")
         .filter(F.col("query_id") != F.col("candidate_id"))
         .withColumn("cosine", F.round(dot / (F.sqrt(qq) * F.sqrt(cc)), 6))
     )
