@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from .schemas import DIM_FACILITY_TOPOLOGY, DIM_SECTIONS_PER_HOLE
@@ -225,4 +226,31 @@ def overwrite_sections_per_hole(lake, sections_df: DataFrame) -> None:
     lake.overwrite(
         "silver.dim_sections_per_hole",
         lake.align_to_schema(sections_df, DIM_SECTIONS_PER_HOLE),
+    )
+
+
+def read_course_profile_seed(spark: SparkSession, csv_path: str) -> DataFrame:
+    """Typed CSV seed for dim_course_profile (reference
+    dimensions.py:437-451), including the is_loop_course column the
+    dashboard queries expect but the reference DDL omitted (SURVEY §1.4
+    schema-drift fix).  Empty strings are normalized to NULL."""
+    from .schemas import DIM_COURSE_PROFILE
+
+    seed_schema = T.StructType([f for f in DIM_COURSE_PROFILE.fields if f.name not in ("created_at", "updated_at")])
+    df = spark.read.option("header", "true").schema(seed_schema).csv(csv_path)
+    for c in ["course_type", "volume_profile", "notes", "source"]:
+        df = df.withColumn(c, F.when(F.col(c) == "", F.lit(None)).otherwise(F.col(c)))
+    return df.withColumn("created_at", F.current_timestamp()).withColumn(
+        "updated_at", F.current_timestamp()
+    )
+
+
+def upsert_course_profile(lake, profile_df: DataFrame) -> None:
+    """MERGE upsert on course_id (reference dimensions.py:480-515)."""
+    from .schemas import DIM_COURSE_PROFILE
+
+    lake.merge_upsert(
+        "silver.dim_course_profile",
+        lake.align_to_schema(profile_df, DIM_COURSE_PROFILE),
+        keys=["course_id"],
     )

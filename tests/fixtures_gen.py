@@ -225,3 +225,27 @@ def write_topology_seed(path: str) -> None:
         w = csv.writer(f)
         w.writerow(["facility_id", "unit_id", "unit_name", "nine_number", "section_start", "section_end"])
         w.writerows(rows)
+
+
+def write_course_profile_seed(path: str) -> None:
+    """Course profile seed incl. is_loop_course (SURVEY §1.4 drift fix)."""
+    rows = [
+        ("americanfalls", "9-hole-loop", "true", "low", 5, 9, "9 holes played twice", "seed"),
+        ("indiancreek", "18-hole", "false", "high", 4, 10, "", "seed"),
+        ("bradshawfarmgc", "27-hole", "false", "medium", 3, 11, "three nines", "seed"),
+    ]
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(
+            [
+                "course_id",
+                "course_type",
+                "is_loop_course",
+                "volume_profile",
+                "peak_season_start_month",
+                "peak_season_end_month",
+                "notes",
+                "source",
+            ]
+        )
+        w.writerows(rows)
