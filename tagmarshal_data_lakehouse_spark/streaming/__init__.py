@@ -1,0 +1,11 @@
+"""Structured Streaming extensions (SURVEY §7.2 M7).
+
+The reference is batch-only (§2.10): late/offline data is handled inside
+batch via the is_cache flag and the dedup window.  These modules add the
+streaming ingest variant the build plan calls for — a file-source stream
+through the SAME silver transform via foreachBatch — plus watermarked
+event-time analytics over the events stream.
+"""
+
+from .ingest import stream_silver  # noqa: F401
+from .events import stream_tumbling_counts, stream_session_windows  # noqa: F401
