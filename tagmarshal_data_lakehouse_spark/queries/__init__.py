@@ -54,19 +54,38 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
     Reading straight from parquet keeps Catalyst's filter pushdown and
     column pruning live (the scan only materializes what each query
     projects — check `.explain` for PushedFilters/ReadSchema).
+
+    Must work under ANY externally-built SparkSession, not only the
+    package's own session factory: events.parquet is written as
+    TIMESTAMP(NANOS), which a plain session refuses to read
+    (PARQUET_TYPE_ILLEGAL). nanosAsLong is a runtime-settable SQL conf,
+    so set it here rather than relying on session-build time. Each table
+    is also failure-isolated: one unreadable table must not take down
+    queries that never touch it.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # Runtime-settable; makes TIMESTAMP(NANOS) columns readable as long
+    # (then rebuilt as µs timestamps below) under any session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    errors: dict[str, Exception] = {}
     for t in tables:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        if t == "events" and isinstance(df.schema["ts"].dataType, LongType):
-            # TIMESTAMP(NANOS) read as long (session.py nanosAsLong); the
-            # data is µs-precision so nanos are exact multiples of 1000 and
-            # the floor division is lossless. DuckDB performs the same
-            # ns->µs truncation when it maps this column to TIMESTAMP.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        df.createOrReplaceTempView(t)
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            if t == "events" and isinstance(df.schema["ts"].dataType, LongType):
+                # TIMESTAMP(NANOS) read as long (nanosAsLong); the data is
+                # µs-precision so nanos are exact multiples of 1000 and the
+                # floor division is lossless. DuckDB performs the same
+                # ns->µs truncation when it maps this column to TIMESTAMP.
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df.createOrReplaceTempView(t)
+        except Exception as exc:  # noqa: BLE001 — isolate per-table failure
+            errors[t] = exc
+    if errors and len(errors) == len(tables):
+        # Nothing loaded at all — surface the first real failure.
+        raise next(iter(errors.values()))
 
 
 def registry() -> dict[str, Query]:

@@ -661,7 +661,7 @@ q_scalar_datetime = Query(
         ),
     )[1],
     oracle="""
-        SELECT DATE_TRUNC('month', o_orderdate)   AS order_month,
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
                CAST(YEAR(o_orderdate) AS INT)     AS order_year,
                CAST(MONTH(o_orderdate) AS INT)    AS order_month_num,
                CAST(ISODOW(o_orderdate) AS INT)   AS iso_dow,
@@ -674,7 +674,11 @@ q_scalar_datetime = Query(
     """,
     doc="Datetime family incl. the ISO day-of-week conversion — the Spark "
     "1=Sunday vs Trino 1=Monday trap (SURVEY §2.8, §7.4 trap 1; reference "
-    "fact_rounds.sql:110-114, global_time_patterns.sql:46-59).",
+    "fact_rounds.sql:110-114, global_time_patterns.sql:46-59). order_month "
+    "is TIMESTAMP on BOTH sides: Spark's DATE_TRUNC already yields "
+    "TIMESTAMP, and the oracle casts DuckDB's DATE result up to match — "
+    "both clients then materialize datetime64, avoiding the date-object vs "
+    "Timestamp value-hash drift a DATE output hits.",
 )
 
 q_scalar_string_math = _shared(
