@@ -14,12 +14,20 @@ are quarantined (written elsewhere), never dropped.
 Scale posture: every step is a narrow projection except the dedup window
 (one shuffle on round_id — bounded partitions, a round has ≤ ~53 fixes)
 and the topology join (broadcast; the dim is ≤ 4 rows per course).  The
-fact table is partitioned (course_id, event_date) so downstream
-course-scoped queries prune.
+fact table is partitioned (course_id, ingest_date, event_date):
+course_id/event_date give downstream queries partition pruning, and
+ingest_date makes the idempotent rewrite safe — dynamic partition
+overwrite then only ever replaces the slice being re-ingested, matching
+the reference's DELETE WHERE (course_id, ingest_date) + append contract
+(etl.py:639-677).  Without ingest_date in the physical spec, a later
+ingest touching the same event_date (late fixes, cross-midnight rounds,
+the per-course NULL-event_date partition) would silently delete the
+earlier ingest's rows.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -360,8 +368,34 @@ def run_silver(
             ["course_id", "ingest_date"],
             mode="overwrite",
         )
-    lake.replace_partitions(table, valid, ["course_id", "event_date"])
-    n_valid = lake.read(table).filter(
-        (F.col("course_id") == course_id) & (F.col("ingest_date") == ingest_date)
-    ).count()
+    # Count via an Observation riding the write action itself — one scan,
+    # no post-write re-read (the reference counts during its write too,
+    # etl.py:688-703).
+    from pyspark.sql import Observation
+
+    obs = Observation(f"silver_{run_id}")
+    valid = valid.observe(obs, F.count(F.lit(1)).alias("n_valid"))
+    # ingest_date in the partition spec scopes the idempotent rewrite to
+    # the reference's (course_id, ingest_date) key — see module docstring.
+    lake.replace_partitions(table, valid, ["course_id", "ingest_date", "event_date"])
+    n_valid = int(obs.get["n_valid"])
+
+    # Per-run observability document (reference etl.py:688-703 field
+    # names), landed beside the tables so the run history is itself a
+    # spark.read.json-able table.
+    from .observability import write_run_summary
+
+    write_run_summary(
+        os.path.join(lake.root, "observability"),
+        "silver",
+        run_id,
+        {
+            "course_id": course_id,
+            "ingest_date": ingest_date,
+            "landing_uri": input_path,
+            "valid_count": n_valid,
+            "invalid_count": n_invalid,
+            "table": table,
+        },
+    )
     return SilverResult(rows_valid=n_valid, rows_quarantined=n_invalid, table=table)

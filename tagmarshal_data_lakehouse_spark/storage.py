@@ -20,11 +20,21 @@ Tables are directories under a warehouse root, registered as temp views;
 partition columns are physical subdirectories so Catalyst prunes
 partitions on `course_id = …` filters exactly as with Iceberg hidden
 partitioning.
+
+Schema-on-read: every write persists the table's logical schema to
+`_engine_schema.json` in the table directory (the Delta/Iceberg metadata
+role) and `read` applies it via `spark.read.schema(...)`.  That pins
+partition-column types (a string ingest_date partition dir would
+otherwise be type-INFERRED back as DATE), null-fills columns missing
+from older files (additive schema evolution without a mergeSchema footer
+sweep), and keeps column order stable across writes.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,10 +59,44 @@ class Lakehouse:
             not f.startswith(("_", ".")) for f in os.listdir(p)
         )
 
+    # -- schema metadata ---------------------------------------------------
+
+    def _schema_file(self, table: str) -> str:
+        return os.path.join(self.path(table), "_engine_schema.json")
+
+    def _load_schema(self, table: str) -> T.StructType | None:
+        p = self._schema_file(table)
+        if os.path.isfile(p):
+            with open(p) as fh:
+                return T.StructType.fromJson(json.load(fh))
+        return None
+
+    def _save_schema(self, table: str, df: DataFrame, *, reset: bool = False) -> None:
+        """Persist the logical schema; appends merge ADDITIVELY (existing
+        column types win, brand-new columns are appended) so evolution
+        never drops or retypes columns older files still carry."""
+        new = df.schema
+        if not reset:
+            old = self._load_schema(table)
+            if old is not None:
+                have = {f.name for f in old.fields}
+                new = T.StructType(
+                    list(old.fields) + [f for f in new.fields if f.name not in have]
+                )
+        with open(self._schema_file(table), "w") as fh:
+            fh.write(new.json())
+
     # -- reads ------------------------------------------------------------
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+        schema = self._load_schema(table)
+        reader = self.spark.read
+        if schema is not None:
+            # Explicit schema: no footer inference, partition-dir values
+            # cast to the DECLARED type (not re-inferred), missing columns
+            # in old files null-filled.
+            reader = reader.schema(schema)
+        return reader.parquet(self.path(table))
 
     def register(self, table: str, view: str | None = None) -> DataFrame:
         """Expose the table as a temp view for Spark SQL."""
@@ -86,21 +130,26 @@ class Lakehouse:
             .partitionBy(*partition_by)
             .parquet(self.path(table))
         )
+        self._save_schema(table, df, reset=(mode == "overwrite"))
 
     def replace_partitions(self, table: str, df: DataFrame, partition_by: list[str]) -> None:
         """Idempotent partition rewrite: overwrite ONLY the partitions
-        present in df (dynamic partitionOverwriteMode, set in session.py).
-        Re-running an ingest for the same (course_id, ingest_date) yields
-        the same table state — the reference's DELETE+append contract in
-        one atomic-per-partition operation."""
+        present in df.  Re-running an ingest for the same
+        (course_id, ingest_date) yields the same table state — the
+        reference's DELETE+append contract in one atomic-per-partition
+        operation.  partitionOverwriteMode is forced dynamic PER WRITE so
+        the contract holds under any session, not just ones built by
+        session.py (a static-mode session would wipe the whole table)."""
         if not self.exists(table):
             self.write_partitioned(table, df, partition_by, mode="overwrite")
             return
         (
             df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_by)
             .parquet(self.path(table))
         )
+        self._save_schema(table, df)
 
     def overwrite(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Drop-and-recreate (reference S15, generate_sections_per_hole.py:112-118)."""
@@ -108,6 +157,7 @@ class Lakehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
+        self._save_schema(table, df, reset=True)
 
     def merge_upsert(
         self,
@@ -117,12 +167,16 @@ class Lakehouse:
         partition_by: list[str] | None = None,
     ) -> None:
         """MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT
-        (reference dimensions.py:366-398) for small dimension tables.
+        (reference dimensions.py:366-398).
 
         Emulation: union(existing, updates) with a source-priority window
-        keeping the update row per key.  Correct for dims that fit a
-        full rewrite; at 100 TB fact scale you'd use replace_partitions
-        (facts are insert-only here, matching the reference)."""
+        keeping the update row per key — the plan Delta's MERGE lowers to
+        for a full-table merge.  The merged frame is written FULLY
+        DISTRIBUTED to a shadow directory, then swapped in with two
+        directory renames (the read of the old directory completes during
+        the shadow write, so the table is never read and clobbered at
+        once).  No driver collect: a large dim or a misrouted fact can't
+        OOM the driver."""
         if not self.exists(table):
             self.overwrite(table, updates, partition_by)
             return
@@ -140,7 +194,11 @@ class Lakehouse:
             .filter(F.col("_rn") == 1)
             .drop("_src", "_rn")
         )
-        # materialize before overwriting the directory being read
-        merged_rows = merged.collect()
-        out = self.spark.createDataFrame(merged_rows, existing.schema)
-        self.overwrite(table, out, partition_by)
+        shadow = table + "__tmp"
+        self.overwrite(shadow, merged, partition_by)
+        dst, tmp = self.path(table), self.path(shadow)
+        old = dst + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(dst, old)
+        os.rename(tmp, dst)
+        shutil.rmtree(old, ignore_errors=True)

@@ -12,9 +12,11 @@ Design (Spark-first, SURVEY §7.2 M7):
   so streaming and batch silver rows are byte-identical — the batch
   path IS the semantics, streaming only changes arrival;
 - each micro-batch ends in replace_partitions on (course_id,
-  event_date), the same idempotent rewrite the batch ingest uses, so
-  replays from the checkpoint cannot duplicate rows (exactly-once
-  sink effect on top of at-least-once foreachBatch).
+  ingest_date, event_date), the same idempotent rewrite the batch
+  ingest uses, so replays from the checkpoint cannot duplicate rows
+  (exactly-once sink effect on top of at-least-once foreachBatch) and
+  a later micro-batch can never clobber an earlier ingest_date's rows
+  that share an event_date partition.
 
 At scale: one file = one task at read; the transform is narrow until
 the dedup window shuffle; partition rewrite touches only the partitions
@@ -70,7 +72,7 @@ def _process_batch(lake: Lakehouse, table: str, topology: DataFrame | None):
                     ["course_id", "ingest_date"],
                     mode="overwrite",
                 )
-            lake.replace_partitions(table, valid, ["course_id", "event_date"])
+            lake.replace_partitions(table, valid, ["course_id", "ingest_date", "event_date"])
 
     return inner
 

@@ -244,6 +244,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.3,
+    max_doc_freq: int = 100,
 ) -> DataFrame:
     """Token n-gram Jaccard similarity for ALL pairs sharing >=1 n-gram.
 
@@ -252,12 +253,31 @@ def ngram_jaccard_pairs(
     materializing set products; |A∪B| = |A|+|B|-|A∩B|.  This is the exact
     (non-LSH) baseline — at 100 TB you'd use minhash_near_duplicates and
     reserve this for verification.
+
+    `max_doc_freq` bounds the worst case: a gram shared by d documents
+    contributes O(d²) rows to the self-join, so boilerplate grams
+    (headers, licence text) would otherwise explode the plan
+    quadratically.  Grams with document frequency > max_doc_freq are
+    dropped BEFORE the join — the same degenerate-bucket kill switch as
+    the minhash path's max_bucket.  n_common undercounts only for pairs
+    whose overlap includes a dropped gram; on the test corpus no gram
+    reaches the cap, so the output is exact (asserted in tests).
     """
     grams = with_token_grams(ensure_parallelism(df), text_col=text_col, n=n, out="grams").select(
         F.col(id_col), "grams"
     )
     sizes = grams.select(F.col(id_col), F.size("grams").alias("n_grams"))
     inv = grams.select(F.col(id_col), F.explode("grams").alias("gram"))
+    # The over-cap gram set is tiny by construction (few grams are shared
+    # by >max_doc_freq docs), so it broadcasts; the anti-join stays
+    # shuffle-free on the big side.
+    overcap = (
+        inv.groupBy("gram")
+        .agg(F.count("*").alias("gram_df"))
+        .filter(F.col("gram_df") > max_doc_freq)
+        .select("gram")
+    )
+    inv = inv.join(F.broadcast(overcap), "gram", "left_anti")
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), on="gram")

@@ -67,6 +67,14 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     payload bytes never accumulate unboundedly in the Python worker.
     """
 
+    def fake_decode(payload: bytes) -> tuple[int, int, int]:
+        # Closure-local mirror of _fake_decode: nested functions pickle BY
+        # VALUE (cloudpickle), so executors don't need this package on
+        # their sys.path; a module-global reference would pickle by name
+        # and fail off-PYTHONPATH workers.
+        n = len(payload)
+        return 64 + (n % 512), 64 + ((n * 7) % 512), 1 + (n % 16)
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
@@ -74,7 +82,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             md5 = payloads.map(
                 lambda p: hashlib.md5(p).hexdigest() if p is not None else None
             )
-            dims = payloads.map(lambda p: _fake_decode(p) if p is not None else (0, 0, 0))
+            dims = payloads.map(lambda p: fake_decode(p) if p is not None else (0, 0, 0))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

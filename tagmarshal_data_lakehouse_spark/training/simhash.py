@@ -20,41 +20,60 @@ from pyspark.sql.types import LongType
 from .text import normalize_text
 
 
-from functools import lru_cache
+def _make_simhash_udf():
+    """Build the simhash pandas UDF as a CLOSURE-LOCAL function.
 
+    Nested functions (and their closure cells) are serialized BY VALUE by
+    cloudpickle, so executors never need this package importable on their
+    own sys.path — a module-level UDF is pickled by module reference and
+    breaks on any worker whose cwd/PYTHONPATH doesn't include the repo.
+    numpy/pandas/hashlib are site-package imports that exist on every
+    worker, so those module globals pickle safely by reference (pandas
+    must stay a module global: the pd.Series type hints are resolved
+    against the function's __globals__ at UDF-registration time).
+    """
+    # Bounded memo (plain dict: lru_cache wrappers don't pickle by value).
+    # Corpora repeat tokens heavily; the cap keeps worker memory flat on
+    # 100 TB-scale vocabularies.
+    bits_cache: dict = {}
 
-@lru_cache(maxsize=1 << 16)
-def _token_bits(token: str) -> np.ndarray:
-    """Stable 64 bits per token (md5 prefix — engine-independent).
-    Memoized: corpora repeat tokens heavily, and the cache is bounded so
-    worker memory stays flat on 100 TB-scale vocabularies."""
-    raw = np.frombuffer(hashlib.md5(token.encode("utf-8")).digest()[:8], dtype=np.uint8)
-    return np.unpackbits(raw, bitorder="little").astype(np.int64)
+    def token_bits(token: str):
+        """Stable 64 bits per token (md5 prefix — engine-independent)."""
+        v = bits_cache.get(token)
+        if v is None:
+            raw = np.frombuffer(
+                hashlib.md5(token.encode("utf-8")).digest()[:8], dtype=np.uint8
+            )
+            v = np.unpackbits(raw, bitorder="little").astype(np.int64)
+            if len(bits_cache) < (1 << 16):
+                bits_cache[token] = v
+        return v
 
+    @F.pandas_udf(LongType())
+    def simhash64(texts: pd.Series) -> pd.Series:
+        """64-bit SimHash of whitespace tokens (expects normalized text)."""
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                out[i] = 0
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in t.split(" "):
+                acc += 2 * token_bits(tok) - 1
+            sig = 0
+            for b in range(64):
+                if acc[b] > 0:
+                    sig |= 1 << b
+            # two's-complement into int64
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
 
-@F.pandas_udf(LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash of whitespace tokens (expects normalized text)."""
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            out[i] = 0
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in t.split(" "):
-            acc += 2 * _token_bits(tok) - 1
-        sig = 0
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= 1 << b
-        # two's-complement into int64
-        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
-    return pd.Series(out)
+    return simhash64
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
     """Attach the 64-bit simhash of the normalized text."""
-    return df.withColumn(out, simhash64(normalize_text(F.col(text_col))))
+    return df.withColumn(out, _make_simhash_udf()(normalize_text(F.col(text_col))))
 
 
 def simhash_near_duplicates(

@@ -177,6 +177,41 @@ def test_end_to_end_idempotent_rewrite(spark, fixture_dir, tmp_path):
     assert n_first == n_second == 36
     assert r1.rows_valid == r2.rows_valid == 36
     assert r1.rows_quarantined == 0
-    # partition layout: course_id/event_date directories exist
+    # partition layout: course_id/ingest_date/event_date directories exist
     base = lake.path("silver.fact_telemetry_event")
-    assert any(p.startswith("course_id=") for p in os.listdir(base))
+    course_dirs = [p for p in os.listdir(base) if p.startswith("course_id=")]
+    assert course_dirs
+    inner = os.listdir(os.path.join(base, course_dirs[0]))
+    assert any(p.startswith("ingest_date=") for p in inner)
+
+
+def test_cross_ingest_date_rows_preserved(spark, fixture_dir, tmp_path):
+    """The idempotent rewrite is scoped to (course_id, ingest_date): a
+    LATER ingest_date writing rows into the same event_date partitions
+    (late-arriving fixes, cross-midnight rounds, the NULL-event_date
+    partition) must NOT delete the earlier ingest's rows (reference
+    etl.py:639-677 deletes by course+ingest_date, never by event_date)."""
+    lake = Lakehouse(spark, str(tmp_path / "warehouse"))
+    silver.run_silver(
+        spark, lake, f"{fixture_dir}/json_plain", "americanfalls", "2024-01-16"
+    )
+    n_first = lake.read("silver.fact_telemetry_event").count()
+    # same payload re-ingested under a LATER ingest_date: same course, the
+    # same event_date partitions — previously dynamic overwrite on
+    # (course_id, event_date) silently deleted the first ingest's rows
+    silver.run_silver(
+        spark, lake, f"{fixture_dir}/json_plain", "americanfalls", "2024-01-17"
+    )
+    fact = lake.read("silver.fact_telemetry_event")
+    assert fact.count() == 2 * n_first  # both ingests fully present
+    per_ingest = {
+        r["ingest_date"]: r["n"]
+        for r in fact.groupBy("ingest_date").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_ingest == {"2024-01-16": n_first, "2024-01-17": n_first}
+    # replaying the later ingest stays idempotent and still preserves the
+    # earlier one
+    silver.run_silver(
+        spark, lake, f"{fixture_dir}/json_plain", "americanfalls", "2024-01-17"
+    )
+    assert lake.read("silver.fact_telemetry_event").count() == 2 * n_first
