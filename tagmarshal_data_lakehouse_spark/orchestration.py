@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .bronze_ingest import detect_file_format, validate_csv_header, validate_json_structure
 from .storage import Lakehouse
 
 INGESTION_LOG = T.StructType(
@@ -251,6 +252,27 @@ def get_pending_jobs(
     return [(c, d, p) for c, d, p in available if (c, d) not in done]
 
 
+def validate_bronze_partition(path: str) -> None:
+    """S12 gate over a landed partition: every data file must carry the
+    minimal required fields (`_id`, `course`) before silver runs
+    (reference ingest.py:206-304 runs this pre-upload; for files that
+    reached the landing zone another way — the backfill's discovery walk —
+    the gate runs here, so malformed files fail AT THE DOOR and the
+    registry marks them failed instead of poisoning silver).
+
+    Driver-side O(header) per file: only the first line / first JSON
+    round is inspected, never the payload.
+    """
+    for fname in sorted(os.listdir(path)):
+        fpath = os.path.join(path, fname)
+        if not os.path.isfile(fpath) or fname.startswith(("_", ".")):
+            continue
+        if detect_file_format(fpath) == "csv":
+            validate_csv_header(fpath)
+        else:
+            validate_json_structure(fpath)
+
+
 def run_backfill(
     spark: SparkSession,
     lake: Lakehouse,
@@ -273,6 +295,15 @@ def run_backfill(
         if registry.is_already_ingested(filename, date, "silver"):
             registry.complete(filename, date, "silver", "skipped")
             result.skipped.append((course, date))
+            continue
+        # Validation failures are PERMANENT — fail once, no retry loop
+        # (a malformed header doesn't heal on attempt 2).
+        try:
+            validate_bronze_partition(path)
+        except (ValueError, OSError) as exc:
+            registry.start(filename, course, date, "silver", path=path)
+            registry.complete(filename, date, "silver", "failed", error_message=str(exc))
+            result.failed.append((course, date))
             continue
         ok = False
         last_error = ""

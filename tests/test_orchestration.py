@@ -88,11 +88,19 @@ def test_backfill_end_to_end_and_idempotent_rerun(spark, lake, bronze_root):
     assert lake.read("silver.fact_telemetry_event").count() == n_before
 
 
-def test_backfill_retries_then_fails(spark, lake, tmp_path):
+def test_backfill_retries_then_fails(spark, lake, tmp_path, monkeypatch):
+    """Transient (non-validation) failures get the full retry loop."""
     root = tmp_path / "badland"
     d = root / "course_id=badcourse" / "ingest_date=2024-01-18"
     os.makedirs(d)
-    (d / "rounds.json").write_text("{not json at all")
+    fixtures_gen.write_plain_json(str(d / "rounds.json"))  # passes the gate
+
+    from tagmarshal_data_lakehouse_spark import silver as silver_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(silver_mod, "run_silver", boom)
     res = orch.run_backfill(spark, lake, str(root), max_retries=2)
     assert res.failed == [("badcourse", "2024-01-18")]
     reg = orch.IngestionRegistry(lake)
@@ -101,6 +109,27 @@ def test_backfill_retries_then_fails(spark, lake, tmp_path):
     assert log[0]["status"] == "failed"
     assert log[0]["retry_count"] == 1  # second attempt incremented it
     assert log[0]["error_message"]
+
+
+def test_backfill_validation_gate_fails_fast(spark, lake, tmp_path):
+    """Malformed files fail AT THE DOOR (S12): registry row goes straight
+    to failed with no retry attempts, and silver is never touched."""
+    root = tmp_path / "badland"
+    d = root / "course_id=badcourse" / "ingest_date=2024-01-18"
+    os.makedirs(d)
+    (d / "rounds.json").write_text("{not json at all")
+    d2 = root / "course_id=badheader" / "ingest_date=2024-01-19"
+    os.makedirs(d2)
+    (d2 / "rounds.csv").write_text("foo,bar\n1,2\n")  # no _id/course
+    res = orch.run_backfill(spark, lake, str(root), max_retries=3)
+    assert sorted(res.failed) == [("badcourse", "2024-01-18"), ("badheader", "2024-01-19")]
+    reg = orch.IngestionRegistry(lake)
+    log = {r["course_id"]: r for r in reg._log().collect()}
+    assert log["badcourse"]["status"] == "failed"
+    assert log["badheader"]["status"] == "failed"
+    assert log["badcourse"]["retry_count"] == 0  # no retry loop for permanent errors
+    assert "required columns" in log["badheader"]["error_message"]
+    assert not lake.exists("silver.fact_telemetry_event")
 
 
 def test_file_hash(tmp_path):
