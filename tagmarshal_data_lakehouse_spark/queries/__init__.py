@@ -66,6 +66,18 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # Registration is idempotent per (session, sf_dir, tables): every
+    # registry builder calls load_views, so without this marker a
+    # multi-query run (bench.py, the correctness sweep) re-reads 10
+    # parquet footers per query. Temp views are just named logical plans
+    # — re-registering identical ones buys nothing.
+    marker = f"{sf_dir}|{','.join(tables)}"
+    try:
+        if spark.conf.get("spark.graft.views.loaded", "") == marker:
+            return
+    except Exception:  # noqa: BLE001 — conf access must never fail a query
+        pass
+
     # Runtime-settable; makes TIMESTAMP(NANOS) columns readable as long
     # (then rebuilt as µs timestamps below) under any session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -86,6 +98,8 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
     if errors and len(errors) == len(tables):
         # Nothing loaded at all — surface the first real failure.
         raise next(iter(errors.values()))
+    if not errors:
+        spark.conf.set("spark.graft.views.loaded", marker)
 
 
 def registry() -> dict[str, Query]:

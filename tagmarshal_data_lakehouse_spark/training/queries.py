@@ -300,6 +300,61 @@ q_emb_cosine_topk_lsh = Query(
     "no cross product).",
 )
 
+q_emb_cosine_near_dups = Query(
+    name="emb_cosine_near_dups",
+    build=lambda spark, sf_dir: similarity.cosine_near_duplicates(
+        _embs(spark, sf_dir), threshold=0.45
+    ),
+    oracle="""
+        WITH elems AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ), dots AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(28,18))) AS dot_dec
+            FROM elems a JOIN elems b ON a.pos = b.pos AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ), norms AS (
+            SELECT vec_id, SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18))) AS norm2
+            FROM elems GROUP BY 1
+        ), scored AS (
+            SELECT id_a, id_b,
+                   ROUND(CAST(dot_dec AS DOUBLE)
+                         / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
+            FROM dots
+            JOIN norms na ON na.vec_id = id_a
+            JOIN norms nb ON nb.vec_id = id_b
+        )
+        SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
+    """,
+    doc="Embedding-space near-duplicate PAIRS (exact all-pairs baseline, "
+    "decimal dots) — the embedding-cosine member of the dedup family; "
+    "the bucketed scale path is emb_cosine_near_dups_lsh.",
+)
+
+q_emb_cosine_near_dups_lsh = Query(
+    name="emb_cosine_near_dups_lsh",
+    build=lambda spark, sf_dir: similarity.cosine_near_duplicates_lsh(
+        _embs(spark, sf_dir), threshold=0.45, n_bands=12, planes_per_band=3
+    ),
+    oracle=None,  # banded-sketch recall < 1 by design
+    doc="Banded hyperplane-LSH near-dup pairs: bucket collisions -> exact "
+    "re-score, never the n² cross product — the 100 TB embedding-dedup "
+    "path (tests assert pairs ⊆ the exact baseline's).",
+)
+
+q_emb_ivf_topk = Query(
+    name="emb_ivf_topk",
+    build=lambda spark, sf_dir: similarity.ivf_topk(
+        _embs(spark, sf_dir), n_queries=20, k=3, n_cells=8, n_probe=3
+    ),
+    oracle=None,  # approximate by design (probe recall < 1)
+    doc="IVF-Flat ANN: MLlib KMeans coarse quantizer, Arrow-batched cell "
+    "assignment against broadcast centroids, n_probe cell fan-out, exact "
+    "re-score — the inverted-file scale path beside the LSH one.",
+)
+
 q_multimodal_features = Query(
     name="multimodal_features",
     build=lambda spark, sf_dir: multimodal.extract_media_features(
@@ -331,5 +386,8 @@ QUERIES = [
     q_emb_label_stats,
     q_emb_cosine_topk,
     q_emb_cosine_topk_lsh,
+    q_emb_cosine_near_dups,
+    q_emb_cosine_near_dups_lsh,
+    q_emb_ivf_topk,
     q_multimodal_features,
 ]

@@ -1,6 +1,7 @@
-"""Similarity search over embedding columns (array<float>).
+"""Similarity search + embedding-space dedup over embedding columns
+(array<float>).
 
-Two paths, as the scale plan requires:
+Paired correctness-baseline / scale-path implementations throughout:
 - `cosine_topk_exact`: brute-force top-k — the correctness baseline.
   Dot products are computed via explode + exact DECIMAL partial sums so
   results are bit-reproducible across engines and partitionings (see
@@ -13,9 +14,19 @@ Two paths, as the scale plan requires:
   `zip_with` double math (no explode) — the single-engine fast path used
   by bench; not oracle-checked because float summation order differs
   across engines.
+- `cosine_near_duplicates` / `cosine_near_duplicates_lsh`: thresholded
+  near-duplicate PAIRS (embedding-space dedup for a training corpus) —
+  exact all-pairs baseline vs banded-hyperplane bucketing that never
+  materializes the cross product.
+- `ivf_topk`: IVF-Flat ANN — KMeans coarse quantizer, map-side cell
+  assignment against broadcast centroids, queries probe `n_probe`
+  nearest cells only.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve via module globals
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -108,6 +119,226 @@ def cosine_topk_fast(
     scored = (
         cands.join(F.broadcast(queries), F.col("query_id") != F.col("candidate_id"))
         .withColumn("cosine", F.round(dot / (F.sqrt(qq) * F.sqrt(cc)), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "candidate_id", "cosine", F.col("nn_rank").cast("int").alias("nn_rank"))
+    )
+
+
+def cosine_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-space near-duplicate pairs: all (id_a < id_b) with
+    round(cosine, 6) >= threshold.
+
+    Correctness baseline ONLY — the pair join materializes O(n²/2) rows,
+    so at 100 TB use `cosine_near_duplicates_lsh` and reserve this for
+    verifying candidate pairs.
+
+    Exactness without explosion: every pair is PREFILTERED with plain
+    codegen'd double math (sequential `aggregate`/`zip_with` fold), whose
+    worst-case summation error over d elements (~d·2⁻⁵² relative) is
+    orders of magnitude below the 1e-6 rounding grain — a 1e-9 threshold
+    margin therefore keeps every true positive.  Only the handful of
+    survivors get the DECIMAL(28,18) re-score whose exact, order-free sum
+    matches the oracle bit-for-bit (same contract as cosine_topk_exact).
+    The n²/2 pair stream thus stays entirely inside whole-stage codegen,
+    and decimal cost is O(output), not O(n²).
+    """
+    # accumulator pinned at decimal(30,18): the +1-precision promote of
+    # each add is cast back (exact — |sum| << 1e12), keeping the fold
+    # type stable across iterations
+    dot_dec = (
+        "aggregate(zip_with({a}, {b}, "
+        "(x, y) -> cast(cast(x as double) * cast(y as double) as decimal(28,18))), "
+        "cast(0 as decimal(30,18)), (acc, v) -> cast(acc + v as decimal(30,18)))"
+    )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "norm2_dbl", F.expr(_DOT.format(a=vec_col, b=vec_col))
+    )
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("veca"), F.col("norm2_dbl").alias("na2d")
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vecb"), F.col("norm2_dbl").alias("nb2d")
+    )
+    cos_dbl = F.expr(_DOT.format(a="veca", b="vecb")) / (
+        F.sqrt(F.col("na2d")) * F.sqrt(F.col("nb2d"))
+    )
+    survivors = a.join(b, F.col("id_a") < F.col("id_b")).filter(cos_dbl >= threshold - 1e-9)
+    cos_exact = F.round(
+        F.expr(dot_dec.format(a="veca", b="vecb")).cast("double")
+        / (
+            F.sqrt(F.expr(dot_dec.format(a="veca", b="veca")).cast("double"))
+            * F.sqrt(F.expr(dot_dec.format(a="vecb", b="vecb")).cast("double"))
+        ),
+        6,
+    )
+    return (
+        survivors.withColumn("cosine", cos_exact)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_near_duplicates_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    max_bucket: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate embedding near-dup pairs — the 100 TB dedup path.
+
+    Banded hyperplane sketch (the angular analogue of MinHash banding):
+    each of `n_bands` bands packs `planes_per_band` sign bits into a
+    bucket key; vectors sharing ANY band bucket become candidates; exact
+    double re-score keeps pairs with cosine >= threshold.  For a pair at
+    angle θ the per-band collision probability is (1-θ/π)^B, so recall =
+    1-(1-(1-θ/π)^B)^R — near-identical vectors are caught with
+    probability ~1.
+
+    Scale shape (mirrors minhash_near_duplicates, dedup.py:138-182):
+    buckets computed IN the scan (no model, no join-back), one shuffle on
+    the band bucket key, pairs generated row-locally from sorted member
+    lists, degenerate buckets dropped via max_bucket, candidates
+    re-scored through an id-keyed join — the n² cross product is never
+    materialized.
+    """
+    band_structs = []
+    for b in range(n_bands):
+        # plane (b, r) is a deterministic pseudo-random normal via
+        # xxhash64(position, band, plane) — same trick as _bucket_col
+        terms = []
+        for r in range(planes_per_band):
+            proj = (
+                f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+                f"(x, i) -> cast(x as double) * "
+                f"(cast(xxhash64(i, {b}, {r}) % 10007 as double) / 1.0007e4)), "
+                f"cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+            terms.append(f"CASE WHEN {proj} >= 0 THEN {2 ** r} ELSE 0 END")
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), F.expr(" + ".join(terms)).cast("int").alias("bucket"))
+        )
+    banded = embeddings.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.bucket")
+
+    buckets = (
+        banded.groupBy("band_id", "bucket")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ids, (a, i) -> "
+                        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                        "b -> named_struct('id_a', a, 'id_b', b)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("veca"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vecb"))
+    dot = F.expr(_DOT.format(a="veca", b="vecb"))
+    aa = F.expr(_DOT.format(a="veca", b="veca"))
+    bb = F.expr(_DOT.format(a="vecb", b="vecb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(dot / (F.sqrt(aa) * F.sqrt(bb)), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate nearest neighbours (the inverted-file ANN
+    structure Faiss popularized), Spark-first:
+
+    1. coarse quantizer: MLlib KMeans (fixed seed) fits `n_cells`
+       centroids — at 100 TB you fit on a sample; the model is a tiny
+       (n_cells × d) matrix that lives on the driver;
+    2. cell assignment: Arrow-batched pandas UDF, centroids closed over
+       BY VALUE (numpy matmul per batch, no per-row Python) — map-side
+       only, no shuffle;
+    3. queries probe their `n_probe` nearest cells; candidates come from
+       an equi-join on cell id against the broadcast probe list — the
+       cross product is never formed, and the candidate side's shuffle
+       is avoided entirely (broadcast-hash join);
+    4. exact double cosine re-score + windowed top-k.
+
+    Approximate by design (recall grows with n_probe); rows-only in the
+    registry like the other ANN scale paths.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    train = vecs.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    centers = np.stack(
+        [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
+    )  # (n_cells, d)
+    # normalized centroids => nearest-by-cosine cell assignment
+    centers_n = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+
+    def _probe_udf(n: int):
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def probe(vec_series: pd.Series) -> pd.Series:
+            mat = np.stack(vec_series.to_numpy()).astype(np.float64)  # (batch, d)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ centers_n.T  # (batch, n_cells)
+            top = np.argsort(-sims, axis=1)[:, :n]
+            return pd.Series(list(top.astype(np.int32)))
+
+        return probe
+
+    cands = vecs.withColumn("cell", _probe_udf(1)(F.col(vec_col)).getItem(0)).select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    queries = (
+        vecs.filter(F.col(id_col) < n_queries)
+        .withColumn("cell", F.explode(_probe_udf(n_probe)(F.col(vec_col))))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell")
+    )
+    dot = F.expr(_DOT.format(a="qvec", b="cvec"))
+    qq = F.expr(_DOT.format(a="qvec", b="qvec"))
+    cc = F.expr(_DOT.format(a="cvec", b="cvec"))
+    scored = (
+        cands.join(F.broadcast(queries), "cell")
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .withColumn("cosine", F.round(dot / (F.sqrt(qq) * F.sqrt(cc)), 6))
+        # a candidate can surface via several probed cells
+        .dropDuplicates(["query_id", "candidate_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id").asc())
     return (

@@ -1,0 +1,95 @@
+"""Embedding similarity/dedup operators: exact near-dup pairs, the
+banded-LSH scale path (pairs ⊆ exact, planted dups recovered), and
+IVF-Flat ANN (planted dup found through the probe path)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tagmarshal_data_lakehouse_spark.training import similarity
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """40 deterministic pseudo-random vectors (dim 16) + two planted
+    near-identical copies of vectors 0 and 1."""
+
+    def vec(seed, dim=16):
+        # LCG — deterministic, no RNG state
+        xs, x = [], seed * 2654435761 % 2**32
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) % 2**31
+            xs.append((x / 2**31) - 0.5)
+        return xs
+
+    rows = [(i, vec(i)) for i in range(40)]
+    # near-copies: tiny perturbation in one coordinate
+    for src, new_id in [(0, 100), (1, 101)]:
+        v = list(rows[src][1])
+        v[0] += 1e-4
+        rows.append((new_id, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_exact_near_dups_finds_planted(planted):
+    got = _pairs(similarity.cosine_near_duplicates(planted, threshold=0.99))
+    assert got == {(0, 100), (1, 101)}
+
+
+def test_exact_near_dups_cosine_values(planted):
+    rows = similarity.cosine_near_duplicates(planted, threshold=0.99).collect()
+    for r in rows:
+        assert 0.99 <= r["cosine"] <= 1.0
+
+
+def test_lsh_near_dups_subset_of_exact_and_full_recall_on_dups(planted):
+    exact = _pairs(similarity.cosine_near_duplicates(planted, threshold=0.3))
+    lsh = _pairs(
+        similarity.cosine_near_duplicates_lsh(
+            planted, threshold=0.3, n_bands=12, planes_per_band=3
+        )
+    )
+    assert lsh <= exact  # precision 1 (exact re-score)
+    # near-identical pairs agree on every sign bit -> caught w.p. ~1
+    assert {(0, 100), (1, 101)} <= lsh
+
+
+def test_lsh_near_dups_respects_max_bucket(spark):
+    # 30 identical vectors -> every band bucket has 30 members; a cap of
+    # 10 drops them all (degenerate-bucket kill switch)
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.cosine_near_duplicates_lsh(df, threshold=0.9, max_bucket=10)
+    assert got.count() == 0
+
+
+def test_ivf_topk_finds_planted_dup(planted):
+    out = similarity.ivf_topk(planted, n_queries=2, k=3, n_cells=4, n_probe=2)
+    rows = out.collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    # top-1 for query 0 must be its planted copy (cosine ~ 1), which
+    # lands in the same KMeans cell by construction
+    top0 = min(by_query[0], key=lambda r: r["nn_rank"])
+    assert top0["candidate_id"] == 100 and top0["cosine"] > 0.999
+    top1 = min(by_query[1], key=lambda r: r["nn_rank"])
+    assert top1["candidate_id"] == 101 and top1["cosine"] > 0.999
+    # shape: ranks are 1..k, no self-pairs, no duplicate candidates
+    for q, rs in by_query.items():
+        assert sorted(r["nn_rank"] for r in rs) == list(range(1, len(rs) + 1))
+        assert all(r["candidate_id"] != q for r in rs)
+        assert len({r["candidate_id"] for r in rs}) == len(rs)
+
+
+def test_ivf_probe_widening_increases_candidates(planted):
+    n1 = similarity.ivf_topk(planted, n_queries=5, k=40, n_cells=4, n_probe=1).count()
+    n4 = similarity.ivf_topk(planted, n_queries=5, k=40, n_cells=4, n_probe=4).count()
+    assert n4 >= n1  # probing more cells can only add candidates
