@@ -154,9 +154,109 @@ q_events_dedup_exact = Query(
 )
 
 
+q_events_asof_join = Query(
+    name="events_asof_join",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            # As-of join, Spark-first: instead of a per-row inequality
+            # probe (which Spark would plan as a quadratic non-equi
+            # join), tag both sides, union, and carry the click state
+            # forward with LAST(ignore nulls) over one user-partitioned
+            # ordered window. One shuffle on user_id, linear scan — the
+            # canonical distributed as-of plan. side=0 sorts clicks
+            # before an equal-ts purchase, giving ASOF's >= semantics;
+            # equal-ts clicks are deduped to the max event_id first so
+            # both engines pick the same row.
+            """
+            WITH clicks AS (
+                SELECT user_id, ts, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+            ), tagged AS (
+                SELECT user_id, ts, 0 AS side,
+                       CAST(NULL AS BIGINT) AS event_id,
+                       CAST(NULL AS DOUBLE) AS purchase_value,
+                       value AS click_value, ts AS click_ts
+                FROM clicks WHERE rn = 1
+                UNION ALL
+                SELECT user_id, ts, 1 AS side, event_id, value,
+                       CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP)
+                FROM events WHERE event_type = 'purchase'
+            ), carried AS (
+                SELECT user_id, ts, side, event_id, purchase_value,
+                       LAST(click_value, true) OVER (
+                           PARTITION BY user_id ORDER BY ts, side
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS last_click_value,
+                       LAST(click_ts, true) OVER (
+                           PARTITION BY user_id ORDER BY ts, side
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS last_click_ts
+                FROM tagged
+            )
+            SELECT event_id, user_id, ts AS purchase_ts, purchase_value,
+                   last_click_ts, last_click_value
+            FROM carried WHERE side = 1
+            """
+        ),
+    )[1],
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+        ), c AS (
+            SELECT user_id, ts, value FROM clicks WHERE rn = 1
+        ), p AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+               p.value AS purchase_value,
+               c.ts AS last_click_ts, c.value AS last_click_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join (most recent click at or before each purchase, per "
+    "user): union-and-carry with LAST(ignore nulls) over one ordered "
+    "window — one shuffle, linear scan, no quadratic inequality join; "
+    "oracle is DuckDB's native ASOF JOIN.",
+)
+
+q_events_approx_sketches = Query(
+    name="events_approx_sketches",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            """
+            SELECT event_type,
+                   CAST(APPROX_COUNT_DISTINCT(user_id) AS BIGINT) AS approx_users,
+                   APPROX_PERCENTILE(value, 0.5)  AS p50_value,
+                   APPROX_PERCENTILE(value, 0.95) AS p95_value
+            FROM events
+            GROUP BY event_type
+            """
+        ),
+    )[1],
+    # HLL and t-digest estimates are engine-specific by construction;
+    # tests bound the relative error against the exact forms instead
+    # (test_sampling_asof.py).
+    oracle=None,
+    doc="Sketch aggregates — HyperLogLog distinct + approximate "
+    "percentiles: the constant-memory per-group scale path beside the "
+    "exact agg_percentile/distinct_projection baselines (rows-only; "
+    "error bounds pytest-checked).",
+)
+
+
 QUERIES = [
     q_events_tumbling_window,
     q_events_sessionize,
     q_events_funnel,
     q_events_dedup_exact,
+    q_events_asof_join,
+    q_events_approx_sketches,
 ]

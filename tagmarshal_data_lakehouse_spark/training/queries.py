@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import Query, load_views
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, sampling, similarity, text
 from .simhash import simhash_near_duplicates
 
 # DuckDB spelling of normalize_text (regexp_replace needs the 'g' flag;
@@ -355,6 +355,99 @@ q_emb_ivf_topk = Query(
     "re-score — the inverted-file scale path beside the LSH one.",
 )
 
+_SAMPLE_RATES = {"de": 1.0, "en": 0.5, "es": 0.25, "fr": 0.25, "zh": 0.1}
+_MIX_SHARES = {"de": 0.15, "en": 0.5, "es": 0.15, "fr": 0.1, "zh": 0.1}
+
+q_doc_train_split = Query(
+    name="doc_train_split",
+    build=lambda spark, sf_dir: sampling.train_val_test_split(
+        _docs(spark, sf_dir), id_col="doc_id", train_pct=80, val_pct=10
+    ).select("doc_id", "lang", "source", "bucket", "split"),
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT doc_id, lang, source,
+                   {sampling.oracle_bucket('doc_id', 100)} AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, source, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM bucketed
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment from an md5 id "
+    "bucket — row-local projection, no shuffle, id-stable across runs and "
+    "engines (sampling.py:52-69).",
+)
+
+q_doc_stratified_sample = Query(
+    name="doc_stratified_sample",
+    build=lambda spark, sf_dir: sampling.stratified_sample(
+        _docs(spark, sf_dir), rates=_SAMPLE_RATES, strata_col="lang", id_col="doc_id"
+    ).select("doc_id", "lang", "source"),
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT doc_id, lang, source,
+                   {sampling.oracle_bucket('doc_id', 10000)} AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, source
+        FROM bucketed
+        WHERE bucket < CASE lang WHEN 'de' THEN 10000 WHEN 'en' THEN 5000
+                                 WHEN 'es' THEN 2500 WHEN 'fr' THEN 2500
+                                 WHEN 'zh' THEN 1000 ELSE 0 END
+    """,
+    doc="Per-language deterministic downsampling: literal CASE rate table "
+    "inlined into one codegen'd filter (no join); nested samples — raising "
+    "a rate strictly grows its stratum (sampling.py:72-96).",
+)
+
+q_doc_hash_sample_k = Query(
+    name="doc_hash_sample_k",
+    build=lambda spark, sf_dir: sampling.hash_sample_k(
+        _docs(spark, sf_dir), k=100, id_col="doc_id"
+    ).select("doc_id", "lang", "sort_hash"),
+    oracle="""
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sort_hash
+        FROM documents
+        ORDER BY sort_hash
+        LIMIT 100
+    """,
+    doc="Exactly-k uniform sample as k-smallest-md5 — executed as "
+    "TakeOrderedAndProject (per-partition local top-k, driver merges k "
+    "rows per partition, never the data) (sampling.py:99-111).",
+)
+
+q_doc_mixture_weights = Query(
+    name="doc_mixture_weights",
+    build=lambda spark, sf_dir: sampling.mixture_weights(
+        _docs(spark, sf_dir), target_shares=_MIX_SHARES, strata_col="lang"
+    ),
+    oracle="""
+        WITH counts AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_available
+            FROM documents GROUP BY lang
+        ), shares(lang, target_share) AS (
+            VALUES ('de', CAST(0.15 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
+                   ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+                   ('zh', CAST(0.1 AS DOUBLE))
+        ), joined AS (
+            SELECT c.lang, c.n_available, s.target_share
+            FROM counts c JOIN shares s USING (lang)
+        ), scaled AS (
+            SELECT MIN(CAST(n_available AS DOUBLE) / target_share) AS scale FROM joined
+        )
+        SELECT lang, n_available, target_share,
+               CAST(FLOOR(target_share * scale) AS BIGINT) AS n_take,
+               ROUND(CAST(FLOOR(target_share * scale) AS DOUBLE)
+                     / CAST(n_available AS DOUBLE), 6) AS sample_rate
+        FROM joined CROSS JOIN scaled
+    """,
+    doc="Corpus mixture balancing: largest corpus honoring target shares "
+    "without upsampling (scale bounded by the scarcest stratum) — two "
+    "|strata|-row aggregates regardless of corpus size (sampling.py:114-150).",
+)
+
 q_multimodal_features = Query(
     name="multimodal_features",
     build=lambda spark, sf_dir: multimodal.extract_media_features(
@@ -389,5 +482,9 @@ QUERIES = [
     q_emb_cosine_near_dups,
     q_emb_cosine_near_dups_lsh,
     q_emb_ivf_topk,
+    q_doc_train_split,
+    q_doc_stratified_sample,
+    q_doc_hash_sample_k,
+    q_doc_mixture_weights,
     q_multimodal_features,
 ]

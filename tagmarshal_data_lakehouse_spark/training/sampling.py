@@ -1,0 +1,147 @@
+"""Deterministic corpus sampling / split operators for training-data prep.
+
+A 100 TB training pipeline needs reproducible selection: the same document
+must land in the same split on every engine, every run, every partitioning.
+Random() cannot promise that, so every operator here derives its decision
+from an md5 content-independent key hash:
+
+    bucket = conv(substr(md5(id), 1, 8), 16, 10) % granularity
+
+md5 is bit-identical across engines (verified against DuckDB), the first 8
+hex chars give a uniform 32-bit value, and the modulo maps it to a stable
+bucket.  Every operator is a row-local projection/filter — no shuffle, no
+RNG state, no driver participation — so the plan is a single codegen'd
+scan stage that survives any scale-up untouched.
+
+Reference parity note: the reference has no sampling surface (it is a
+telemetry lakehouse); these are the §2-adjacent extensions the build brief
+requires for LLM-corpus work, modeled on the deterministic-split idiom
+from public data-pipeline literature (hash-mod splits, stratified rates,
+mixture balancing a la The Pile / C4 corpus construction).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column, granularity: int = 100) -> Column:
+    """Stable uniform bucket in [0, granularity) from an id column.
+
+    Portable across engines: Spark `conv(substring(md5(x),1,8),16,10)`
+    and DuckDB `('0x' || substr(md5(x),1,8))::BIGINT` produce the same
+    integer for the same input string.
+    """
+    hex8 = F.substring(F.md5(id_col.cast("string")), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("bigint") % granularity).alias("bucket")
+
+
+def oracle_bucket(id_sql: str, granularity: int = 100) -> str:
+    """DuckDB spelling of `hash_bucket` (same value, same type)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({id_sql} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % {granularity}"
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test split label.
+
+    Pure row-local projection (no shuffle): the split is a function of the
+    id alone, so re-runs, re-partitions, and incremental appends all agree
+    — the property that keeps eval sets honest when the corpus grows.
+    """
+    bucket = hash_bucket(F.col(id_col), 100)
+    split = (
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls under its stratum's rate threshold.
+
+    The rates are inlined as a literal CASE expression (no join, no
+    broadcast — the rate table is part of the plan), so the whole operator
+    is one codegen'd filter over the scan.  Sampling decisions are
+    id-stable: raising a stratum's rate strictly grows its sample
+    (nested samples), which is what corpus-mixing experiments need.
+    """
+    bucket = hash_bucket(F.col(id_col), granularity)
+    threshold = F.lit(int(default_rate * granularity))
+    for value, rate in sorted(rates.items()):
+        threshold = (
+            F.when(F.col(strata_col) == value, F.lit(int(rate * granularity)))
+            .otherwise(threshold)
+        )
+    return df.withColumn("bucket", bucket).filter(F.col("bucket") < threshold).drop("bucket")
+
+
+def hash_sample_k(df: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Exactly-k uniform sample: global ORDER BY the id's md5, LIMIT k.
+
+    Deterministic reservoir replacement — the "reservoir" is simply the k
+    smallest hashes, which Spark executes as TakeOrderedAndProject (each
+    partition keeps its local top-k, the driver merges k·n_partitions
+    rows, never the data).  Nested property: sample(k) ⊆ sample(k+1).
+    """
+    return (
+        df.withColumn("sort_hash", F.md5(F.col(id_col).cast("string")))
+        .orderBy("sort_hash")
+        .limit(k)
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    target_shares: Mapping[str, float],
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-stratum take counts that realize a target corpus mixture.
+
+    Given target shares t_s and available counts n_s, the largest corpus
+    honoring every share without upsampling is bounded by the scarcest
+    stratum: scale = min_s(n_s / t_s); take_s = floor(t_s * scale).
+    Two tiny aggregates (per-stratum count + global min over strata) —
+    the stratum frame is orders of magnitude smaller than the corpus, so
+    this costs one shuffle of |strata| rows regardless of data size.
+    """
+    spark = df.sparkSession
+    share_rows = [(k, float(v)) for k, v in sorted(target_shares.items())]
+    shares = spark.createDataFrame(share_rows, f"{strata_col} string, target_share double")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_available"))
+    joined = counts.join(F.broadcast(shares), strata_col, "inner")
+    scale = joined.agg(
+        F.min(F.col("n_available").cast("double") / F.col("target_share")).alias("scale")
+    )
+    return (
+        joined.crossJoin(F.broadcast(scale))
+        .select(
+            strata_col,
+            "n_available",
+            "target_share",
+            F.floor(F.col("target_share") * F.col("scale")).cast("bigint").alias("n_take"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.round(F.col("n_take").cast("double") / F.col("n_available").cast("double"), 6),
+        )
+    )

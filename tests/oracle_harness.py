@@ -43,6 +43,14 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def _values_equal(a: Any, b: Any) -> bool:
     if a is None and b is None:
         return True
+    # scalar NULLs of any dtype (None, NaT, nan) hash identically after
+    # canonicalization — NaT == NaT is False under plain comparison, so
+    # check missing-ness explicitly (lists/arrays fall through)
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
     if isinstance(a, float) or isinstance(b, float):
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):

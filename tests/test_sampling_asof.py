@@ -1,0 +1,126 @@
+"""Semantics of the deterministic sampling operators, the as-of join, and
+the sketch aggregates' error bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tagmarshal_data_lakehouse_spark.queries import registry
+from tagmarshal_data_lakehouse_spark.training import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    from tagmarshal_data_lakehouse_spark.queries import load_views
+
+    load_views(spark, sf_smoke)
+    return spark.table("documents")
+
+
+def test_split_is_total_and_stable(docs):
+    out = sampling.train_val_test_split(docs)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    # id-stable: re-running yields the identical assignment
+    again = sampling.train_val_test_split(docs)
+    assert out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+
+
+def test_split_no_shuffle(docs):
+    plan = sampling.train_val_test_split(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local projection only
+
+
+def test_stratified_sample_nested(docs):
+    low = sampling.stratified_sample(docs, {"en": 0.2, "de": 0.5})
+    high = sampling.stratified_sample(docs, {"en": 0.6, "de": 0.9})
+    low_ids = {r["doc_id"] for r in low.select("doc_id").collect()}
+    high_ids = {r["doc_id"] for r in high.select("doc_id").collect()}
+    assert low_ids <= high_ids  # raising rates strictly grows the sample
+    # default rate 0 drops unlisted strata
+    assert {r["lang"] for r in low.select("lang").distinct().collect()} <= {"en", "de"}
+
+
+def test_hash_sample_exactly_k_and_nested(docs):
+    s10 = sampling.hash_sample_k(docs, 10)
+    s25 = sampling.hash_sample_k(docs, 25)
+    assert s10.count() == 10 and s25.count() == 25
+    ids10 = {r["doc_id"] for r in s10.collect()}
+    ids25 = {r["doc_id"] for r in s25.collect()}
+    assert ids10 <= ids25
+
+
+def test_mixture_weights_honors_shares(docs):
+    shares = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    rows = {r["lang"]: r for r in sampling.mixture_weights(docs, shares, "lang").collect()}
+    assert set(rows) == set(shares)
+    for lang, r in rows.items():
+        assert 0 <= r["n_take"] <= r["n_available"]  # never upsamples
+        assert 0.0 <= r["sample_rate"] <= 1.0
+    # realized mixture matches targets within floor() rounding
+    total = sum(r["n_take"] for r in rows.values())
+    for lang, r in rows.items():
+        assert abs(r["n_take"] - shares[lang] * total) <= len(shares)
+    # the scarcest stratum is taken (nearly) whole: that's what bounds scale
+    binding = min(rows.values(), key=lambda r: r["n_available"] / shares[r["lang"]])
+    assert binding["n_take"] >= binding["n_available"] - 1
+
+
+def test_asof_join_semantics(spark, sf_smoke):
+    out = registry()["events_asof_join"].build(spark, sf_smoke)
+    sample = out.filter(F.col("last_click_ts").isNotNull()).limit(50).collect()
+    assert sample, "expected some purchases with a prior click"
+    events = spark.table("events")
+    clicks = {
+        (r["user_id"], r["ts"]): r["value"]
+        for r in events.filter("event_type = 'click'").collect()
+    }
+    for r in sample:
+        # matched click is at-or-before the purchase...
+        assert r["last_click_ts"] <= r["purchase_ts"]
+        # ...and is the LATEST such click for that user
+        later = [
+            ts
+            for (uid, ts) in clicks
+            if uid == r["user_id"] and r["last_click_ts"] < ts <= r["purchase_ts"]
+        ]
+        assert not later
+
+
+def test_asof_join_single_shuffle(spark, sf_smoke):
+    plan = (
+        registry()["events_asof_join"]
+        .build(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # window carry: user_id exchanges only (dedup + carry share the key),
+    # never a join operator
+    assert "Join" not in plan
+
+
+def test_approx_sketches_error_bounds(spark, sf_smoke):
+    approx = {
+        r["event_type"]: r
+        for r in registry()["events_approx_sketches"].build(spark, sf_smoke).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in spark.sql(
+            """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   PERCENTILE(value, 0.5) AS p50
+            FROM events GROUP BY event_type
+            """
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        # HLL++ default rsd is 5%; allow 3x margin
+        assert abs(a["approx_users"] - e["n_users"]) <= max(3, 0.15 * e["n_users"])
+        assert a["p50_value"] == pytest.approx(e["p50"], rel=0.25)
