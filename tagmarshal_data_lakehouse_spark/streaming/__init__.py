@@ -8,4 +8,8 @@ event-time analytics over the events stream.
 """
 
 from .ingest import stream_silver  # noqa: F401
-from .events import stream_tumbling_counts, stream_session_windows  # noqa: F401
+from .events import (  # noqa: F401
+    stream_funnel_progress,
+    stream_session_windows,
+    stream_tumbling_counts,
+)

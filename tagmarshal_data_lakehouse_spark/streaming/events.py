@@ -10,15 +10,19 @@ a live 100 TB/day feed needs:
   the batch LAG-cumulative-sum sessionization with Spark's native
   stateful operator.
 
-Both are pure built-ins — no applyInPandasWithState needed for these
-shapes; custom state would only be required for cross-session logic
-Spark cannot express (none in scope).
+The window/session shapes are pure built-ins.  `stream_funnel_progress`
+is the one genuinely custom stateful operator: per-user funnel completion
+across micro-batches (emit the moment the last step lands, or an
+incomplete row when event-time passes the deadline) — cross-batch,
+early-emitting logic that windowed aggregation cannot express, so it uses
+`applyInPandasWithState` (Arrow-batched, bounded state per key).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def stream_tumbling_counts(
@@ -44,6 +48,129 @@ def stream_tumbling_counts(
             "approx_users",
         )
     )
+
+
+def stream_funnel_progress(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    steps: tuple[str, str, str] = ("signup", "view", "purchase"),
+    timeout: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user funnel tracker as a custom stateful streaming operator.
+
+    For each user, remember the first event time of every funnel step
+    across micro-batches; the moment the final step arrives, emit one
+    completion row and drop the state.  If event time advances past
+    `timeout` beyond the user's last activity without completion, emit an
+    incomplete row (abandonment record) on timeout and drop the state.
+
+    Why custom state: windowed/session aggregation emits only on
+    watermark advance and cannot (a) emit *immediately* on completion,
+    nor (b) produce explicit abandonment rows.  The batch equivalent of
+    the completed rows is events_funnel's per-user MIN pivot.
+
+    Scale shape: state is three epoch-micro longs per in-flight user
+    (bounded, self-cleaning via completion/timeout); processing is
+    Arrow-batched pandas per key group; one shuffle on user_id — the same
+    key the built-in stateful operators would use.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    timeout_ms = _duration_ms(timeout)
+    step_a, step_b, step_c = steps
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField(f"first_{step_a}", T.TimestampType()),
+            T.StructField(f"first_{step_b}", T.TimestampType()),
+            T.StructField(f"first_{step_c}", T.TimestampType()),
+            T.StructField("completed", T.BooleanType()),
+            T.StructField("funnel_secs", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("a_us", T.LongType()),
+            T.StructField("b_us", T.LongType()),
+            T.StructField("c_us", T.LongType()),
+            T.StructField("last_seen_us", T.LongType()),
+        ]
+    )
+
+    # Closure-local so cloudpickle serializes it by value — executors
+    # never need this package importable (the simhash lesson).
+    def track(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        def emit(a_us, b_us, c_us):
+            done = a_us is not None and b_us is not None and c_us is not None
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    f"first_{step_a}": [pd.NaT if a_us is None else pd.Timestamp(a_us, unit="us")],
+                    f"first_{step_b}": [pd.NaT if b_us is None else pd.Timestamp(b_us, unit="us")],
+                    f"first_{step_c}": [pd.NaT if c_us is None else pd.Timestamp(c_us, unit="us")],
+                    "completed": [done],
+                    "funnel_secs": [(c_us - a_us) / 1e6 if done else None],
+                }
+            )
+
+        if state.hasTimedOut:
+            a_us, b_us, c_us, _ = state.get
+            state.remove()
+            yield emit(a_us, b_us, c_us)
+            return
+
+        a_us, b_us, c_us, last_us = state.get if state.exists else (None, None, None, None)
+
+        def first_us(pdf, step, current):
+            hit = pdf.loc[pdf["event_type"] == step, "ts"]
+            if hit.empty:
+                return current
+            batch_min = hit.min().value // 1000  # ns -> us
+            return batch_min if current is None else min(current, batch_min)
+
+        for pdf in pdf_iter:
+            a_us = first_us(pdf, step_a, a_us)
+            b_us = first_us(pdf, step_b, b_us)
+            c_us = first_us(pdf, step_c, c_us)
+            batch_max = pdf["ts"].max().value // 1000
+            last_us = batch_max if last_us is None else max(last_us, batch_max)
+
+        if a_us is not None and b_us is not None and c_us is not None:
+            if state.exists:
+                state.remove()
+            yield emit(a_us, b_us, c_us)
+            return
+
+        state.update((a_us, b_us, c_us, last_us))
+        # deadline rides event time: fires only when the watermark passes it
+        state.setTimeoutTimestamp(last_us // 1000 + timeout_ms)
+        yield emit(None, None, None).iloc[0:0]  # nothing to emit yet
+
+    renamed = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+    )
+    return (
+        renamed.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def _duration_ms(spec: str) -> int:
+    """'2 hours' / '30 minutes' / '45 seconds' -> milliseconds."""
+    qty, unit = spec.split()
+    factor = {"second": 1_000, "minute": 60_000, "hour": 3_600_000}[unit.rstrip("s")]
+    return int(qty) * factor
 
 
 def stream_session_windows(

@@ -127,6 +127,113 @@ def test_stream_tumbling_counts(spark, tmp_path):
     assert rows == {10: 3, 11: 1, 13: 1}
 
 
+def test_stream_funnel_progress_completion_and_timeout(spark, tmp_path):
+    src = tmp_path / "funnel_src"
+    os.makedirs(src)
+    schema = "user_id long, event_type string, ts timestamp"
+
+    def land(name, rows):
+        df = spark.createDataFrame(
+            [(u, t, ts) for (u, t, ts) in rows], ["user_id", "event_type", "ts_str"]
+        ).select("user_id", "event_type", F.to_timestamp("ts_str").alias("ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # batch 1: u1 completes the funnel; u2 signs up + views, never buys
+    land(
+        "b1",
+        [
+            (1, "signup", "2024-01-01 10:00:00"),
+            (1, "view", "2024-01-01 10:05:00"),
+            (1, "purchase", "2024-01-01 10:30:00"),
+            (2, "signup", "2024-01-01 10:10:00"),
+            (2, "view", "2024-01-01 10:15:00"),
+        ],
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        str(src) + "/*"
+    )
+    out = streaming.stream_funnel_progress(
+        stream, timeout="1 hour", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_f"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r["user_id"]: r for r in spark.table("funnel_out").collect()}
+        # u1 emitted the moment the purchase landed; u2 still in flight
+        assert rows[1]["completed"] and rows[1]["funnel_secs"] == 1800.0
+        assert 2 not in rows
+
+        # batch 2: unrelated activity far in the future advances the
+        # watermark past u2's deadline (10:15 + 1h) -> abandonment row
+        land("b2", [(3, "signup", "2024-01-01 14:00:00")])
+        q.processAllAvailable()
+        q.processAllAvailable()  # extra cycle: timeout fires on the batch AFTER the watermark advance
+        rows = {r["user_id"]: r for r in spark.table("funnel_out").collect()}
+        assert not rows[2]["completed"]
+        assert rows[2]["first_signup"] is not None and rows[2]["first_view"] is not None
+        assert rows[2]["first_purchase"] is None and rows[2]["funnel_secs"] is None
+    finally:
+        q.stop()
+
+
+def test_stream_funnel_matches_batch_funnel(spark, tmp_path, sf_smoke):
+    """Completed funnel rows agree with the batch events_funnel pivot."""
+    from tagmarshal_data_lakehouse_spark.queries import load_views
+
+    load_views(spark, sf_smoke)
+    events = spark.table("events")
+    src = tmp_path / "funnel_batch_src"
+    events.select("user_id", "event_type", "ts").coalesce(2).write.parquet(str(src))
+
+    stream = spark.readStream.schema("user_id long, event_type string, ts timestamp").parquet(
+        str(src)
+    )
+    out = streaming.stream_funnel_progress(stream, timeout="1 hour", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_fp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            r["user_id"]: r
+            for r in spark.table("funnel_parity").filter("completed").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r["user_id"]: r
+        for r in events.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+        )
+        .filter("s IS NOT NULL AND v IS NOT NULL AND p IS NOT NULL")
+        .collect()
+    }
+    # every batch-complete funnel the stream emitted must carry identical
+    # step times (stream may emit fewer: in-flight users at stream end)
+    assert streamed, "expected completed funnels in the smoke events"
+    for uid, r in streamed.items():
+        b = batch[uid]
+        assert (r["first_signup"], r["first_view"], r["first_purchase"]) == (
+            b["s"],
+            b["v"],
+            b["p"],
+        )
+
+
 def test_stream_session_windows(spark, tmp_path):
     stream = _event_stream_fixture(spark, tmp_path)
     agg = streaming.stream_session_windows(stream, gap="30 minutes", watermark="2 hours")
