@@ -334,10 +334,13 @@ def _build_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Band dimension built in-memory, exactly like the reference's tiny
     # topology dim; the range condition prevents a hash join, so Catalyst
     # plans BroadcastNestedLoopJoin — correct call for a <=10-row dim
-    # (SURVEY §2.3 J1, §4; reference etl.py:505-528).
-    bands = spark.createDataFrame(
-        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 60.0, "high")],
-        "qty_lo double, qty_hi double, qty_band string",
+    # (SURVEY §2.3 J1, §4; reference etl.py:505-528).  Inline VALUES
+    # (LocalRelation) rather than createDataFrame: the Python->RDD
+    # round-trip of createDataFrame costs ~2 s per call; a literal
+    # relation is free and broadcast-identical.
+    bands = spark.sql(
+        "SELECT * FROM VALUES (0.0D, 10.0D, 'low'), (10.0D, 25.0D, 'mid'), "
+        "(25.0D, 60.0D, 'high') AS t(qty_lo, qty_hi, qty_band)"
     )
     lineitem = spark.table("lineitem")
     joined = lineitem.join(

