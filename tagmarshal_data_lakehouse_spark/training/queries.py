@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import Query, load_views
-from . import dedup, multimodal, sampling, similarity, text
+from . import curation, dedup, multimodal, sampling, similarity, text
 from .simhash import simhash_near_duplicates
 
 # DuckDB spelling of normalize_text (regexp_replace needs the 'g' flag;
@@ -448,6 +448,108 @@ q_doc_mixture_weights = Query(
     "|strata|-row aggregates regardless of corpus size (sampling.py:114-150).",
 )
 
+def _build_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+    return curation.decontaminate(corpus, eval_set, ngram=5)
+
+
+q_doc_decontaminate = Query(
+    name="doc_decontaminate",
+    build=_build_decontaminate,
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS tokens FROM documents
+        ), glist AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(tokens) - 4, 1) + 1),
+                       i -> array_to_string(list_slice(tokens, i, i + 4), ' '))) AS grams
+            FROM toks
+        ), inv AS (
+            SELECT doc_id, unnest(grams) AS gram FROM glist
+        ), train AS (
+            SELECT doc_id AS train_id, gram FROM inv WHERE doc_id % 37 <> 0
+        ), ev AS (
+            SELECT doc_id AS eval_id, gram FROM inv WHERE doc_id % 37 = 0
+        )
+        SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        FROM train JOIN ev USING (gram)
+        GROUP BY 1, 2
+    """,
+    doc="Benchmark decontamination: train-vs-eval 5-gram overlap counts "
+    "(GPT-3 App. C / Pile-style). Grams join as broadcast 64-bit hashes — "
+    "the corpus gram stream never shuffles (curation.py:24-58).",
+)
+
+q_doc_repetition = Query(
+    name="doc_repetition",
+    build=lambda spark, sf_dir: curation.repetition_stats(_docs(spark, sf_dir), n=3),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS tokens FROM documents
+        ), grammed AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(tokens) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(tokens, i, i + 2), ' ')) AS grams
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                   CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams
+            FROM grammed
+        ), inv AS (
+            SELECT doc_id, unnest(grams) AS gram FROM grammed
+        ), top AS (
+            SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_gram_count
+            FROM (SELECT doc_id, gram, COUNT(*) AS c FROM inv GROUP BY 1, 2)
+            GROUP BY 1
+        )
+        SELECT s.doc_id, s.n_grams, s.n_distinct_grams,
+               ROUND(CAST(1 AS DOUBLE)
+                     - CAST(s.n_distinct_grams AS DOUBLE) / CAST(s.n_grams AS DOUBLE),
+                     6) AS repetition_ratio,
+               t.top_gram_count
+        FROM sizes s JOIN top t ON s.doc_id = t.doc_id
+    """,
+    doc="Within-doc repetition profile (boilerplate/template drop signal): "
+    "gram vs distinct-gram counts row-local; top-gram frequency via one "
+    "uniform (doc, gram) shuffle (curation.py:61-105).",
+)
+
+q_doc_pii_scan = Query(
+    name="doc_pii_scan",
+    build=lambda spark, sf_dir: curation.pii_scan(_docs(spark, sf_dir)),
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_long_digit_runs,
+               (len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                + len(regexp_extract_all(text, 'https?://[^\s]+'))
+                + len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS has_pii
+        FROM documents
+    """,
+    doc="PII-pattern pre-filter (emails / URLs / long digit runs) — "
+    "codegen'd regexp_count projections, no shuffle (curation.py:108-131).",
+)
+
+q_doc_pack_sequences = Query(
+    name="doc_pack_sequences",
+    build=lambda spark, sf_dir: curation.pack_sequences(
+        _docs(spark, sf_dir), max_tokens=256, n_shards=8
+    ),
+    oracle=None,  # greedy reset-on-overflow scan has no SQL twin;
+    # invariants (budget, ordering, contiguity) are pytest-checked.
+    doc="Greedy sequence packing into fixed-token-budget packs, "
+    "shard-local via applyInPandas — the sequential scan Spark cannot "
+    "window; shards pack in parallel (curation.py:134-199).",
+)
+
+
 q_multimodal_features = Query(
     name="multimodal_features",
     build=lambda spark, sf_dir: multimodal.extract_media_features(
@@ -486,5 +588,9 @@ QUERIES = [
     q_doc_stratified_sample,
     q_doc_hash_sample_k,
     q_doc_mixture_weights,
+    q_doc_decontaminate,
+    q_doc_repetition,
+    q_doc_pii_scan,
+    q_doc_pack_sequences,
     q_multimodal_features,
 ]
