@@ -192,3 +192,62 @@ def stream_session_windows(
             "n_events",
         )
     )
+
+
+def stream_interval_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stream-stream interval join: each `left_type` event joined to every
+    `right_type` event by the same user within the preceding `lookback`.
+
+    The attribution shape ("which clicks preceded this purchase") as a
+    true two-stream join: both sides carry watermarks and the join
+    condition bounds event-time distance, which is exactly what lets
+    Spark expire join state — without the interval bound the state would
+    grow forever.  Equi-key (user) + time-range condition → state is
+    partitioned by user and pruned at watermark - lookback.
+    """
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+        F.col("value"),
+    )
+    left = (
+        base.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("l_value"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        base.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_ts >= l_ts - INTERVAL {lookback} AND r_ts <= l_ts"
+        ),
+        "inner",
+    ).select(
+        F.col("l_user").alias("user_id"),
+        F.col("l_ts").alias("purchase_ts"),
+        F.col("l_value").alias("purchase_value"),
+        F.col("r_ts").alias("click_ts"),
+        F.col("r_value").alias("click_value"),
+    )

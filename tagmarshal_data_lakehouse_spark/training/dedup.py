@@ -341,3 +341,93 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.col("n_common").cast("bigint").alias("n_common"), "jaccard")
     )
     return out.filter(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every vertex
+    gets the MINIMUM id reachable from it as its component label.
+
+    This is the step that turns pairwise near-dup hits into dedup
+    clusters (transitivity: A~B and B~C must land A, B, C in one cluster
+    even if A~C was never emitted).
+
+    Algorithm: iterative min-label propagation — each round every vertex
+    adopts min(own label, neighbors' labels); converged when no label
+    changes.  Rounds needed = graph diameter, and near-dup graphs are
+    unions of small dense clusters (diameter ~2-3), so this terminates in
+    a handful of rounds even at 100 TB.  Each round is one join + one
+    groupBy on the vertex id; `localCheckpoint` truncates the lineage so
+    the plan does not grow with iterations (the classic iterative-Spark
+    trap).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("vid"))
+        .distinct()
+        .withColumn("comp", F.col("vid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.vid)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.vid == neighbor_min.dst, "left")
+            .select(
+                "vid",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("vid"), F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Full dedup verdict per document: cluster id (min reachable doc id
+    via connected components over the near-dup pairs), cluster size,
+    canonical election (cluster id keeps itself), and the keep/drop flag
+    a dedup sink applies.
+
+    Documents untouched by any pair are their own singleton cluster —
+    handled by a left join + coalesce, no giant union.
+    """
+    comps = connected_components(pairs, src_col, dst_col)
+    labeled = (
+        df.select(F.col(id_col))
+        .join(comps, df[id_col] == comps.vid, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = W.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+        .withColumn("keep", F.col("is_canonical"))
+    )

@@ -455,6 +455,25 @@ def _build_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontaminate(corpus, eval_set, ngram=5)
 
 
+def _build_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(docs, num_perm=32, bands=4, ngram=3, threshold=0.5)
+    return dedup.dedup_clusters(docs, pairs)
+
+
+q_doc_dedup_clusters = Query(
+    name="doc_dedup_clusters",
+    build=_build_dedup_clusters,
+    oracle=None,  # iterative fixpoint (connected components) — the class
+    # of algorithm the harness exempts from SQL oracles; transitivity and
+    # canonical-election invariants are pytest-checked.
+    doc="Dedup clusters from near-dup pairs via iterative min-label "
+    "connected components (localCheckpoint-truncated lineage, rounds = "
+    "graph diameter ~2-3 for near-dup graphs) + canonical keep/drop "
+    "election (dedup.py:connected_components/dedup_clusters).",
+)
+
+
 q_doc_decontaminate = Query(
     name="doc_decontaminate",
     build=_build_decontaminate,
@@ -588,6 +607,7 @@ QUERIES = [
     q_doc_stratified_sample,
     q_doc_hash_sample_k,
     q_doc_mixture_weights,
+    q_doc_dedup_clusters,
     q_doc_decontaminate,
     q_doc_repetition,
     q_doc_pii_scan,

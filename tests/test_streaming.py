@@ -254,3 +254,39 @@ def test_stream_session_windows(spark, tmp_path):
     # u1: 10:05+10:20 merge (gap<30m), 11:10 separate; u2: two sessions
     assert sorted(per_user["u1"]) == [1, 2]
     assert sorted(per_user["u2"]) == [1, 1]
+
+
+def test_stream_interval_join_attribution(spark, tmp_path):
+    src = tmp_path / "ij_src"
+    os.makedirs(src)
+    rows = [
+        (1, "click", "2024-01-01 10:00:00", 1.0),
+        (1, "click", "2024-01-01 10:20:00", 2.0),
+        (1, "purchase", "2024-01-01 10:25:00", 50.0),
+        (1, "click", "2024-01-01 11:30:00", 3.0),   # after the purchase
+        (2, "click", "2024-01-01 08:00:00", 4.0),   # outside 30m lookback
+        (2, "purchase", "2024-01-01 10:00:00", 60.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_str", "value"]).select(
+        "user_id", "event_type", F.to_timestamp("ts_str").alias("ts"), "value"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = streaming.stream_interval_join(stream, lookback="30 minutes", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ij"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["click_value"]) for r in spark.table("ij_out").collect()
+        }
+    finally:
+        q.stop()
+    # u1's purchase attributes to both in-window clicks, not the later one;
+    # u2's click is outside the lookback
+    assert got == {(1, 1.0), (1, 2.0)}

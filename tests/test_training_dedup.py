@@ -41,3 +41,35 @@ def test_ngram_cap_bounds_degenerate_gram(spark):
     ids = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (100, 101) in ids  # rare-gram pair survives
     assert all(a >= 100 for a, _ in ids)  # boilerplate-only pairs gone
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B, B-C, C-D chain + isolated pair must collapse to min labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {r["vid"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_star_and_cycle(spark):
+    pairs = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    comps = {r["vid"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert {comps[v] for v in (1, 2, 3, 5)} == {1}
+    assert {comps[v] for v in (20, 21, 22)} == {20}
+
+
+def test_dedup_clusters_election_and_singletons(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in dedup.dedup_clusters(docs, pairs).collect()}
+    # transitive cluster {0,3,5} keyed by min id 0; 0 is canonical/kept
+    for d in (0, 3, 5):
+        assert rows[d]["cluster_id"] == 0 and rows[d]["cluster_size"] == 3
+    assert rows[0]["keep"] and not rows[3]["keep"] and not rows[5]["keep"]
+    # untouched docs are singleton clusters, kept
+    for d in (1, 2, 4):
+        assert rows[d]["cluster_id"] == d and rows[d]["cluster_size"] == 1 and rows[d]["keep"]
