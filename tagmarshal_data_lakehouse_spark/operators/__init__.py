@@ -1,0 +1,70 @@
+"""Distribution-shape operators: skew-resistant joins and aggregations.
+
+AQE's skew-join handling (enabled in session.py) splits oversized
+partitions at runtime, but two shapes still need explicit structure at
+100 TB:
+
+- a shuffle join where one side's keys are pathologically hot (a few
+  keys own a double-digit share of rows): `salted_join` spreads each hot
+  key over `salt_factor` reducers by salting the big side and replicating
+  the small side per salt;
+- exact COUNT(DISTINCT) over skewed groups, where all values of a hot
+  group meet in one reducer: `two_phase_distinct` dedups on (key, value)
+  first — that shuffle is spread by the value — then counts per key.
+
+Both transforms are semantically invisible (same rows out as their naive
+forms — oracle-checked in the registry) and purely structural: no UDFs,
+no state, plain codegen'd columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_col: str | Column,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over `salt_factor`
+    reducers.
+
+    `salt_col` must be a column (name or expression) unique-ish per big
+    row (a row id); the salt is `xxhash64(salt_col) % salt_factor` —
+    DETERMINISTIC, so task retries recompute identical salts (`rand()`
+    salts can silently corrupt a retried shuffle — never use them in a
+    join key).  The small side is replicated `salt_factor` times via
+    explode, so choose a factor that keeps |small| * factor broadcastable
+    or at least shuffle-cheap.
+
+    Join key becomes (on, salt): each formerly-hot reducer key now maps
+    to `salt_factor` distinct shuffle keys.  Output columns match a plain
+    `big.join(small, on, how)`.
+    """
+    if isinstance(salt_col, str):
+        salt_col = F.col(salt_col)
+    salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(salt_col), F.lit(salt_factor)))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salt_factor)]))
+    )
+    return salted_big.join(salted_small, [on, "_salt"], how).drop("_salt")
+
+
+def two_phase_distinct(
+    df: DataFrame, key_cols: list[str], value_col: str, out: str = "n_distinct"
+) -> DataFrame:
+    """Exact per-key COUNT(DISTINCT value) that survives hot keys.
+
+    Phase 1 shuffles on (key, value) — the value component spreads a hot
+    key's rows across reducers — and dedups; phase 2 shuffles only the
+    already-deduped rows on the key.  Same result as
+    ``groupBy(key).agg(countDistinct(value))``, but no single reducer
+    ever sees all rows of a hot key.
+    """
+    deduped = df.select(*key_cols, value_col).distinct()
+    return deduped.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("bigint").alias(out))

@@ -477,6 +477,51 @@ FROM per_pair
     "(SURVEY §2.3 J7; demo_all_insights.sql:308-338).",
 )
 
+def _build_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-dim join: lineitem salted on l_suppkey.
+
+    Salting is semantically invisible (the oracle below is the PLAIN
+    join), which is exactly the property that makes it safe to deploy on
+    a hot key at 100 TB: spread the key across salt_factor reducers,
+    replicate the dim side per salt, aggregate as usual.
+    """
+    from ..operators import salted_join
+
+    load_views(spark, sf_dir)
+    lineitem = spark.table("lineitem").withColumnRenamed("l_suppkey", "suppkey")
+    supplier = spark.table("supplier").withColumnRenamed("s_suppkey", "suppkey")
+    joined = salted_join(
+        lineitem, supplier.select("suppkey", "s_nationkey"), on="suppkey",
+        salt_col="l_orderkey", salt_factor=8,
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+q_join_salted_skew = Query(
+    name="join_salted_skew",
+    build=_build_join_salted,
+    oracle=f"""
+        SELECT s_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    """,
+    doc="Salted skew join (deterministic xxhash64 salt on the fact, "
+    "salt_factor-replicated dim) — identical rows to the plain join, "
+    "which the oracle IS; the skew treatment for keys AQE cannot split "
+    "(operators/__init__.py:salted_join).",
+)
+
+
 # --------------------------------------------------------------------------
 # Window functions (§2.5)
 # --------------------------------------------------------------------------
@@ -802,6 +847,7 @@ QUERIES = [
     q_join_multiway,
     q_join_broadcast,
     q_join_range_broadcast,
+    q_join_salted_skew,
     q_join_semi,
     q_join_anti,
     q_join_coverage_audit,
