@@ -569,6 +569,135 @@ q_doc_pack_sequences = Query(
 )
 
 
+q_doc_dup_rate_by_source = Query(
+    name="doc_dup_rate_by_source",
+    build=lambda spark, sf_dir: (
+        dedup.exact_duplicates(_docs(spark, sf_dir))
+        .join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("is_duplicate").cast("bigint")).cast("bigint").alias("n_duplicates"),
+            F.round(
+                F.sum(F.col("is_duplicate").cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    ),
+    oracle="""
+        WITH hashed AS (
+            SELECT doc_id, source,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_md5
+            FROM documents
+        ), flagged AS (
+            SELECT source,
+                   (COUNT(*) OVER (PARTITION BY content_md5) > 1)
+                     AND NOT (ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id ASC) = 1)
+                     AS is_duplicate
+            FROM hashed
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicates,
+               ROUND(CAST(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+        FROM flagged
+        GROUP BY source
+    """,
+    doc="Corpus-health metric: exact-duplicate rate per source — the "
+    "dedup verdict joined back to provenance, the report a data-sourcing "
+    "team reads before renegotiating a feed.",
+)
+
+q_doc_token_histogram = Query(
+    name="doc_token_histogram",
+    build=lambda spark, sf_dir: (
+        _docs(spark, sf_dir)
+        .select(
+            (F.floor(text.token_count(F.col("text")) / 10) * 10).cast("bigint").alias("token_bucket")
+        )
+        .groupBy("token_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ),
+    oracle=f"""
+        SELECT CAST(FLOOR(CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                                    ELSE len({_TOKENS}) END AS INT) / 10) * 10 AS BIGINT)
+                   AS token_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="Corpus token-length histogram (10-token buckets) — the length "
+    "distribution every sequence-budget decision starts from; one "
+    "map-side-combined aggregation.",
+)
+
+q_emb_quantize_int8 = Query(
+    name="emb_quantize_int8",
+    build=lambda spark, sf_dir: similarity.quantize_int8(_embs(spark, sf_dir)),
+    oracle="""
+        WITH scaled AS (
+            SELECT vec_id,
+                   GREATEST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                            1e-12) AS max_abs
+            FROM embeddings
+        )
+        SELECT e.vec_id,
+               ROUND(CAST(s.max_abs / 127 AS DOUBLE), 9) AS scale,
+               list_transform(e.embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 127 / s.max_abs) AS INT)) AS q8,
+               CAST(ROUND(SQRT(list_sum(list_transform(e.embedding,
+                   x -> (CAST(x AS DOUBLE)
+                         - ROUND(CAST(x AS DOUBLE) * 127 / s.max_abs) * (s.max_abs / 127))
+                      * (CAST(x AS DOUBLE)
+                         - ROUND(CAST(x AS DOUBLE) * 127 / s.max_abs) * (s.max_abs / 127))))),
+                    6) AS DOUBLE) AS recon_err_l2
+        FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+    """,
+    doc="Symmetric int8 scalar quantization per vector (max-abs scale, "
+    "round-to-nearest) + L2 reconstruction error — 4x memory cut for the "
+    "ANN candidate store; row-local, no shuffle (similarity.py:quantize_int8).",
+)
+
+q_doc_clean_corpus_stats = Query(
+    name="doc_clean_corpus_stats",
+    build=lambda spark, sf_dir: (
+        dedup.exact_duplicates(_docs(spark, sf_dir))
+        .filter(~F.col("is_duplicate"))
+        .join(_docs(spark, sf_dir).select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    ),
+    oracle="""
+        WITH hashed AS (
+            SELECT doc_id, lang, n_chars,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_md5
+            FROM documents
+        ), kept AS (
+            SELECT lang, n_chars
+            FROM (
+                SELECT lang, n_chars,
+                       (COUNT(*) OVER (PARTITION BY content_md5) > 1)
+                         AND NOT (ROW_NUMBER() OVER (PARTITION BY content_md5
+                                                     ORDER BY doc_id ASC) = 1) AS is_duplicate
+                FROM hashed
+            ) WHERE NOT is_duplicate
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM kept
+        GROUP BY lang
+    """,
+    doc="End-to-end curation composition: dedup verdict -> keep filter -> "
+    "per-language corpus stats, the post-clean size report that feeds "
+    "mixture planning.",
+)
+
+
 q_multimodal_features = Query(
     name="multimodal_features",
     build=lambda spark, sf_dir: multimodal.extract_media_features(
@@ -612,5 +741,9 @@ QUERIES = [
     q_doc_repetition,
     q_doc_pii_scan,
     q_doc_pack_sequences,
+    q_doc_dup_rate_by_source,
+    q_doc_token_histogram,
+    q_emb_quantize_int8,
+    q_doc_clean_corpus_stats,
     q_multimodal_features,
 ]

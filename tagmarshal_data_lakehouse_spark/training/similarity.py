@@ -418,3 +418,46 @@ def cosine_topk_lsh(
         .filter(F.col("nn_rank") <= k)
         .select("query_id", "candidate_id", "cosine", F.col("nn_rank").cast("int").alias("nn_rank"))
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector: q = round(x/scale)
+    with scale = max|x|/127, plus the L2 reconstruction error.
+
+    The standard 4x memory cut for ANN candidate stores (Faiss SQ8):
+    distances on int8 codes select candidates, full-precision re-score
+    finishes.  Entirely row-local (no shuffle) and expression-only (no
+    UDF): max-abs, the code array, and the error fold all run inside the
+    scan projection.
+
+    Determinism note: every arithmetic step (divide, round, multiply,
+    subtract, square via self-multiplication — NOT pow(), whose libm
+    result is not pinned cross-engine) has an identical expression shape
+    in the DuckDB oracle, so the doubles are bit-identical.
+    """
+    x = F.col(vec_col)
+    max_abs = F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v.cast("double")))), F.lit(1e-12)
+    )
+    staged = embeddings.select(F.col(id_col), x, max_abs.alias("_max_abs"))
+    q_of = lambda v: F.round(v.cast("double") * 127 / F.col("_max_abs"))  # noqa: E731
+    diff = lambda v: v.cast("double") - q_of(v) * (F.col("_max_abs") / 127)  # noqa: E731
+    return staged.select(
+        F.col(id_col),
+        F.round((F.col("_max_abs") / 127).cast("double"), 9).alias("scale"),
+        F.transform(x, lambda v: q_of(v).cast("int")).alias("q8"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(x, lambda v: diff(v) * diff(v)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            6,
+        ).cast("double").alias("recon_err_l2"),
+    )

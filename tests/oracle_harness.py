@@ -35,7 +35,11 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             out[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
-            out[c] = s.map(lambda v: None if v is None else v)
+            # array cells arrive as ndarray (DuckDB) or list (Spark):
+            # normalize to tuples so multi-key sorting can factorize them
+            out[c] = s.map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") else v
+            )
     out = out.sort_values(by=list(out.columns), na_position="last", kind="mergesort")
     return out.reset_index(drop=True)
 
