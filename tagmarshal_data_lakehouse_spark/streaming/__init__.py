@@ -10,6 +10,7 @@ event-time analytics over the events stream.
 from .ingest import stream_silver  # noqa: F401
 from .events import (  # noqa: F401
     stream_funnel_progress,
+    stream_dedup_within_watermark,
     stream_interval_join,
     stream_session_windows,
     stream_tumbling_counts,

@@ -251,3 +251,23 @@ def stream_interval_join(
         F.col("r_ts").alias("click_ts"),
         F.col("r_value").alias("click_value"),
     )
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of a business key arriving
+    within the watermark horizon.
+
+    The streaming form of the engine's W1 batch dedup (ordered-window
+    row_number): `dropDuplicatesWithinWatermark` keeps the FIRST arrival
+    per key and expires key state once the watermark passes, so state is
+    bounded by (keys per watermark window), not by stream history —
+    the property that lets an at-least-once source (kafka replays,
+    overlapping file drops) feed an exactly-once table.
+    """
+    key_cols = key_cols or ["user_id", "event_type", ts_col]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the deterministic operators:
+invariants that must hold for ARBITRARY inputs, not just fixtures.
+
+Spark-session-per-example would be ~1 s/case, so the properties are
+verified on the driver-side pure logic where possible (bucket math,
+mixture arithmetic) and on batched Spark runs (one DataFrame per
+property, many generated rows inside it) where the operator itself is
+distributed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tagmarshal_data_lakehouse_spark.training import sampling
+
+
+def _py_bucket(value: int, granularity: int) -> int:
+    """Reference implementation of sampling.hash_bucket in pure Python."""
+    hex8 = hashlib.md5(str(value).encode()).hexdigest()[:8]
+    return int(hex8, 16) % granularity
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50, unique=True))
+@settings(max_examples=20, deadline=None)
+def test_hash_bucket_matches_pure_python(spark, ids):
+    """The Spark md5-bucket must equal the straightforward Python md5
+    bucket for any id — the portability contract the oracles rely on."""
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in df.select("doc_id", sampling.hash_bucket(F.col("doc_id"), 100)).collect()
+    }
+    assert got == {i: _py_bucket(i, 100) for i in ids}
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=200, unique=True),
+    st.integers(min_value=1, max_value=99),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=50, deadline=None)
+def test_split_assignment_is_total_and_stable(ids, train_pct, val_pct):
+    """Driver-side property: the split rule is a total function of the
+    bucket, and nested w.r.t. growing train share."""
+    assume(train_pct + val_pct < 100)
+    for i in ids:
+        b = _py_bucket(i, 100)
+        split = "train" if b < train_pct else ("val" if b < train_pct + val_pct else "test")
+        # growing the train share never moves a train row out of train
+        wider = "train" if b < train_pct + 1 else ("val" if b < train_pct + 1 + val_pct else "test")
+        if split == "train":
+            assert wider == "train"
+        assert split in ("train", "val", "test")
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.floats(min_value=0.01, max_value=1.0),
+        min_size=2,
+        max_size=5,
+    ),
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=5,
+        max_size=5,
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_mixture_arithmetic_never_upsamples(shares, counts):
+    """Driver-side property of the mixture formula: take_s <= n_s always,
+    and the binding stratum is taken (nearly) whole."""
+    total_share = sum(shares.values())
+    norm = {k: v / total_share for k, v in shares.items()}
+    scale = min(counts[k] / t for k, t in norm.items())
+    takes = {k: int(t * scale) for k, t in norm.items()}
+    for k, take in takes.items():
+        assert 0 <= take <= counts[k]
+    binding = min(norm, key=lambda k: counts[k] / norm[k])
+    assert takes[binding] >= counts[binding] - 1

@@ -290,3 +290,34 @@ def test_stream_interval_join_attribution(spark, tmp_path):
     # u1's purchase attributes to both in-window clicks, not the later one;
     # u2's click is outside the lookback
     assert got == {(1, 1.0), (1, 2.0)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "dedup_src"
+    os.makedirs(src)
+    rows = [
+        (1, "click", "2024-01-01 10:00:00", 1.0),
+        (1, "click", "2024-01-01 10:00:00", 1.0),   # exact replay
+        (1, "click", "2024-01-01 10:05:00", 2.0),   # new instant -> kept
+        (2, "view", "2024-01-01 10:00:00", 3.0),
+        (2, "view", "2024-01-01 10:00:00", 3.0),    # replay
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_str", "value"]).select(
+        "user_id", "event_type", F.to_timestamp("ts_str").alias("ts"), "value"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = streaming.stream_dedup_within_watermark(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [(r["user_id"], r["event_type"], r["ts"]) for r in spark.table("sdedup_out").collect()]
+    finally:
+        q.stop()
+    assert len(got) == 3 and len(set(got)) == 3
