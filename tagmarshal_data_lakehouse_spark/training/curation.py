@@ -63,11 +63,15 @@ def repetition_stats(
     counts, repetition ratio, and the most-repeated gram's frequency.
 
     High repetition ratio (boilerplate, template spam, degenerate
-    generations) is a standard drop signal.  All-gram and distinct-gram
-    sizes are row-local; the top-gram frequency needs one shuffle on
-    (doc, gram) — uniform keys, map-side combinable.
+    generations) is a standard drop signal.  ENTIRELY row-local — zero
+    shuffles: gram/distinct sizes are array ops, and the top-gram
+    frequency is a max-run-length fold over the SORTED gram array
+    (equal grams are adjacent after array_sort, so the longest run IS
+    the mode count), replacing the naive explode + (doc, gram) groupBy +
+    join-back.  At corpus scale that removes the operator's only data
+    movement; per-doc cost is O(grams log grams) for the sort.
     """
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col),
         F.split(
             F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
@@ -77,21 +81,23 @@ def repetition_stats(
         f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
         f"i -> array_join(slice(_toks, i, {n}), ' '))"
     )
-    grammed = toks.select(F.col(id_col), all_grams.alias("grams"))
-    sizes = grammed.select(
-        F.col(id_col),
-        F.size("grams").cast("bigint").alias("n_grams"),
-        F.size(F.array_distinct("grams")).cast("bigint").alias("n_distinct_grams"),
-    )
-    top = (
-        grammed.select(F.col(id_col), F.explode("grams").alias("gram"))
-        .groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").cast("bigint").alias("top_gram_count"))
+    top_gram_count = F.expr(
+        "aggregate(array_sort(grams), "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        "(acc, g) -> named_struct("
+        "  'prev', g, "
+        "  'run', IF(g <=> acc.prev, acc.run + 1L, 1L), "
+        "  'best', greatest(acc.best, IF(g <=> acc.prev, acc.run + 1L, 1L))), "
+        "acc -> acc.best)"
     )
     return (
-        sizes.join(top, id_col)
+        toks.select(F.col(id_col), all_grams.alias("grams"))
+        .select(
+            F.col(id_col),
+            F.size("grams").cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct("grams")).cast("bigint").alias("n_distinct_grams"),
+            top_gram_count.cast("bigint").alias("top_gram_count"),
+        )
         .withColumn(
             "repetition_ratio",
             F.round(
@@ -189,7 +195,7 @@ def pack_sequences(
             ],
         )
 
-    with_tokens = df.select(
+    with_tokens = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         hash_bucket(F.col(id_col), n_shards).cast("int").alias("shard"),
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
