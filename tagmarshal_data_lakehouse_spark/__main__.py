@@ -1,0 +1,193 @@
+"""Pipeline CLI — the engine's answer to the reference's Justfile verbs.
+
+The reference drives its pipeline through `just` recipes (Justfile:
+bronze-upload, silver, gold, generate-topology, backfill-silver,
+ingestion-status); a user switching to this engine gets the same verbs
+as one module CLI:
+
+    python -m tagmarshal_data_lakehouse_spark bronze-upload \
+        --course-id americanfalls --path rounds.csv --ingest-date 2024-01-16
+    python -m tagmarshal_data_lakehouse_spark silver \
+        --course-id americanfalls --ingest-date 2024-01-16 --input <dir>
+    python -m tagmarshal_data_lakehouse_spark backfill [--course-id ...]
+    python -m tagmarshal_data_lakehouse_spark topology
+    python -m tagmarshal_data_lakehouse_spark gold
+    python -m tagmarshal_data_lakehouse_spark status
+    python -m tagmarshal_data_lakehouse_spark query <name> [--sf-dir DIR]
+
+`--warehouse` (or TM_WAREHOUSE) points every verb at the same lakehouse
+root; `--bronze-root` (or TM_BRONZE_ROOT) is the landing zone.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark_and_lake(args):
+    from .session import get_spark
+    from .storage import Lakehouse
+
+    spark = get_spark(app_name=f"tm-cli-{args.cmd}")
+    return spark, Lakehouse(spark, args.warehouse)
+
+
+def cmd_bronze_upload(args) -> int:
+    from .bronze_ingest import upload_file_to_bronze
+
+    res = upload_file_to_bronze(
+        args.bronze_root,
+        args.course_id,
+        args.path,
+        ingest_date=args.ingest_date,
+        strict_course_match=args.strict,
+    )
+    print(
+        f"{'skipped (already landed)' if res.skipped else 'landed'}: "
+        f"{res.key} ({res.row_count} rows)"
+    )
+    return 0
+
+
+def cmd_silver(args) -> int:
+    from .silver import run_silver
+
+    spark, lake = _spark_and_lake(args)
+    input_path = args.input or os.path.join(
+        args.bronze_root, f"course_id={args.course_id}", f"ingest_date={args.ingest_date}"
+    )
+    res = run_silver(
+        spark, lake, input_path, args.course_id, args.ingest_date,
+        run_id=f"cli_{args.course_id}_{args.ingest_date}",
+    )
+    print(f"silver: {res.rows_valid} valid, {res.rows_quarantined} quarantined -> {res.table}")
+    return 0
+
+
+def cmd_backfill(args) -> int:
+    from .orchestration import run_backfill
+
+    spark, lake = _spark_and_lake(args)
+    res = run_backfill(
+        spark, lake, args.bronze_root,
+        course_id=args.course_id, start_date=args.start_date, end_date=args.end_date,
+    )
+    print(
+        f"backfill: {len(res.succeeded)} succeeded, "
+        f"{len(res.skipped)} skipped, {len(res.failed)} failed"
+    )
+    for course, date in res.failed:
+        print(f"  FAILED {course} {date}", file=sys.stderr)
+    return 1 if res.failed else 0
+
+
+def cmd_topology(args) -> int:
+    from . import dims
+
+    spark, lake = _spark_and_lake(args)
+    fact = lake.read("silver.fact_telemetry_event")
+    topo = dims.topology_to_df(spark, dims.infer_topology(fact))
+    dims.upsert_topology(lake, topo)
+    print(f"topology: {topo.count()} rows -> silver.dim_facility_topology")
+    return 0
+
+
+def cmd_gold(args) -> int:
+    from .gold.models import GoldBuilder
+
+    spark, lake = _spark_and_lake(args)
+    fact = lake.read("silver.fact_telemetry_event")
+    topo = (
+        lake.read("silver.dim_facility_topology")
+        if lake.exists("silver.dim_facility_topology")
+        else None
+    )
+    models = GoldBuilder(spark).build(fact, topo)
+    for name, df in models.items():
+        lake.overwrite(f"gold.{name}", df)
+        print(f"gold.{name}: {lake.read(f'gold.{name}').count()} rows")
+    return 0
+
+
+def cmd_status(args) -> int:
+    from .orchestration import IngestionRegistry
+
+    spark, lake = _spark_and_lake(args)
+    reg = IngestionRegistry(lake)
+    reg.summary().orderBy("ingest_date", "filename").show(100, truncate=False)
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .queries import registry
+
+    spark, _ = _spark_and_lake(args)
+    reg = registry()
+    if args.name == "list":
+        for name, q in sorted(reg.items()):
+            kind = "oracle" if q.oracle else "rows-only"
+            print(f"{name:32s} [{kind}] {q.doc.splitlines()[0] if q.doc else ''}")
+        return 0
+    if args.name not in reg:
+        print(f"unknown query {args.name!r}; try: query list", file=sys.stderr)
+        return 2
+    reg[args.name].build(spark, args.sf_dir).show(args.rows, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tagmarshal_data_lakehouse_spark")
+    p.add_argument(
+        "--warehouse",
+        default=os.environ.get("TM_WAREHOUSE", "./spark-warehouse"),
+        help="lakehouse root directory (TM_WAREHOUSE)",
+    )
+    p.add_argument(
+        "--bronze-root",
+        default=os.environ.get("TM_BRONZE_ROOT", "./bronze"),
+        help="bronze landing zone (TM_BRONZE_ROOT)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bronze-upload", help="validate + land a raw rounds file")
+    b.add_argument("--course-id", required=True)
+    b.add_argument("--path", required=True)
+    b.add_argument("--ingest-date")
+    b.add_argument("--strict", action="store_true", help="fail on course-name mismatch")
+    b.set_defaults(fn=cmd_bronze_upload)
+
+    s = sub.add_parser("silver", help="run the silver transform for one partition")
+    s.add_argument("--course-id", required=True)
+    s.add_argument("--ingest-date", required=True)
+    s.add_argument("--input", help="override input dir (defaults to the bronze layout)")
+    s.set_defaults(fn=cmd_silver)
+
+    bf = sub.add_parser("backfill", help="ingest every pending bronze partition")
+    bf.add_argument("--course-id")
+    bf.add_argument("--start-date")
+    bf.add_argument("--end-date")
+    bf.set_defaults(fn=cmd_backfill)
+
+    t = sub.add_parser("topology", help="infer + upsert course topology dims")
+    t.set_defaults(fn=cmd_topology)
+
+    g = sub.add_parser("gold", help="build all gold models from silver")
+    g.set_defaults(fn=cmd_gold)
+
+    st = sub.add_parser("status", help="show the ingestion registry")
+    st.set_defaults(fn=cmd_status)
+
+    q = sub.add_parser("query", help="run a registry query ('query list' to enumerate)")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    q.add_argument("--rows", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

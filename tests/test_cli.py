@@ -1,0 +1,77 @@
+"""End-to-end CLI test: the Justfile-verb chain bronze-upload → silver →
+topology → gold → status → query against a temp warehouse, all through
+`__main__.main` in-process (one Spark session via getOrCreate)."""
+
+from __future__ import annotations
+
+import os
+
+from tagmarshal_data_lakehouse_spark.__main__ import main
+
+from . import fixtures_gen
+
+
+def test_cli_full_pipeline(spark, tmp_path, capsys):
+    raw = tmp_path / "raw.json"
+    fixtures_gen.write_plain_json(str(raw))
+    wh = str(tmp_path / "wh")
+    bronze = str(tmp_path / "bronze")
+    base = ["--warehouse", wh, "--bronze-root", bronze]
+
+    assert main(base + [
+        "bronze-upload", "--course-id", "americanfalls",
+        "--path", str(raw), "--ingest-date", "2024-01-16",
+    ]) == 0
+    assert "landed" in capsys.readouterr().out
+
+    # re-upload is an idempotent skip
+    assert main(base + [
+        "bronze-upload", "--course-id", "americanfalls",
+        "--path", str(raw), "--ingest-date", "2024-01-16",
+    ]) == 0
+    assert "skipped" in capsys.readouterr().out
+
+    assert main(base + [
+        "silver", "--course-id", "americanfalls", "--ingest-date", "2024-01-16",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "silver:" in out and "fact_telemetry_event" in out
+
+    assert main(base + ["topology"]) == 0
+    assert "dim_facility_topology" in capsys.readouterr().out
+
+    assert main(base + ["gold"]) == 0
+    out = capsys.readouterr().out
+    assert "gold.fact_rounds:" in out
+
+    # direct `silver` runs bypass the registry (it belongs to backfill),
+    # so status renders the empty frame with its schema
+    assert main(base + ["status"]) == 0
+    assert "course_id" in capsys.readouterr().out
+
+    assert main(base + ["query", "list"]) == 0
+    assert "agg_pricing_summary" in capsys.readouterr().out
+
+
+def test_cli_backfill_and_query(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    bronze = str(tmp_path / "bronze")
+    d = os.path.join(bronze, "course_id=americanfalls", "ingest_date=2024-01-16")
+    os.makedirs(d)
+    fixtures_gen.write_plain_json(os.path.join(d, "rounds.json"))
+    base = ["--warehouse", wh, "--bronze-root", bronze]
+
+    assert main(base + ["backfill"]) == 0
+    assert "1 succeeded" in capsys.readouterr().out
+    # second run: registry skips
+    # second run: registry-complete partitions are no longer pending
+    assert main(base + ["backfill"]) == 0
+    assert "0 succeeded, 0 skipped, 0 failed" in capsys.readouterr().out
+    # backfill populates the registry; status shows the course
+    assert main(base + ["status"]) == 0
+    assert "americanfalls" in capsys.readouterr().out
+
+    assert main(base + ["query", "doc_token_stats", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert "n_tokens" in capsys.readouterr().out
+
+    assert main(base + ["query", "nope"]) == 2
