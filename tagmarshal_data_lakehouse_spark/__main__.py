@@ -111,6 +111,33 @@ def cmd_gold(args) -> int:
     return 0
 
 
+def cmd_dq(args) -> int:
+    from . import quality
+    from .queries import telemetry
+
+    spark, lake = _spark_and_lake(args)
+    fact = lake.read("silver.fact_telemetry_event")
+
+    def opt(table):
+        return lake.read(table) if lake.exists(table) else None
+
+    telemetry.register_views(
+        spark,
+        fact,
+        opt("silver.dim_facility_topology"),
+        opt("silver.dim_course_profile"),
+        opt("silver.dim_sections_per_hole"),
+        build_gold=True,
+    )
+    results = quality.run_quality_checks(spark)
+    failed = [r for r in results if not r.passed]
+    for r in results:
+        mark = "PASS" if r.passed else f"FAIL ({r.violations} violations)"
+        print(f"{r.table}.{r.name}: {mark}")
+    print(f"dq: {len(results) - len(failed)}/{len(results)} checks passed")
+    return 1 if failed else 0
+
+
 def cmd_status(args) -> int:
     from .orchestration import IngestionRegistry
 
@@ -178,6 +205,9 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("status", help="show the ingestion registry")
     st.set_defaults(fn=cmd_status)
+
+    dq = sub.add_parser("dq", help="run the ported dbt quality suite on silver+gold")
+    dq.set_defaults(fn=cmd_dq)
 
     q = sub.add_parser("query", help="run a registry query ('query list' to enumerate)")
     q.add_argument("name")

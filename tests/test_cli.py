@@ -49,6 +49,11 @@ def test_cli_full_pipeline(spark, tmp_path, capsys):
     assert main(base + ["status"]) == 0
     assert "course_id" in capsys.readouterr().out
 
+    # quality suite over the just-built silver + gold
+    assert main(base + ["dq"]) == 0
+    out = capsys.readouterr().out
+    assert "checks passed" in out and "FAIL" not in out
+
     assert main(base + ["query", "list"]) == 0
     assert "agg_pricing_summary" in capsys.readouterr().out
 
