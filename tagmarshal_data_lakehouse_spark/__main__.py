@@ -91,6 +91,19 @@ def cmd_topology(args) -> int:
     topo = dims.topology_to_df(spark, dims.infer_topology(fact))
     dims.upsert_topology(lake, topo)
     print(f"topology: {topo.count()} rows -> silver.dim_facility_topology")
+    sections = dims.build_sections_per_hole(fact)
+    dims.overwrite_sections_per_hole(lake, sections)
+    print(f"sections: {sections.count()} rows -> silver.dim_sections_per_hole")
+    return 0
+
+
+def cmd_seed_profile(args) -> int:
+    from . import dims
+
+    spark, lake = _spark_and_lake(args)
+    profile = dims.read_course_profile_seed(spark, args.path)
+    dims.upsert_course_profile(lake, profile)
+    print(f"seed: {profile.count()} rows -> silver.dim_course_profile")
     return 0
 
 
@@ -197,8 +210,12 @@ def main(argv: list[str] | None = None) -> int:
     bf.add_argument("--end-date")
     bf.set_defaults(fn=cmd_backfill)
 
-    t = sub.add_parser("topology", help="infer + upsert course topology dims")
+    t = sub.add_parser("topology", help="infer + upsert topology and sections-per-hole dims")
     t.set_defaults(fn=cmd_topology)
+
+    sp = sub.add_parser("seed-profile", help="MERGE-upsert the course-profile seed CSV")
+    sp.add_argument("--path", required=True)
+    sp.set_defaults(fn=cmd_seed_profile)
 
     g = sub.add_parser("gold", help="build all gold models from silver")
     g.set_defaults(fn=cmd_gold)

@@ -268,18 +268,6 @@ def minhash_near_duplicates(
     return verify_jaccard(cands, hashed_sets, id_col, threshold, set_col="gram_hashes")
 
 
-def gram_hash_sets(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
-) -> DataFrame:
-    """(id, gram_hashes) — the 64-bit-hashed token-gram set per document,
-    for exact-Jaccard verification on longs instead of strings."""
-    shingled = with_token_grams(ensure_parallelism(df), text_col=text_col, n=ngram, out="shingles")
-    return shingled.select(
-        F.col(id_col),
-        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("gram_hashes"),
-    )
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -38,7 +38,13 @@ def test_cli_full_pipeline(spark, tmp_path, capsys):
     assert "silver:" in out and "fact_telemetry_event" in out
 
     assert main(base + ["topology"]) == 0
-    assert "dim_facility_topology" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "dim_facility_topology" in out and "dim_sections_per_hole" in out
+
+    seed = tmp_path / "profile.csv"
+    fixtures_gen.write_course_profile_seed(str(seed))
+    assert main(base + ["seed-profile", "--path", str(seed)]) == 0
+    assert "dim_course_profile" in capsys.readouterr().out
 
     assert main(base + ["gold"]) == 0
     out = capsys.readouterr().out

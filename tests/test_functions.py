@@ -1,0 +1,90 @@
+"""Unit tests for the scalar function surface (SURVEY §2.8) — the
+Trino→Spark dialect shims the gold models and query library build on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tagmarshal_data_lakehouse_spark import functions as fn
+from tagmarshal_data_lakehouse_spark.session import table_format
+from tagmarshal_data_lakehouse_spark.training import text
+
+
+def test_date_diff_family(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "2024-01-01 10:02:30")], ["a", "b"]
+    ).select(F.to_timestamp("a").alias("a"), F.to_timestamp("b").alias("b"))
+    row = df.select(
+        fn.date_diff_seconds(F.col("a"), F.col("b")).alias("s"),
+        fn.date_diff_minutes(F.col("a"), F.col("b")).alias("m"),
+    ).first()
+    assert row["s"] == 150
+    assert row["m"] == 2  # Trino truncates toward zero
+
+
+def test_iso_dayofweek(spark):
+    # 2024-01-01 is a Monday; 2024-01-07 a Sunday
+    df = spark.createDataFrame([("2024-01-01",), ("2024-01-07",)], ["d"]).select(
+        F.to_date("d").alias("d")
+    )
+    got = [r["dow"] for r in df.select(fn.iso_dayofweek(F.col("d")).alias("dow")).collect()]
+    assert got == [1, 7]
+
+
+def test_median_exact_and_approx(spark):
+    df = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4, 100)], ["x"])
+    row = df.agg(
+        fn.median_exact(F.col("x")).alias("m"),
+        fn.median_approx(F.col("x")).alias("ma"),
+    ).first()
+    assert row["m"] == 3.0
+    assert 1.0 <= row["ma"] <= 100.0
+
+
+def test_sorted_set_join(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("b",)], ["s"])
+    # default "+" separator is the reference's nines-played label idiom
+    assert df.agg(fn.sorted_set_join(F.col("s")).alias("j")).first()["j"] == "a+b"
+    assert df.agg(fn.sorted_set_join(F.col("s"), ", ").alias("j")).first()["j"] == "a, b"
+
+
+def test_safe_div_and_pct(spark):
+    row = (
+        spark.createDataFrame([(10.0, 0.0), (10.0, 4.0)], ["num", "den"])
+        .select(
+            fn.safe_div(F.col("num"), F.col("den")).alias("d"),
+            fn.pct(F.col("num"), F.col("den")).alias("p"),
+        )
+        .collect()
+    )
+    assert row[0]["d"] is None and row[0]["p"] is None  # div by zero -> NULL, not error
+    assert row[1]["d"] == 2.5 and row[1]["p"] == 250.0
+
+
+def test_count_if(spark):
+    df = spark.createDataFrame([(1,), (5,), (9,)], ["x"])
+    assert df.agg(fn.count_if(F.col("x") > 3).alias("n")).first()["n"] == 2
+
+
+def test_point_wkt(spark):
+    df = spark.createDataFrame([(30.5, -97.75), (None, -97.75)], ["lat", "lon"])
+    got = [
+        r["v"] for r in df.select(fn.point_wkt(F.col("lon"), F.col("lat")).alias("v")).collect()
+    ]
+    # reference format (etl.py:554-567): no space after POINT; NULL coord -> NULL
+    assert got == ["POINT(-97.75 30.5)", None]
+
+
+def test_text_ratio_helpers(spark):
+    df = spark.createDataFrame([("ABc dEF",)], ["t"])
+    row = df.select(
+        text.upper_ratio(F.col("t")).alias("u"),
+        text.punct_count(F.col("t")).alias("p"),
+    ).first()
+    assert abs(row["u"] - 4 / 7) < 1e-9
+    assert row["p"] == 0
+
+
+def test_table_format_reports_parquet_without_delta():
+    # the test container ships no delta-spark, so managed writes are parquet
+    assert table_format() == "parquet"
