@@ -73,3 +73,24 @@ def test_dedup_clusters_election_and_singletons(spark):
     # untouched docs are singleton clusters, kept
     for d in (1, 2, 4):
         assert rows[d]["cluster_id"] == d and rows[d]["cluster_size"] == 1 and rows[d]["keep"]
+
+
+def test_with_shingles_char_level(spark):
+    from tagmarshal_data_lakehouse_spark.training.dedup import with_shingles
+
+    df = spark.createDataFrame([(1, "abcdef"), (2, "ab")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["shingles"] for r in with_shingles(df, k=3).collect()}
+    assert rows[1] == ["abc", "bcd", "cde", "def"]
+    assert rows[2] == ["ab"]  # short text -> whole text as one shingle
+
+
+def test_with_simhash_deterministic(spark):
+    from tagmarshal_data_lakehouse_spark.training.simhash import with_simhash
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "totally different words")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
+    assert rows[1] == rows[2]          # identical text -> identical hash
+    assert rows[1] != rows[3]

@@ -93,3 +93,23 @@ def test_ivf_probe_widening_increases_candidates(planted):
     n1 = similarity.ivf_topk(planted, n_queries=5, k=40, n_cells=4, n_probe=1).count()
     n4 = similarity.ivf_topk(planted, n_queries=5, k=40, n_cells=4, n_probe=4).count()
     assert n4 >= n1  # probing more cells can only add candidates
+
+
+def test_cosine_topk_fast_top1_matches_planted(planted):
+    out = similarity.cosine_topk_fast(planted, n_queries=2, k=3)
+    by_query = {}
+    for r in out.collect():
+        by_query.setdefault(r["query_id"], []).append(r)
+    top0 = min(by_query[0], key=lambda r: r["nn_rank"])
+    top1 = min(by_query[1], key=lambda r: r["nn_rank"])
+    assert top0["candidate_id"] == 100 and top0["cosine"] > 0.999
+    assert top1["candidate_id"] == 101 and top1["cosine"] > 0.999
+
+
+def test_hyperplane_buckets_deterministic_and_bounded(planted):
+    a = {r["vec_id"]: r["bucket"] for r in similarity.hyperplane_buckets(planted, n_planes=6).collect()}
+    b = {r["vec_id"]: r["bucket"] for r in similarity.hyperplane_buckets(planted, n_planes=6).collect()}
+    assert a == b  # plan-derived buckets, no RNG state
+    assert all(0 <= v < 64 for v in a.values())
+    # near-identical planted copies agree on every sign bit
+    assert a[0] == a[100] and a[1] == a[101]
