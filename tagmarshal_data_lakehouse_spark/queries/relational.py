@@ -831,6 +831,179 @@ q_scalar_coordinates = Query(
 )
 
 
+# --------------------------------------------------------------------------
+# Multi-dimensional aggregates, pivot, subqueries, lateral explode (§2.4/§2.8
+# extensions — shapes the reference's dashboard rollups imply but its SQL
+# spells out by hand with UNION ALL; Spark/DuckDB both have them natively)
+# --------------------------------------------------------------------------
+
+q_agg_rollup = _shared(
+    "agg_rollup",
+    f"""
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(n_name) AS INT) AS g_nation,
+       CAST(COUNT(*) AS BIGINT)      AS n_customers,
+       {dsum('c_acctbal')}           AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    "ROLLUP hierarchy totals with GROUPING() markers — one pass computes "
+    "the per-nation, per-region, and grand-total rows the reference's "
+    "global_overview.sql assembles with separate queries. Spark plans a "
+    "single Expand + hash aggregate: the fact is scanned ONCE at 100 TB.",
+)
+
+q_agg_cube = _shared(
+    "agg_cube",
+    f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(COUNT(*) AS BIGINT)               AS n_orders,
+       {dsum('o_totalprice')}                 AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "CUBE over two dims: all four grouping combinations in one Expand-based "
+    "aggregate (SURVEY §2.4 extension).",
+)
+
+q_agg_grouping_sets = _shared(
+    "agg_grouping_sets",
+    f"""
+SELECT c_mktsegment, n_name,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
+       CAST(GROUPING(n_name) AS INT)       AS g_nation,
+       CAST(COUNT(*) AS BIGINT)            AS n_customers,
+       {dsum('c_acctbal')}                 AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+""",
+    "Explicit GROUPING SETS: two independent dimension rollups plus grand "
+    "total from one scan (SURVEY §2.4 extension).",
+)
+
+q_window_ntile_distribution = _shared(
+    "window_ntile_distribution",
+    """
+SELECT c_custkey, c_mktsegment,
+       CAST(NTILE(4) OVER w AS INT)        AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6)     AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6)        AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    "Distribution window functions (NTILE / PERCENT_RANK / CUME_DIST) over "
+    "a named WINDOW clause; ordering includes the unique key so tile "
+    "assignment is total-ordered and engine-independent (SURVEY §2.5 "
+    "extension; reference percentile bands in dashboard rollups).",
+)
+
+
+def _build_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    # Explicit pivot value list: no values-discovery job (an extra scan +
+    # collect at 100 TB), and the output schema is static for the planner.
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_fulfilled"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_pending"),
+        )
+    )
+
+
+q_pivot_status = Query(
+    name="pivot_status_counts",
+    build=_build_pivot,
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_fulfilled,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Wide pivot (long->wide reshape) with a fixed value list; Spark "
+    "lowers it to a single conditional aggregate — same plan as the "
+    "oracle's FILTER form, one scan, no per-value jobs (SURVEY §2.4 "
+    "extension; reference dashboard pace-by-hole matrix reshape).",
+)
+
+q_join_exists_correlated = _shared(
+    "join_exists_correlated",
+    """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+""",
+    "Correlated EXISTS predicate — Catalyst rewrites it to a left-semi "
+    "hash join (no row explosion, no dedup pass) exactly like the "
+    "explicit semi-join form (SURVEY §2.3 J6 subquery spelling).",
+)
+
+q_scalar_correlated_subquery = _shared(
+    "scalar_correlated_subquery",
+    """
+SELECT c.c_custkey,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+       (SELECT MAX(o.o_totalprice) FROM orders o
+        WHERE o.o_custkey = c.c_custkey)                 AS max_order_price
+FROM customer c
+WHERE c.c_custkey <= 300
+""",
+    "Correlated scalar subqueries in the projection (incl. the classic "
+    "COUNT-bug shape: customers with zero orders must read 0, not NULL). "
+    "Catalyst de-correlates both into one left-outer aggregate join — "
+    "the fact table is scanned once, not per-row (SURVEY §2.3/§2.8 "
+    "extension).",
+)
+
+
+def _build_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id, pos, word
+        FROM documents
+        LATERAL VIEW POSEXPLODE(SPLIT(text, ' ')) t AS pos, word
+        WHERE doc_id < 50
+        """
+    )
+
+
+q_explode_posexplode = Query(
+    name="explode_posexplode",
+    build=_build_posexplode,
+    oracle="""
+        WITH a AS (
+            SELECT doc_id, split(text, ' ') AS arr FROM documents WHERE doc_id < 50
+        ), zl AS (
+            SELECT doc_id, list_zip(range(1, len(arr) + 1), arr) AS zipped FROM a
+        ), z AS (
+            SELECT doc_id, unnest(zipped) AS pr FROM zl
+        )
+        SELECT doc_id, CAST(pr[1] - 1 AS INT) AS pos, CAST(pr[2] AS VARCHAR) AS word
+        FROM z
+    """,
+    doc="Ordinal-preserving lateral explode (posexplode) — tokenization "
+    "with position, row-local generation so it never shuffles (SURVEY "
+    "§2.8 array family; training tokenizer front-end).",
+)
+
+
 QUERIES = [
     q_agg_pricing_summary,
     q_agg_conditional,
@@ -865,4 +1038,12 @@ QUERIES = [
     q_scalar_string_math,
     q_scalar_json,
     q_scalar_coordinates,
+    q_agg_rollup,
+    q_agg_cube,
+    q_agg_grouping_sets,
+    q_window_ntile_distribution,
+    q_pivot_status,
+    q_join_exists_correlated,
+    q_scalar_correlated_subquery,
+    q_explode_posexplode,
 ]
