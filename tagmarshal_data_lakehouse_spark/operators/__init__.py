@@ -68,3 +68,46 @@ def two_phase_distinct(
     """
     deduped = df.select(*key_cols, value_col).distinct()
     return deduped.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("bigint").alias(out))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as a parquet table hash-bucketed (and bucket-sorted)
+    on `keys`.
+
+    Bucketing is the 100 TB answer to a join or aggregation that recurs
+    on the same key: pay the partitioning shuffle ONCE at write time,
+    then every subsequent join/groupBy on `keys` between co-bucketed
+    tables runs with zero Exchange (each task zips bucket i with bucket
+    i).  `sort=True` additionally orders rows within each bucket so the
+    sort-merge join skips its sort step.  Contract-tested in
+    tests/test_plan_quality.py: co-bucketed fact-fact join plans
+    SortMergeJoin with NO shuffle on either side.
+
+    Catalog-managed (saveAsTable) because bucket metadata lives in the
+    table catalog, not the files; on a cluster this is the metastore.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark, left_table: str, right_table: str, on, how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed catalog tables (see `write_bucketed`).
+
+    Plain `.join` — Spark reads each side's bucket spec from the catalog
+    and, when both sides are bucketed on their join keys with compatible
+    bucket counts, satisfies the join's distribution requirement from
+    the files themselves: no Exchange, no network, scales linearly with
+    bucket count on a 1000-executor cluster.
+    """
+    return spark.table(left_table).join(spark.table(right_table), on, how)

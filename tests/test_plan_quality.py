@@ -89,3 +89,39 @@ def test_hot_scans_are_codegen(spark, sf_smoke, reg):
     df = reg["agg_pricing_summary"].build(spark, sf_smoke)
     df.collect()
     assert plans.codegen_fused(df)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_smoke):
+    """Co-bucketed fact-fact join: SortMergeJoin with ZERO Exchange on
+    either side — the write-once-shuffle-never-again contract that makes
+    recurring 100 TB joins affordable."""
+    from tagmarshal_data_lakehouse_spark import operators
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        operators.write_bucketed(li, "bkt_lineitem", ["l_orderkey"], n_buckets=8)
+        operators.write_bucketed(od, "bkt_orders", ["o_orderkey"], n_buckets=8)
+        # disable broadcast so the bucket spec (not a tiny-side broadcast)
+        # is what eliminates the shuffle — at 100 TB neither side broadcasts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = operators.bucketed_join(
+            spark,
+            "bkt_lineitem",
+            "bkt_orders",
+            F.expr("l_orderkey = o_orderkey"),
+        )
+        assert plans.join_strategies(joined) == ["SortMergeJoin"]
+        assert plans.count_exchanges(joined) == 0
+        # semantics: identical row count to the plain (shuffling) join
+        plain = li.join(od, F.expr("l_orderkey = o_orderkey"))
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
