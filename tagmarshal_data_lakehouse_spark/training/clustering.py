@@ -1,0 +1,167 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The iterative-algorithm representative for the training-data surface
+(corpus clustering for curation mixes, IVF coarse quantizers, topic
+balancing).  Pure DataFrame ops — no MLlib VectorUDT round-trips, no
+Python in the hot path:
+
+- **assignment** is k codegen'd distance expressions against BROADCAST
+  centroid literals (k*dim doubles — a few KB; the 100 TB side never
+  shuffles for assignment);
+- **update** is one hash aggregate per iteration: dimension-wise
+  partial sums per cluster combine map-side, so the shuffle carries at
+  most k*dim partials per task, independent of row count;
+- the driver loop touches only the k*dim centroid matrix per iteration
+  (the classic treeAggregate shape, spelled as a DataFrame groupBy).
+
+Initialization is deterministic (k lowest xxhash64(id) rows), so runs
+are reproducible across partitionings and retries — same contract as
+the registry's other deterministic-by-construction operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec_col: str, centroid: list[float]) -> F.Column:
+    """Codegen'd squared L2 distance between an array column and a
+    centroid literal (zip_with + aggregate stay inside whole-stage
+    codegen; no UDF, no serialization)."""
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add `cluster` (0-based argmin centroid) and `sq_dist` columns.
+
+    One row-local projection: k distance expressions + argmin via
+    array_position on the distance array.  Ties break to the lowest
+    cluster index (array_position returns the first match), keeping
+    assignment deterministic.
+    """
+    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    return (
+        df.withColumn("_dists", dists)
+        .withColumn("sq_dist", F.array_min("_dists"))
+        .withColumn(
+            "cluster",
+            (F.array_position(F.col("_dists"), F.col("sq_dist")) - 1).cast("int"),
+        )
+        .drop("_dists")
+    )
+
+
+def init_centroids(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+) -> list[list[float]]:
+    """Deterministic farthest-point seeding over a hash-ordered sample.
+
+    One distributed job: take the `sample_size` rows with the smallest
+    xxhash64(id) — a uniform pseudo-random subset every run, partitioning,
+    and retry agrees on (rand()-based sampling breaks reproducibility
+    under task retry).  Greedy farthest-point then runs driver-side on
+    the tiny sample: start from the lowest-hash point, repeatedly add
+    the sample point farthest from its nearest chosen centroid (ties to
+    the lowest index).  This is the deterministic cousin of k-means++ —
+    it cannot seed two centroids inside one tight cluster, the failure
+    mode that leaves plain hash-order init with empty clusters.
+    """
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(max(sample_size, k))
+        .collect()
+    )
+    pts = [list(map(float, r["v"])) for r in rows]
+    if len(pts) <= k:
+        return pts
+
+    def sq(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    chosen = [pts[0]]
+    nearest = [sq(p, pts[0]) for p in pts]
+    while len(chosen) < k:
+        far = max(range(len(pts)), key=lambda i: (nearest[i], -i))
+        chosen.append(pts[far])
+        nearest = [min(nearest[i], sq(pts[i], pts[far])) for i in range(len(pts))]
+    return chosen
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 10,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's iterations until centroid shift < `tol` or `max_iter`.
+
+    Returns (assignments, centroids): assignments has (id, cluster,
+    sq_dist) per input row; centroids is the final k x dim matrix.
+
+    Each iteration runs ONE distributed job: assignment (row-local) ->
+    groupBy(cluster) with dim partial SUMs + COUNT (map-side combine) ->
+    k-row collect.  Empty clusters keep their previous centroid (the
+    deterministic-init hash seeding makes them rare in practice).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    centroids = init_centroids(df, k, id_col, vec_col)
+
+    for _ in range(max_iter):
+        assigned = assign_clusters(df, centroids, vec_col)
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty clusters keep previous position
+        shift = 0.0
+        for row in sums:
+            c = row["cluster"]
+            centroid = [row[f"s{i}"] / row["n"] for i in range(dim)]
+            shift = max(
+                shift,
+                sum((a - b) * (a - b) for a, b in zip(centroid, centroids[c])),
+            )
+            new_centroids[c] = centroid
+        centroids = new_centroids
+        if shift < tol:
+            break
+
+    out = assign_clusters(df, centroids, vec_col).select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.round(F.col("sq_dist"), 6).alias("sq_dist"),
+    )
+    return out, centroids
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 10,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Registry-facing wrapper: just the assignment frame."""
+    return kmeans(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)[0]

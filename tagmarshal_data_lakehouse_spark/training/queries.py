@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import Query, load_views
-from . import curation, dedup, multimodal, sampling, similarity, text
+from . import clustering, curation, dedup, multimodal, sampling, similarity, text
 from .simhash import simhash_near_duplicates
 
 # DuckDB spelling of normalize_text (regexp_replace needs the 'g' flag;
@@ -353,6 +353,19 @@ q_emb_ivf_topk = Query(
     doc="IVF-Flat ANN: MLlib KMeans coarse quantizer, Arrow-batched cell "
     "assignment against broadcast centroids, n_probe cell fan-out, exact "
     "re-score — the inverted-file scale path beside the LSH one.",
+)
+
+q_emb_kmeans = Query(
+    name="emb_kmeans",
+    build=lambda spark, sf_dir: clustering.kmeans_assignments(
+        _embs(spark, sf_dir), k=10, max_iter=5
+    ),
+    oracle=None,  # iterative algorithm (driver-looped Lloyd's), not SQL-expressible
+    doc="Distributed Lloyd's k-means: codegen'd assignment against "
+    "broadcast centroid literals, dimension-wise partial-sum update "
+    "(map-side combine; shuffle carries k*dim partials per task, "
+    "row-count independent), deterministic hash-order seeding. The "
+    "corpus-clustering / coarse-quantizer iterative representative.",
 )
 
 _SAMPLE_RATES = {"de": 1.0, "en": 0.5, "es": 0.25, "fr": 0.25, "zh": 0.1}
@@ -732,6 +745,7 @@ QUERIES = [
     q_emb_cosine_near_dups,
     q_emb_cosine_near_dups_lsh,
     q_emb_ivf_topk,
+    q_emb_kmeans,
     q_doc_train_split,
     q_doc_stratified_sample,
     q_doc_hash_sample_k,
