@@ -20,7 +20,7 @@ from pyspark.sql.window import Window as W
 from . import Query, load_views
 
 
-def dsum(expr: str, scale: int = 4) -> str:
+def dsum(expr: str, scale: int = 4, prec: int = 18) -> str:
     """Exact decimal sum of a double expression, returned as double.
 
     SUM over doubles is order-dependent (differs between engines and
@@ -28,8 +28,10 @@ def dsum(expr: str, scale: int = 4) -> str:
     exact, so casting each input to decimal makes the aggregate
     bit-reproducible everywhere — including across a 1000-executor
     cluster, which is why the engine's own gold models use it too.
+    `prec` widens the decimal for squared/product terms (moment sums)
+    whose magnitude outgrows DECIMAL(18,·).
     """
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({prec},{scale}))) AS DOUBLE)"
 
 
 def davg(expr: str, scale: int = 4) -> str:
@@ -1004,6 +1006,161 @@ q_explode_posexplode = Query(
 )
 
 
+# --------------------------------------------------------------------------
+# Set operations (§2.7), regression aggregates, advanced arrays, RANGE
+# frames, full-outer reconciliation — round-2 depth additions
+# --------------------------------------------------------------------------
+
+q_set_intersect_except = _shared(
+    "set_intersect_except",
+    """
+SELECT 'both' AS side, nationkey FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier)
+UNION ALL
+SELECT 'customer_only' AS side, nationkey FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier)
+""",
+    "INTERSECT / EXCEPT distinct set semantics beside the UNION ALL tag "
+    "(SURVEY §2.7). Both lower to aggregate + semi/anti join, so the plan "
+    "is two hash semi-joins on nationkey — no row-level set materialization.",
+)
+
+q_agg_corr_regression = _shared(
+    "agg_corr_regression",
+    f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE)                           AS n,
+         {dsum('l_quantity')}                               AS sx,
+         {dsum('l_extendedprice')}                          AS sy,
+         {dsum('l_quantity * l_quantity', 4, 28)}           AS sxx,
+         {dsum('l_extendedprice * l_extendedprice', 4, 28)} AS syy,
+         {dsum('l_quantity * l_extendedprice', 4, 28)}      AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_lines,
+       ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_qty_price,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)  AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+FROM s
+""",
+    "Pearson correlation + OLS slope/intercept computed from exact decimal "
+    "moment sums (SURVEY §2.4 extension). Built-in CORR/REGR_* over doubles "
+    "is partition-order dependent — the moment-sum form is bit-reproducible "
+    "on any cluster size, same contract as dsum(). One map-side-combined "
+    "hash aggregate; DECIMAL(28,4) headroom for the squared terms at 100 TB.",
+)
+
+
+def _build_scalar_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               array_join(transform(linenums, x -> CAST(x AS STRING)), ',') AS lines_csv,
+               CAST(size(linenums) AS INT)                                  AS n_lines,
+               CAST(size(filter(linenums, x -> x % 2 = 0)) AS INT)          AS n_even,
+               CAST(element_at(linenums, 1) AS INT)                         AS first_line,
+               CAST(element_at(linenums, -1) AS INT)                        AS last_line,
+               CAST(aggregate(linenums, 0, (a, x) -> a + x) AS INT)         AS line_sum
+        FROM (SELECT l_orderkey,
+                     array_sort(collect_list(CAST(l_linenumber AS INT))) AS linenums
+              FROM lineitem GROUP BY l_orderkey)
+        ORDER BY l_orderkey LIMIT 100
+        """
+    )
+
+
+q_scalar_array_family = Query(
+    name="scalar_array_family",
+    build=_build_scalar_array_family,
+    oracle="""
+        SELECT l_orderkey,
+               array_to_string(list_transform(linenums, x -> CAST(x AS VARCHAR)), ',') AS lines_csv,
+               CAST(len(linenums) AS INT)                                   AS n_lines,
+               CAST(len(list_filter(linenums, x -> x % 2 = 0)) AS INT)      AS n_even,
+               CAST(linenums[1] AS INT)                                     AS first_line,
+               CAST(linenums[-1] AS INT)                                    AS last_line,
+               CAST(list_sum(linenums) AS INT)                              AS line_sum
+        FROM (SELECT l_orderkey, list_sort(list(CAST(l_linenumber AS INT))) AS linenums
+              FROM lineitem GROUP BY l_orderkey)
+        ORDER BY l_orderkey LIMIT 100
+    """,
+    doc="Higher-order array functions — transform / filter / aggregate "
+    "lambdas, element_at from both ends, array_join (SURVEY §2.8 array "
+    "family). All row-local and codegen'd after the one grouping shuffle; "
+    "array_sort on the collected list makes the result partition-order "
+    "independent.",
+)
+
+q_agg_string_agg = Query(
+    name="agg_string_agg",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            """
+            SELECT c_mktsegment,
+                   array_join(array_sort(collect_set(o_orderpriority)), '|') AS priorities,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)           AS n_priorities
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+            """
+        ),
+    )[1],
+    oracle="""
+        SELECT c_mktsegment,
+               string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)                    AS n_priorities
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc="Ordered string aggregation (STRING_AGG / LISTAGG equivalent) as "
+    "sorted collect_set + array_join — deterministic under any partitioning "
+    "because the sort happens after collection, unlike a bare STRING_AGG "
+    "whose order is engine-arbitrary (SURVEY §2.4 extension).",
+)
+
+q_window_range_frame = _shared(
+    "window_range_frame",
+    """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(COUNT(*) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_30d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_last_30d
+FROM orders
+""",
+    "Event-time RANGE frame (trailing 30-day count + decimal-exact spend) "
+    "— the sliding-window shape behind pace-over-trailing-period telemetry "
+    "(SURVEY §2.5 extension). One shuffle on the partition key; the frame "
+    "scan is sort-merge within partition, no cross-partition state.",
+)
+
+q_join_full_outer = _shared(
+    "join_full_outer",
+    """
+WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(c.nk, s.nk)                AS nationkey,
+       CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_customers,
+       CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_suppliers,
+       (c.nk IS NULL OR s.nk IS NULL)      AS one_sided
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+    "Full-outer reconciliation of two pre-aggregated sides with COALESCE "
+    "null-handling — the two-sided version of the coverage audit's left "
+    "anti pattern (SURVEY §2.3 extension; reference coverage_audit.sql "
+    "shape). Aggregating BEFORE the join shrinks both sides to |keys| "
+    "rows, so the full outer join is trivially small at any scale.",
+)
+
+
 QUERIES = [
     q_agg_pricing_summary,
     q_agg_conditional,
@@ -1046,4 +1203,10 @@ QUERIES = [
     q_join_exists_correlated,
     q_scalar_correlated_subquery,
     q_explode_posexplode,
+    q_set_intersect_except,
+    q_agg_corr_regression,
+    q_scalar_array_family,
+    q_agg_string_agg,
+    q_window_range_frame,
+    q_join_full_outer,
 ]
