@@ -252,6 +252,32 @@ q_events_approx_sketches = Query(
 )
 
 
+q_events_time_rollup = _shared(
+    "events_time_rollup",
+    """
+SELECT CASE
+         WHEN GROUPING(bucket_day) = 0 AND GROUPING(bucket_hour) = 1 THEN 'day'
+         WHEN GROUPING(bucket_hour) = 0 THEN 'hour'
+       END AS resolution,
+       COALESCE(bucket_hour, bucket_day) AS bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM (SELECT event_type, value,
+             DATE_TRUNC('hour', ts) AS bucket_hour,
+             CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bucket_day
+      FROM events)
+GROUP BY GROUPING SETS ((bucket_hour, event_type), (bucket_day, event_type))
+""",
+    "Multi-resolution time-bucket rollup (hypertable continuous-aggregate "
+    "shape): hour and day materializations from ONE scan via GROUPING SETS "
+    "— Spark expands the sets inside a single Expand+HashAggregate, so the "
+    "100 TB fact is read once for every resolution, not once per "
+    "resolution. bucket_day is cast to TIMESTAMP so both resolutions "
+    "COALESCE into one typed column on both engines.",
+)
+
+
 QUERIES = [
     q_events_tumbling_window,
     q_events_sessionize,
@@ -259,4 +285,5 @@ QUERIES = [
     q_events_dedup_exact,
     q_events_asof_join,
     q_events_approx_sketches,
+    q_events_time_rollup,
 ]

@@ -196,9 +196,68 @@ class Lakehouse:
         )
         shadow = table + "__tmp"
         self.overwrite(shadow, merged, partition_by)
+        self._swap_in(table, shadow)
+
+    def _swap_in(self, table: str, shadow: str) -> None:
+        """Atomically replace `table`'s directory with `shadow`'s (two
+        renames; readers that already resolved file paths finish on the
+        __old directory before it is removed)."""
         dst, tmp = self.path(table), self.path(shadow)
         old = dst + "__old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(dst, old)
         os.rename(tmp, dst)
         shutil.rmtree(old, ignore_errors=True)
+
+    # -- maintenance -------------------------------------------------------
+
+    def table_data_files(self, table: str) -> list[str]:
+        """All parquet data files under the table directory."""
+        out = []
+        for root, _dirs, files in os.walk(self.path(table)):
+            out.extend(
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        return out
+
+    def compact(
+        self,
+        table: str,
+        sort_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Small-file compaction + optional sort-order clustering (the
+        OPTIMIZE / Iceberg rewrite_data_files role).
+
+        Incremental ingest (one replace_partitions per (course, day) —
+        or one micro-batch in streaming) accretes many small files; at
+        100 TB the scan cost becomes footer-bound and the scheduler
+        task-bound.  Rewrite plan:
+
+        - no sort_cols: coalesce() to ceil(bytes / target_file_bytes)
+          output files — narrow, NO shuffle, just fewer larger files;
+        - with sort_cols: repartitionByRange + sortWithinPartitions so
+          each output file covers a disjoint range of the sort key —
+          parquet min/max stats then prune whole files for point/range
+          predicates (Z-order-lite for a single-dimension key).
+
+        The rewrite lands in a shadow directory and swaps in atomically
+        (same contract as merge_upsert), so concurrent readers never see
+        a half-compacted table.  Returns the number of data files after
+        compaction.
+        """
+        df = self.read(table)
+        total = sum(os.path.getsize(f) for f in self.table_data_files(table))
+        n_files = max(1, -(-total // target_file_bytes))
+        if sort_cols:
+            df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+            df = df.sortWithinPartitions(*sort_cols)
+        else:
+            df = df.coalesce(n_files)
+        shadow = table + "__tmp"
+        self.overwrite(shadow, df, partition_by)
+        self._swap_in(table, shadow)
+        return len(self.table_data_files(table))

@@ -646,6 +646,46 @@ q_doc_token_histogram = Query(
     "map-side-combined aggregation.",
 )
 
+q_doc_bigram_freqs = Query(
+    name="doc_bigram_freqs",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            """
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+              SELECT explode(
+                       transform(sequence(1, size(w) - 1),
+                                 i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))) AS pair
+              FROM (SELECT split(text, ' ') AS w FROM documents
+                    WHERE size(split(text, ' ')) > 1)
+            )
+            GROUP BY pair
+            ORDER BY n DESC, pair
+            LIMIT 100
+            """
+        ),
+    )[1],
+    oracle="""
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+          SELECT unnest(
+                   list_transform(range(1, len(w)),
+                                  i -> concat(w[i], ' ', w[i + 1]))) AS pair
+          FROM (SELECT split(text, ' ') AS w FROM documents
+                WHERE len(split(text, ' ')) > 1)
+        )
+        GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 100
+    """,
+    doc="Adjacent-pair (bigram) frequency counting — the inner loop of BPE "
+    "merge training and collocation mining. Pair generation is a row-local "
+    "transform-over-sequence (no self-join, no shuffle until the count "
+    "aggregate, which combines map-side); top-k via TakeOrderedAndProject, "
+    "ties broken lexically for determinism.",
+)
+
 q_emb_quantize_int8 = Query(
     name="emb_quantize_int8",
     build=lambda spark, sf_dir: similarity.quantize_int8(_embs(spark, sf_dir)),
@@ -757,6 +797,7 @@ QUERIES = [
     q_doc_pack_sequences,
     q_doc_dup_rate_by_source,
     q_doc_token_histogram,
+    q_doc_bigram_freqs,
     q_emb_quantize_int8,
     q_doc_clean_corpus_stats,
     q_multimodal_features,
