@@ -125,3 +125,45 @@ def test_bucketed_join_is_shuffle_free(spark, sf_smoke):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_time_rollup_is_single_scan_expand(spark, sf_smoke, reg):
+    # GROUPING SETS must expand inside one aggregation pipeline — the
+    # fact is scanned once for every resolution, not once per resolution
+    df = reg["events_time_rollup"].build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bigram_pair_generation_is_join_free(spark, sf_smoke, reg):
+    # adjacent pairs come from a row-local transform-over-sequence, so
+    # the only join-like op allowed is none; top-k must be
+    # TakeOrderedAndProject (never a global sort)
+    df = reg["doc_bigram_freqs"].build(spark, sf_smoke)
+    assert plans.join_strategies(df) == []
+    assert "TakeOrderedAndProject" in plans.physical_plan(df)
+
+
+def test_corr_regression_partial_aggregation(spark, sf_smoke, reg):
+    # moment sums combine map-side: one exchange, partial+final aggregate
+    df = reg["agg_corr_regression"].build(spark, sf_smoke)
+    assert plans.count_exchanges(df) == 1
+    assert plans.physical_plan(df).count("HashAggregate") >= 2
+
+
+def test_range_frame_single_shuffle(spark, sf_smoke, reg):
+    # the RANGE window shuffles once on the partition key; no second
+    # exchange may appear
+    df = reg["window_range_frame"].build(spark, sf_smoke)
+    assert plans.count_exchanges(df) == 1
+
+
+def test_full_outer_aggregates_before_join(spark, sf_smoke, reg):
+    # both sides shrink to |keys| rows BEFORE the full outer join: the
+    # plan must show aggregation below the join, and the join must be a
+    # hash/sort-merge equi-join (never nested-loop)
+    df = reg["join_full_outer"].build(spark, sf_smoke)
+    strategies = plans.join_strategies(df)
+    assert strategies and all("NestedLoop" not in s for s in strategies)
