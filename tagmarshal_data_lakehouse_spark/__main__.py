@@ -108,18 +108,28 @@ def cmd_seed_profile(args) -> int:
 
 
 def cmd_gold(args) -> int:
-    from .gold.models import GoldBuilder
+    from .gold.models import GoldBuilder, incremental_update
 
     spark, lake = _spark_and_lake(args)
-    fact = lake.read("silver.fact_telemetry_event")
     topo = (
         lake.read("silver.dim_facility_topology")
         if lake.exists("silver.dim_facility_topology")
         else None
     )
+    if getattr(args, "courses", None):
+        # partition-scoped refresh: only the named courses are re-aggregated
+        written = incremental_update(spark, lake, args.courses, topo)
+        for name, n in written.items():
+            print(f"gold.{name}: {n} rows refreshed")
+        return 0
+    fact = lake.read("silver.fact_telemetry_event")
     models = GoldBuilder(spark).build(fact, topo)
     for name, df in models.items():
-        lake.overwrite(f"gold.{name}", df)
+        # course_id partitioning (the reference's Iceberg gold property)
+        # is what makes the incremental --courses path able to replace
+        # exactly the affected course partitions later
+        part = ["course_id"] if "course_id" in df.columns else None
+        lake.overwrite(f"gold.{name}", df, partition_by=part)
         print(f"gold.{name}: {lake.read(f'gold.{name}').count()} rows")
     return 0
 
@@ -218,6 +228,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.set_defaults(fn=cmd_seed_profile)
 
     g = sub.add_parser("gold", help="build all gold models from silver")
+    g.add_argument(
+        "--courses",
+        nargs="+",
+        default=None,
+        help="incremental: refresh only these course_ids (partition-scoped rewrite)",
+    )
     g.set_defaults(fn=cmd_gold)
 
     st = sub.add_parser("status", help="show the ingestion registry")
