@@ -111,3 +111,43 @@ def bucketed_join(
     bucket count on a 1000-executor cluster.
     """
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave key over numeric columns.
+
+    Linear sort clusters files along ONE dimension; predicates on any
+    other column still touch every file.  The Z-curve interleaves the
+    bit patterns of each column's normalized rank, so file-contiguous
+    key ranges are HYPERCUBES: parquet min/max stats then prune files
+    for predicates on ANY of the participating columns (the
+    Delta/Iceberg OPTIMIZE ZORDER BY role).
+
+    Normalization is min/max linear to [0, 2^bits): one tiny aggregate
+    collects 2 doubles per column to the driver (at 100 TB this is the
+    same O(cols) job OPTIMIZE runs); the key itself is a codegen'd
+    bit-interleave expression — no UDF, no shuffle beyond the
+    range-partitioning the caller applies to the key.  Columns with a
+    degenerate (constant) range contribute zero bits, harmlessly.
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
+    ).first()
+    n = len(cols)
+    max_q = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        width = (hi - lo) or 1.0
+        q = F.floor(
+            (F.col(c).cast("double") - F.lit(lo)) / F.lit(width) * max_q
+        ).cast("bigint")
+        quantized.append(F.least(F.greatest(q, F.lit(0)), F.lit(max_q)))
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, q in enumerate(quantized):
+            key = key + F.shiftleft(
+                F.shiftrightunsigned(q, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return key

@@ -228,6 +228,7 @@ class Lakehouse:
         sort_cols: list[str] | None = None,
         partition_by: list[str] | None = None,
         target_file_bytes: int = 128 * 1024 * 1024,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Small-file compaction + optional sort-order clustering (the
         OPTIMIZE / Iceberg rewrite_data_files role).
@@ -242,17 +243,33 @@ class Lakehouse:
         - with sort_cols: repartitionByRange + sortWithinPartitions so
           each output file covers a disjoint range of the sort key —
           parquet min/max stats then prune whole files for point/range
-          predicates (Z-order-lite for a single-dimension key).
+          predicates on that ONE dimension;
+        - with zorder_by: same rewrite but ordered by a Morton
+          bit-interleave key (operators.zorder_key), so file-contiguous
+          ranges are hypercubes and min/max stats prune on ANY of the
+          participating columns (the OPTIMIZE ZORDER BY role).
 
         The rewrite lands in a shadow directory and swaps in atomically
         (same contract as merge_upsert), so concurrent readers never see
         a half-compacted table.  Returns the number of data files after
         compaction.
         """
+        if sort_cols and zorder_by:
+            raise ValueError("pass sort_cols or zorder_by, not both")
         df = self.read(table)
         total = sum(os.path.getsize(f) for f in self.table_data_files(table))
         n_files = max(1, -(-total // target_file_bytes))
-        if sort_cols:
+        if zorder_by:
+            from .operators import zorder_key
+
+            zkey = zorder_key(df, zorder_by)
+            df = (
+                df.withColumn("_zkey", zkey)
+                .repartitionByRange(n_files, F.col("_zkey"))
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        elif sort_cols:
             df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
             df = df.sortWithinPartitions(*sort_cols)
         else:

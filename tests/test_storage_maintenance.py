@@ -58,3 +58,49 @@ def test_compact_preserves_schema_metadata(spark, tmp_path):
     schema_before = lake.read("bench.frag").schema
     lake.compact("bench.frag")
     assert lake.read("bench.frag").schema == schema_before
+
+
+def test_compact_zorder_clusters_both_dimensions(spark, tmp_path):
+    # 64x64 grid of (x, y): a Z-ordered layout must keep per-file
+    # coverage narrow on BOTH dimensions, where a linear sort on x
+    # leaves y-coverage at ~full width per file
+    lake = Lakehouse(spark, str(tmp_path / "warehouse"))
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    lake.overwrite("bench.grid", grid.repartition(16))
+
+    def coverage(files, col):
+        # mean fraction of the [0,63] domain each file's min/max spans
+        fracs = []
+        for f in files:
+            vals = pq.read_table(f, columns=[col]).column(col).to_pylist()
+            fracs.append((max(vals) - min(vals)) / 63)
+        return sum(fracs) / len(fracs)
+
+    lake.compact("bench.grid", sort_cols=["x"], target_file_bytes=4 * 1024)
+    files = lake.table_data_files("bench.grid")
+    assert len(files) >= 4
+    linear_y = coverage(files, "y")
+    assert linear_y > 0.9  # linear sort: y unclustered
+
+    lake.compact("bench.grid", zorder_by=["x", "y"], target_file_bytes=4 * 1024)
+    files = lake.table_data_files("bench.grid")
+    assert len(files) >= 4
+    z_x, z_y = coverage(files, "x"), coverage(files, "y")
+    # the Z-curve bounds BOTH dims well below full width
+    assert z_x < 0.7 and z_y < 0.7, (z_x, z_y)
+
+    # rewrite is lossless
+    assert lake.read("bench.grid").count() == 64 * 64
+    assert lake.read("bench.grid").agg(F.sum("payload")).first()[0] == sum(range(64 * 64))
+
+
+def test_compact_rejects_conflicting_layouts(spark, tmp_path):
+    lake = _fragmented_lake(spark, tmp_path, n_rows=100, n_files=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lake.compact("bench.frag", sort_cols=["k"], zorder_by=["k", "grp"])
