@@ -1,0 +1,191 @@
+"""Product quantization (Jégou et al. 2011) for embedding columns.
+
+The memory side of the ANN story (similarity.py holds the candidate
+generation side): an m-subspace, k-centroid product code compresses a
+d-dim float vector to m small integers (here m=8, k=16 -> 8 nibbles =
+4 bytes per 64-dim vector, a 64x cut), and asymmetric distance
+computation (ADC) scores candidates WITHOUT decompressing — each query
+precomputes an (m x k) table of subspace distances, and a candidate's
+score is m table lookups summed.
+
+Spark-first shape, every stage scale-true:
+
+- **training**: per-subspace Lloyd's over ONE deterministic
+  hash-ordered sample collect (the lowest-xxhash64(id) rows — every
+  run, partitioning, and retry agrees on the subset), then numpy on the
+  driver — at 100 TB codebooks are always sample-trained (Faiss does
+  exactly this); the model is m * k * (d/m) = d*k doubles.  A
+  full-corpus distributed trainer exists as clustering.kmeans per
+  subspace when the sample assumption fails;
+- **encode**: one row-local projection — m argmin-centroid expressions
+  (clustering._sq_dist composition), no UDF, no shuffle; codes persist
+  beside the table like any column;
+- **score**: the query-side tables broadcast as array literals; a
+  candidate's ADC distance is m `element_at` lookups summed — plain
+  codegen, the 100 TB side never shuffles and never touches floats
+  beyond the lookup;
+- **top-k**: one window per query partition, ties broken by id.
+
+Approximate by design (quantization error bounds recall), so the
+registry entry is rows-only; pytest pins determinism, self-distance
+minimality, and recall against the exact baseline on clustered data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .clustering import _sq_dist
+
+
+def train_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 4,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks via Lloyd's on a deterministic sample.
+
+    ONE distributed job (hash-ordered sample collect), then numpy
+    Lloyd's per subspace on the driver: farthest-point seeding from the
+    lowest-hash row (ties to the lowest index), `iters` assignment/
+    update rounds, empty clusters keep their previous centroid.
+    Returns m codebooks of k centroids each (subspace dim = d/m).
+    """
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(max(sample_size, k))
+        .collect()
+    )
+    X = np.asarray([list(map(float, r["v"])) for r in rows])  # (n, dim)
+
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]  # (n, sub)
+        n = len(S)
+        if n <= k:
+            books.append([list(map(float, row)) for row in S])
+            continue
+        # deterministic farthest-point seeding (clustering.init_centroids
+        # contract, vectorized)
+        chosen = [0]
+        nearest = ((S - S[0]) ** 2).sum(axis=1)
+        while len(chosen) < k:
+            far = int(nearest.argmax())  # argmax ties -> lowest index
+            chosen.append(far)
+            nearest = np.minimum(nearest, ((S - S[far]) ** 2).sum(axis=1))
+        C = S[chosen].copy()  # (k, sub)
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([list(map(float, row)) for row in C])
+    return books
+
+
+def _argmin_code(centroids: list[list[float]], vec_col: str) -> F.Column:
+    """0-based argmin-centroid index, ties to the lowest index."""
+    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "pq_code",
+) -> DataFrame:
+    """Attach the m-byte product code: array<int> of per-subspace
+    centroid ids.  Entirely row-local (scan projection)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    staged = df
+    for j in range(m):
+        staged = staged.withColumn(f"__sub{j}", F.slice(F.col(vec_col), j * sub + 1, sub))
+    coded = staged.withColumn(
+        out, F.array(*[_argmin_code(codebooks[j], f"__sub{j}") for j in range(m)])
+    )
+    return coded.drop(*[f"__sub{j}" for j in range(m)])
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 3,
+    m: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: queries score every candidate through its product code.
+
+    ONE scan of the coded candidates, broadcast-joined to the tiny
+    query-table frame (each query row carries its (m x k) ADC table as
+    an array<array<double>>) — same join geometry as cosine_topk_fast,
+    but each (query, candidate) pair costs m integer lookups instead of
+    a d-element float fold: the at-scale win is both bandwidth (codes
+    are ~d/8 bytes) and compute (m << d).
+    """
+    books = train_codebooks(embeddings, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    sub = len(books[0][0])
+    coded = encode(embeddings, books, id_col, vec_col).select(
+        F.col(id_col).alias("candidate_id"), F.col("pq_code")
+    )
+
+    # per-query ADC tables: table[j][c] = ||q_sub_j - codebook_j[c]||^2,
+    # built driver-side from the tiny query set (at 100 TB the query set
+    # is bounded by construction; the candidate corpus is not)
+    qrows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    table_rows = []
+    for row in qrows:
+        qvec = row["qvec"]
+        tables = [
+            [
+                float(sum((a - b) * (a - b) for a, b in zip(qvec[j * sub : (j + 1) * sub], c)))
+                for c in book
+            ]
+            for j, book in enumerate(books)
+        ]
+        table_rows.append((row["query_id"], tables))
+    qtables = spark.createDataFrame(
+        table_rows, "query_id long, adc_table array<array<double>>"
+    )
+
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("adc_table"), j + 1),
+            F.element_at(F.col("pq_code"), j + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        coded.join(F.broadcast(qtables), F.col("query_id") != F.col("candidate_id"))
+        .withColumn("adc_dist", F.round(adc, 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("candidate_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "candidate_id", "adc_dist", F.col("nn_rank").cast("int").alias("nn_rank"))
+    )

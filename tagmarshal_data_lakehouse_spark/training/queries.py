@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import Query, load_views
-from . import clustering, curation, dedup, multimodal, sampling, similarity, text
+from . import clustering, curation, dedup, multimodal, pq, sampling, similarity, text
 from .simhash import simhash_near_duplicates
 
 # DuckDB spelling of normalize_text (regexp_replace needs the 'g' flag;
@@ -353,6 +353,18 @@ q_emb_ivf_topk = Query(
     doc="IVF-Flat ANN: MLlib KMeans coarse quantizer, Arrow-batched cell "
     "assignment against broadcast centroids, n_probe cell fan-out, exact "
     "re-score — the inverted-file scale path beside the LSH one.",
+)
+
+q_emb_pq_topk = Query(
+    name="emb_pq_topk",
+    build=lambda spark, sf_dir: pq.pq_topk(_embs(spark, sf_dir), n_queries=20, k=3),
+    oracle=None,  # quantized-approximate by design; semantics pytest-pinned
+    doc="Product-quantization ANN (Jégou 2011): sample-trained per-"
+    "subspace codebooks (one deterministic hash-ordered collect), "
+    "row-local codegen'd encoding (m argmin-centroid expressions), and "
+    "ADC scoring as m broadcast-table lookups per pair — candidates are "
+    "scanned once as ~d/8-byte codes, never as floats. The memory-side "
+    "companion to the IVF and LSH candidate-generation paths.",
 )
 
 q_emb_kmeans = Query(
@@ -785,6 +797,7 @@ QUERIES = [
     q_emb_cosine_near_dups,
     q_emb_cosine_near_dups_lsh,
     q_emb_ivf_topk,
+    q_emb_pq_topk,
     q_emb_kmeans,
     q_doc_train_split,
     q_doc_stratified_sample,
