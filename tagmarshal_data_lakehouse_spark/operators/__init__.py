@@ -151,3 +151,34 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
                 F.shiftrightunsigned(q, i).bitwiseAND(F.lit(1)), i * n + j
             )
     return key
+
+
+def key_skew_profile(df: DataFrame, key: str, top: int = 20) -> DataFrame:
+    """Hot-key diagnostic: the top-N keys by row count with their share
+    of total and a skew ratio vs the mean key population.
+
+    This is the measurement that decides between a plain shuffle join,
+    `salted_join`, and AQE skew splitting — run it BEFORE picking a
+    distribution strategy for a new 100 TB key.  One map-side-combined
+    count aggregate + a tiny top-N (TakeOrderedAndProject); the global
+    totals ride along as a single-row broadcast-joined aggregate, so
+    nothing rescans the fact.
+    """
+    counts = df.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total_rows"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            F.col(key),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("_total_rows"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") / (F.col("_total_rows") / F.col("_n_keys")), 4
+            ).alias("skew_vs_mean"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col(key).asc())
+        .limit(top)
+    )

@@ -1161,6 +1161,41 @@ FROM c FULL OUTER JOIN s ON c.nk = s.nk
 )
 
 
+def _build_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import key_skew_profile
+
+    load_views(spark, sf_dir)
+    return key_skew_profile(spark.table("orders"), "o_custkey", top=20)
+
+
+q_agg_skew_profile = Query(
+    name="agg_skew_profile",
+    build=_build_skew_profile,
+    oracle="""
+        WITH counts AS (
+            SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+        ), totals AS (
+            SELECT CAST(SUM(n) AS DOUBLE) AS total_rows,
+                   CAST(COUNT(*) AS DOUBLE) AS n_keys
+            FROM counts
+        )
+        SELECT o_custkey,
+               CAST(n AS BIGINT)                                 AS n_rows,
+               ROUND(n / total_rows, 6)                          AS share,
+               ROUND(n / (total_rows / n_keys), 4)               AS skew_vs_mean
+        FROM counts, totals
+        ORDER BY n_rows DESC, o_custkey ASC
+        LIMIT 20
+    """,
+    doc="Hot-key diagnostic (operators.key_skew_profile): top-N keys with "
+    "share-of-total and skew-vs-mean ratio — the measurement that decides "
+    "between plain shuffle, salted_join, and AQE skew splitting before "
+    "committing a 100 TB key to a distribution strategy. One partial-"
+    "aggregated count + broadcast single-row totals; top-N is "
+    "TakeOrderedAndProject.",
+)
+
+
 QUERIES = [
     q_agg_pricing_summary,
     q_agg_conditional,
@@ -1209,4 +1244,5 @@ QUERIES = [
     q_agg_string_agg,
     q_window_range_frame,
     q_join_full_outer,
+    q_agg_skew_profile,
 ]

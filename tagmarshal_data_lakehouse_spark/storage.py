@@ -278,3 +278,34 @@ class Lakehouse:
         self.overwrite(shadow, df, partition_by)
         self._swap_in(table, shadow)
         return len(self.table_data_files(table))
+
+    def vacuum(self, quarantine_keep: int = 10) -> list[str]:
+        """Reclaim storage from interrupted operations and old runs.
+
+        - `*__tmp` / `*__old` directories are leftovers of a
+          merge/compact swap that died between its renames — the live
+          table is whichever rename completed, so the leftovers are
+          always safe to drop;
+        - quarantine run tables beyond the newest `quarantine_keep`
+          (run-id sorted) are pruned, bounding the quarantine footprint
+          the way Iceberg's snapshot expiry bounds metadata.
+
+        Returns the removed paths (driver-side metadata op: O(dirs),
+        never touches row data).
+        """
+        removed: list[str] = []
+        for root, dirs, _files in os.walk(self.root, topdown=True):
+            for d in list(dirs):
+                if d.endswith(("__tmp", "__old")):
+                    p = os.path.join(root, d)
+                    shutil.rmtree(p, ignore_errors=True)
+                    dirs.remove(d)
+                    removed.append(p)
+        qdir = os.path.join(self.root, "quarantine")
+        if os.path.isdir(qdir):
+            runs = sorted(d for d in os.listdir(qdir) if not d.startswith(("_", ".")))
+            for d in runs[:-quarantine_keep] if quarantine_keep else runs:
+                p = os.path.join(qdir, d)
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        return removed

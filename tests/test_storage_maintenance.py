@@ -104,3 +104,23 @@ def test_compact_rejects_conflicting_layouts(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         lake.compact("bench.frag", sort_cols=["k"], zorder_by=["k", "grp"])
+
+
+def test_vacuum_reclaims_swap_leftovers_and_old_quarantine(spark, tmp_path):
+    import os
+
+    lake = _fragmented_lake(spark, tmp_path, n_rows=100, n_files=2)
+    # simulate a crash between swap renames + accumulated quarantine runs
+    os.makedirs(os.path.join(lake.root, "bench", "frag__tmp"))
+    os.makedirs(os.path.join(lake.root, "bench", "frag__old"))
+    for i in range(5):
+        os.makedirs(os.path.join(lake.root, "quarantine", f"run_{i:03d}"))
+
+    removed = lake.vacuum(quarantine_keep=2)
+    assert len(removed) == 2 + 3  # both leftovers + 3 oldest runs
+    assert sorted(os.listdir(os.path.join(lake.root, "quarantine"))) == [
+        "run_003",
+        "run_004",
+    ]
+    # the live table is untouched
+    assert lake.read("bench.frag").count() == 100
