@@ -182,3 +182,40 @@ def key_skew_profile(df: DataFrame, key: str, top: int = 20) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), F.col(key).asc())
         .limit(top)
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profile: rows, nulls, exact distincts, min/max.
+
+    The ANALYZE-TABLE / pre-training data-profiling role.  All columns
+    profile in ONE aggregate over ONE scan (count + null-count + min +
+    max combine map-side; the exact COUNT(DISTINCT) set is the only
+    shuffled state — swap in approx_count_distinct at 100 TB if 2%
+    error is acceptable, the rest of the plan is unchanged).  min/max
+    are computed in the column's native type and cast to string only
+    for the uniform long-format output.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    ).selectExpr(
+        "column_name",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(n_nulls AS BIGINT) AS n_nulls",
+        "CAST(n_distinct AS BIGINT) AS n_distinct",
+        "min_value",
+        "max_value",
+    )

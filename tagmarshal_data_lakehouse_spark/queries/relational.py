@@ -1196,6 +1196,60 @@ q_agg_skew_profile = Query(
 )
 
 
+def _build_scan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile_columns
+
+    load_views(spark, sf_dir)
+    return profile_columns(
+        spark.table("orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+
+
+q_scan_profile = Query(
+    name="scan_profile",
+    build=_build_scan_profile,
+    oracle="""
+        WITH one AS (
+            SELECT COUNT(*) AS rows_all,
+                   SUM(CASE WHEN o_orderkey    IS NULL THEN 1 ELSE 0 END) AS n1,
+                   SUM(CASE WHEN o_custkey     IS NULL THEN 1 ELSE 0 END) AS n2,
+                   SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n3,
+                   SUM(CASE WHEN o_totalprice  IS NULL THEN 1 ELSE 0 END) AS n4,
+                   SUM(CASE WHEN o_orderdate   IS NULL THEN 1 ELSE 0 END) AS n5,
+                   COUNT(DISTINCT o_orderkey)    AS d1,
+                   COUNT(DISTINCT o_custkey)     AS d2,
+                   COUNT(DISTINCT o_orderstatus) AS d3,
+                   COUNT(DISTINCT o_totalprice)  AS d4,
+                   COUNT(DISTINCT o_orderdate)   AS d5,
+                   CAST(MIN(o_orderkey) AS VARCHAR)    AS min1,
+                   CAST(MIN(o_custkey) AS VARCHAR)     AS min2,
+                   CAST(MIN(o_orderstatus) AS VARCHAR) AS min3,
+                   CAST(MIN(o_totalprice) AS VARCHAR)  AS min4,
+                   CAST(MIN(o_orderdate) AS VARCHAR)   AS min5,
+                   CAST(MAX(o_orderkey) AS VARCHAR)    AS max1,
+                   CAST(MAX(o_custkey) AS VARCHAR)     AS max2,
+                   CAST(MAX(o_orderstatus) AS VARCHAR) AS max3,
+                   CAST(MAX(o_totalprice) AS VARCHAR)  AS max4,
+                   CAST(MAX(o_orderdate) AS VARCHAR)   AS max5
+            FROM orders
+        )
+        SELECT u.* FROM one, LATERAL (VALUES
+            ('o_orderkey',    CAST(rows_all AS BIGINT), CAST(n1 AS BIGINT), CAST(d1 AS BIGINT), min1, max1),
+            ('o_custkey',     CAST(rows_all AS BIGINT), CAST(n2 AS BIGINT), CAST(d2 AS BIGINT), min2, max2),
+            ('o_orderstatus', CAST(rows_all AS BIGINT), CAST(n3 AS BIGINT), CAST(d3 AS BIGINT), min3, max3),
+            ('o_totalprice',  CAST(rows_all AS BIGINT), CAST(n4 AS BIGINT), CAST(d4 AS BIGINT), min4, max4),
+            ('o_orderdate',   CAST(rows_all AS BIGINT), CAST(n5 AS BIGINT), CAST(d5 AS BIGINT), min5, max5)
+        ) AS u(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)
+    """,
+    doc="One-pass multi-column profile (operators.profile_columns): rows, "
+    "nulls, exact distincts, native-typed min/max per column from a "
+    "single scan — the ANALYZE-TABLE / pre-training data-profiling role "
+    "(swap approx_count_distinct in at 100 TB; plan otherwise "
+    "unchanged).",
+)
+
+
 QUERIES = [
     q_agg_pricing_summary,
     q_agg_conditional,
@@ -1245,4 +1299,5 @@ QUERIES = [
     q_window_range_frame,
     q_join_full_outer,
     q_agg_skew_profile,
+    q_scan_profile,
 ]
