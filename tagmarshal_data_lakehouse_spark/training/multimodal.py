@@ -118,3 +118,53 @@ def decode_image_real(payload: bytes):  # pragma: no cover - documentation stub
         "image decoding requires PIL/opencv which are not available; "
         "use extract_media_features (deterministic stub) instead"
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling over video-style payloads: one output row per
+    sampled frame index (0, every_n, 2*every_n, ... < n_frames).
+
+    The 1->N expansion shape every video pipeline needs: the explosion
+    happens INSIDE the Arrow batch iterator, so a task's peak memory is
+    one input batch plus its sampled frames — payload bytes are dropped
+    before yield, never carried per frame.  The frame decode is the same
+    deterministic stub as extract_media_features (frame content stands
+    in as md5(payload : idx)); a real deployment swaps in libav
+    keyframe extraction and the plumbing — schema, batch shape,
+    partition behavior — is unchanged.
+    """
+
+    def fake_n_frames(payload: bytes) -> int:
+        # closure-local (pickles by value; see extract_media_features)
+        return 1 + (len(payload) % 16)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i in range(0, fake_n_frames(payload), every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(payload + b":" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)

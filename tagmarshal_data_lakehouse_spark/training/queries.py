@@ -782,6 +782,28 @@ q_multimodal_features = Query(
     "deterministically; the oracle verifies the full UDF pipeline).",
 )
 
+q_multimodal_frame_sample = Query(
+    name="multimodal_frame_sample",
+    build=lambda spark, sf_dir: multimodal.sample_frames(
+        multimodal.documents_as_media(_docs(spark, sf_dir)), every_n=4
+    ),
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id, text,
+                   CAST(1 + strlen(text) % 16 AS INT) AS n_frames
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(i AS INT) AS frame_idx,
+               md5(text || ':' || CAST(i AS VARCHAR)) AS frame_md5
+        FROM m, LATERAL unnest(range(0, n_frames, 4)) AS t(i)
+    """,
+    doc="Video-style frame sampling: 1->N expansion inside the Arrow "
+    "batch iterator (payload bytes dropped before yield — task memory "
+    "is one batch, not one batch x frames). Oracle verifies the full "
+    "mapInPandas expansion row-for-row.",
+)
+
 
 QUERIES = [
     q_doc_dedup_exact,
@@ -814,4 +836,5 @@ QUERIES = [
     q_emb_quantize_int8,
     q_doc_clean_corpus_stats,
     q_multimodal_features,
+    q_multimodal_frame_sample,
 ]
