@@ -278,6 +278,40 @@ GROUP BY GROUPING SETS ((bucket_hour, event_type), (bucket_day, event_type))
 )
 
 
+_COHORT_SPARK = """
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_date FROM events
+)
+SELECT CAST(f.cohort_date AS TIMESTAMP) AS cohort_ts,
+       CAST(DATEDIFF(a.activity_date, f.cohort_date) AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY f.cohort_date, day_offset
+"""
+
+q_events_retention_cohorts = Query(
+    name="events_retention_cohorts",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(_COHORT_SPARK),
+    )[1],
+    oracle=_COHORT_SPARK.replace(
+        "DATEDIFF(a.activity_date, f.cohort_date)",
+        "date_diff('day', f.cohort_date, a.activity_date)",
+    ),
+    doc="Retention cohort matrix: users keyed to their first-seen day, "
+    "counted per (cohort, day-offset) — the activation/retention report "
+    "every event pipeline ships. firsts and activity both shuffle on "
+    "user_id, so the join reuses the same hash partitioning (no third "
+    "shuffle); cohort_ts cast to TIMESTAMP on both engines to dodge the "
+    "date-object/datetime64 hash drift (same trap as scalar_datetime). "
+    "Spark DATEDIFF(end, start) = DuckDB date_diff('day', start, end) — "
+    "argument order differs between engines.",
+)
+
+
 QUERIES = [
     q_events_tumbling_window,
     q_events_sessionize,
@@ -286,4 +320,5 @@ QUERIES = [
     q_events_asof_join,
     q_events_approx_sketches,
     q_events_time_rollup,
+    q_events_retention_cohorts,
 ]
