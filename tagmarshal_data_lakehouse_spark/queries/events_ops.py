@@ -278,6 +278,37 @@ GROUP BY GROUPING SETS ((bucket_hour, event_type), (bucket_day, event_type))
 )
 
 
+q_events_anomaly_zscore = _shared(
+    "events_anomaly_zscore",
+    f"""
+WITH stats AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE)       AS n,
+           {dsum('value')}                AS sx,
+           {dsum('value * value', 4, 28)} AS sxx
+    FROM events GROUP BY event_type
+), scored AS (
+    SELECT e.event_type,
+           (e.value - s.sx / s.n)
+             / SQRT(GREATEST(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n), 1.0e-12)) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)             AS n_events,
+       CAST(COUNT_IF(ABS(z) > 3) AS BIGINT) AS n_anomalous,
+       ROUND(MAX(ABS(z)), 6)                AS max_abs_z
+FROM scored
+GROUP BY event_type
+""",
+    "Z-score anomaly detection per event type: moments from exact decimal "
+    "sums (deterministic on any partitioning — +,-,*,/ and SQRT are "
+    "IEEE-pinned given identical inputs, unlike built-in STDDEV over "
+    "doubles), per-group stats broadcast back over the fact (tiny side), "
+    "then one re-aggregation. Two scans of the fact, zero wide shuffles "
+    "of it — the monitoring primitive behind telemetry outlier alerts.",
+)
+
+
 _COHORT_SPARK = """
 WITH firsts AS (
     SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
@@ -321,4 +352,5 @@ QUERIES = [
     q_events_approx_sketches,
     q_events_time_rollup,
     q_events_retention_cohorts,
+    q_events_anomaly_zscore,
 ]
