@@ -211,6 +211,15 @@ class Lakehouse:
 
     # -- maintenance -------------------------------------------------------
 
+    def _partition_layout(self, table: str, files: list[str]) -> list[str]:
+        """Partition columns inferred from the hive `k=v` path segments
+        of the table's data files (the physical truth, independent of
+        how the last writer was invoked)."""
+        if not files:
+            return []
+        rel = os.path.relpath(files[0], self.path(table))
+        return [seg.split("=", 1)[0] for seg in rel.split(os.sep)[:-1] if "=" in seg]
+
     def table_data_files(self, table: str) -> list[str]:
         """All parquet data files under the table directory."""
         out = []
@@ -257,7 +266,13 @@ class Lakehouse:
         if sort_cols and zorder_by:
             raise ValueError("pass sort_cols or zorder_by, not both")
         df = self.read(table)
-        total = sum(os.path.getsize(f) for f in self.table_data_files(table))
+        files = self.table_data_files(table)
+        if partition_by is None:
+            # preserve an existing hive layout: a rewrite must never
+            # silently flatten course_id=... directories (that would
+            # break downstream partition pruning)
+            partition_by = self._partition_layout(table, files) or None
+        total = sum(os.path.getsize(f) for f in files)
         n_files = max(1, -(-total // target_file_bytes))
         if zorder_by:
             from .operators import zorder_key

@@ -124,3 +124,25 @@ def test_vacuum_reclaims_swap_leftovers_and_old_quarantine(spark, tmp_path):
     ]
     # the live table is untouched
     assert lake.read("bench.frag").count() == 100
+
+
+def test_compact_preserves_hive_partition_layout(spark, tmp_path):
+    import os
+
+    lake = Lakehouse(spark, str(tmp_path / "warehouse"))
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("course_id"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    lake.overwrite("silver.part_tbl", df.repartition(8), partition_by=["course_id"])
+    n_before = len(lake.table_data_files("silver.part_tbl"))
+    before = sorted(map(tuple, lake.read("silver.part_tbl").collect()))
+
+    # no partition_by passed: compact must detect and keep the layout
+    lake.compact("silver.part_tbl")
+    root = lake.path("silver.part_tbl")
+    subdirs = sorted(d for d in os.listdir(root) if d.startswith("course_id="))
+    assert subdirs == ["course_id=0", "course_id=1", "course_id=2"]
+    assert len(lake.table_data_files("silver.part_tbl")) < n_before
+    assert sorted(map(tuple, lake.read("silver.part_tbl").collect())) == before
