@@ -130,6 +130,15 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     range-partitioning the caller applies to the key.  Columns with a
     degenerate (constant) range contribute zero bits, harmlessly.
     """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * len(cols) > 62:
+        # interleaved key must fit a signed 64-bit long without touching
+        # the sign bit (bit 63) — shrink bits for wide column sets
+        raise ValueError(
+            f"bits({bits}) * cols({len(cols)}) = {bits * len(cols)} exceeds 62; "
+            f"use bits <= {62 // len(cols)}"
+        )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
@@ -195,6 +204,8 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     are computed in the column's native type and cast to string only
     for the uniform long-format output.
     """
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
     aggs = []
     for c in cols:
         aggs += [
