@@ -104,11 +104,11 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
 
 def registry() -> dict[str, Query]:
     """Assemble the full named-query registry."""
-    from . import events_ops, relational
+    from . import events_ops, relational, tpch
     from ..training import queries as training_queries
 
     out: dict[str, Query] = {}
-    for mod in (relational, events_ops, training_queries):
+    for mod in (relational, events_ops, tpch, training_queries):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")

@@ -167,3 +167,34 @@ def test_full_outer_aggregates_before_join(spark, sf_smoke, reg):
     df = reg["join_full_outer"].build(spark, sf_smoke)
     strategies = plans.join_strategies(df)
     assert strategies and all("NestedLoop" not in s for s in strategies)
+
+
+def test_tpch_dim_joins_all_broadcast(spark, sf_smoke, reg):
+    # Q5 (6-way) and Q8 (8-way): every dim-side join must broadcast at
+    # this SF, and the only exchange is the final aggregation shuffle.
+    # At 100 TB the lineitem-orders edge exceeds the broadcast threshold
+    # and AQE falls back to sort-merge — the contract here is that no
+    # join *shuffles* when a broadcast is available.
+    for name in ("tpch_q5", "tpch_q8"):
+        df = reg[name].build(spark, sf_smoke)
+        strategies = plans.join_strategies(df)
+        assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
+            name,
+            strategies,
+        )
+        assert plans.count_exchanges(df) == 1, name
+
+
+def test_tpch_subqueries_decorrelate_to_joins(spark, sf_smoke, reg):
+    # Q4's correlated EXISTS and Q17's correlated scalar AVG must be
+    # decorrelated by Catalyst into aggregate+join shapes — a
+    # per-row subquery re-execution would be quadratic at scale. The
+    # physical plan therefore may not contain any nested-loop join or
+    # uncorrelated-loop artifact; all joins must be hash-based.
+    for name in ("tpch_q4", "tpch_q17", "tpch_q22"):
+        df = reg[name].build(spark, sf_smoke)
+        strategies = plans.join_strategies(df)
+        assert strategies and all("NestedLoop" not in s for s in strategies), (
+            name,
+            strategies,
+        )
