@@ -56,12 +56,23 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
     projects — check `.explain` for PushedFilters/ReadSchema).
 
     Must work under ANY externally-built SparkSession, not only the
-    package's own session factory: events.parquet is written as
-    TIMESTAMP(NANOS), which a plain session refuses to read
-    (PARQUET_TYPE_ILLEGAL). nanosAsLong is a runtime-settable SQL conf,
-    so set it here rather than relying on session-build time. Each table
-    is also failure-isolated: one unreadable table must not take down
-    queries that never touch it.
+    package's own session factory, and must yield the SAME `events.ts`
+    type everywhere. The testdata has shipped it two ways:
+
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — the current
+      shape. Read as TIMESTAMP_NTZ (inferTimestampNTZ forced on below so
+      a session configured otherwise agrees) and KEPT NTZ: naive on the
+      Spark side exactly as DuckDB's naive TIMESTAMP, so oracle
+      comparisons never depend on the session timezone. Queries use only
+      NTZ-safe functions over it (TIMESTAMPDIFF / DATE_TRUNC — never
+      unix_micros, which requires LTZ).
+    - parquet TIMESTAMP(NANOS), which a plain session refuses to read
+      (PARQUET_TYPE_ILLEGAL; all 47 round-1 rows). nanosAsLong is a
+      runtime-settable SQL conf, so set it here rather than relying on
+      session-build time, then rebuild µs timestamps from the long.
+
+    Each table is also failure-isolated: one unreadable table must not
+    take down queries that never touch it.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
@@ -81,6 +92,9 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
     # Runtime-settable; makes TIMESTAMP(NANOS) columns readable as long
     # (then rebuilt as µs timestamps below) under any session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # TIMESTAMP(MICROS, adjusted=false) must read as NTZ under every
+    # session so query semantics don't depend on who built the session.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
 
     errors: dict[str, Exception] = {}
     for t in tables:
@@ -91,7 +105,16 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
                 # µs-precision so nanos are exact multiples of 1000 and the
                 # floor division is lossless. DuckDB performs the same
                 # ns->µs truncation when it maps this column to TIMESTAMP.
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                # Built as NTZ directly (epoch + µs) so both testdata
+                # vintages present one type, with no session-timezone
+                # dependence anywhere on the path.
+                df = df.withColumn(
+                    "ts",
+                    F.expr(
+                        "timestampadd(MICROSECOND, ts div 1000,"
+                        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                    ),
+                )
             df.createOrReplaceTempView(t)
         except Exception as exc:  # noqa: BLE001 — isolate per-table failure
             errors[t] = exc

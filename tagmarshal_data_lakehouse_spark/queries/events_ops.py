@@ -49,8 +49,8 @@ q_events_sessionize = Query(
             """
             WITH gaps AS (
                 SELECT user_id, ts, event_id,
-                       UNIX_MICROS(ts) - LAG(UNIX_MICROS(ts)) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id) AS gap_micros
+                       TIMESTAMPDIFF(MICROSECOND, LAG(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_micros
                 FROM events
             ), marked AS (
                 SELECT user_id, ts, event_id,
@@ -67,7 +67,7 @@ q_events_sessionize = Query(
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    MIN(ts) AS session_start,
                    MAX(ts) AS session_end,
-                   CAST(UNIX_MICROS(MAX(ts)) - UNIX_MICROS(MIN(ts)) AS BIGINT) AS duration_micros
+                   CAST(TIMESTAMPDIFF(MICROSECOND, MIN(ts), MAX(ts)) AS BIGINT) AS duration_micros
             FROM sessions
             GROUP BY user_id, session_seq
             """
@@ -134,7 +134,7 @@ q_events_dedup_exact = Query(
                    CAST(COUNT(*) AS BIGINT) AS n_raw,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
                    CAST(COUNT(*) - COUNT(DISTINCT CONCAT(CAST(user_id AS STRING), ':',
-                        CAST(UNIX_MICROS(ts) AS STRING))) AS BIGINT) AS n_dup_user_instants
+                        CAST(ts AS STRING))) AS BIGINT) AS n_dup_user_instants
             FROM events
             GROUP BY event_type
             """
@@ -182,7 +182,7 @@ q_events_asof_join = Query(
                 FROM clicks WHERE rn = 1
                 UNION ALL
                 SELECT user_id, ts, 1 AS side, event_id, value,
-                       CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP)
+                       CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP_NTZ)
                 FROM events WHERE event_type = 'purchase'
             ), carried AS (
                 SELECT user_id, ts, side, event_id, purchase_value,
@@ -252,9 +252,7 @@ q_events_approx_sketches = Query(
 )
 
 
-q_events_time_rollup = _shared(
-    "events_time_rollup",
-    """
+_TIME_ROLLUP_SQL = """
 SELECT CASE
          WHEN GROUPING(bucket_day) = 0 AND GROUPING(bucket_hour) = 1 THEN 'day'
          WHEN GROUPING(bucket_hour) = 0 THEN 'hour'
@@ -265,16 +263,27 @@ SELECT CASE
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM (SELECT event_type, value,
              DATE_TRUNC('hour', ts) AS bucket_hour,
-             CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bucket_day
+             CAST(DATE_TRUNC('day', ts) AS TIMESTAMP_NTZ) AS bucket_day
       FROM events)
 GROUP BY GROUPING SETS ((bucket_hour, event_type), (bucket_day, event_type))
-""",
-    "Multi-resolution time-bucket rollup (hypertable continuous-aggregate "
+"""
+
+q_events_time_rollup = Query(
+    name="events_time_rollup",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(_TIME_ROLLUP_SQL),
+    )[1],
+    # DuckDB has no TIMESTAMP_NTZ spelling — its TIMESTAMP is already
+    # naive, i.e. the same semantics ts carries on the Spark side.
+    oracle=_TIME_ROLLUP_SQL.replace("TIMESTAMP_NTZ", "TIMESTAMP"),
+    doc="Multi-resolution time-bucket rollup (hypertable continuous-aggregate "
     "shape): hour and day materializations from ONE scan via GROUPING SETS "
     "— Spark expands the sets inside a single Expand+HashAggregate, so the "
     "100 TB fact is read once for every resolution, not once per "
-    "resolution. bucket_day is cast to TIMESTAMP so both resolutions "
-    "COALESCE into one typed column on both engines.",
+    "resolution. bucket_day is cast back to the naive timestamp type so "
+    "both resolutions COALESCE into one typed column on both engines "
+    "with no session-timezone dependence.",
 )
 
 
@@ -315,7 +324,7 @@ WITH firsts AS (
 ), activity AS (
     SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_date FROM events
 )
-SELECT CAST(f.cohort_date AS TIMESTAMP) AS cohort_ts,
+SELECT CAST(f.cohort_date AS TIMESTAMP_NTZ) AS cohort_ts,
        CAST(DATEDIFF(a.activity_date, f.cohort_date) AS INT) AS day_offset,
        CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
 FROM activity a JOIN firsts f ON a.user_id = f.user_id
@@ -331,13 +340,14 @@ q_events_retention_cohorts = Query(
     oracle=_COHORT_SPARK.replace(
         "DATEDIFF(a.activity_date, f.cohort_date)",
         "date_diff('day', f.cohort_date, a.activity_date)",
-    ),
+    ).replace("TIMESTAMP_NTZ", "TIMESTAMP"),
     doc="Retention cohort matrix: users keyed to their first-seen day, "
     "counted per (cohort, day-offset) — the activation/retention report "
     "every event pipeline ships. firsts and activity both shuffle on "
     "user_id, so the join reuses the same hash partitioning (no third "
-    "shuffle); cohort_ts cast to TIMESTAMP on both engines to dodge the "
-    "date-object/datetime64 hash drift (same trap as scalar_datetime). "
+    "shuffle); cohort_ts cast to the naive timestamp type on both engines "
+    "to dodge the date-object/datetime64 hash drift (same trap as "
+    "scalar_datetime) without touching the session timezone. "
     "Spark DATEDIFF(end, start) = DuckDB date_diff('day', start, end) — "
     "argument order differs between engines.",
 )

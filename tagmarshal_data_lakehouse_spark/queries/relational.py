@@ -117,7 +117,7 @@ q_agg_minmax_duration = Query(
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    MIN(ts) AS first_ts,
                    MAX(ts) AS last_ts,
-                   CAST(UNIX_MICROS(MAX(ts)) - UNIX_MICROS(MIN(ts)) AS BIGINT) AS span_micros
+                   CAST(TIMESTAMPDIFF(MICROSECOND, MIN(ts), MAX(ts)) AS BIGINT) AS span_micros
             FROM events GROUP BY user_id
             """
         ),
@@ -697,7 +697,7 @@ q_scalar_datetime = Query(
         load_views(spark, sf_dir),
         spark.sql(
             """
-            SELECT DATE_TRUNC('month', o_orderdate)                    AS order_month,
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP_NTZ) AS order_month,
                    CAST(YEAR(o_orderdate) AS INT)                      AS order_year,
                    CAST(MONTH(o_orderdate) AS INT)                     AS order_month_num,
                    CAST(((DAYOFWEEK(o_orderdate) + 5) % 7) + 1 AS INT) AS iso_dow,
@@ -725,10 +725,12 @@ q_scalar_datetime = Query(
     doc="Datetime family incl. the ISO day-of-week conversion — the Spark "
     "1=Sunday vs Trino 1=Monday trap (SURVEY §2.8, §7.4 trap 1; reference "
     "fact_rounds.sql:110-114, global_time_patterns.sql:46-59). order_month "
-    "is TIMESTAMP on BOTH sides: Spark's DATE_TRUNC already yields "
-    "TIMESTAMP, and the oracle casts DuckDB's DATE result up to match — "
-    "both clients then materialize datetime64, avoiding the date-object vs "
-    "Timestamp value-hash drift a DATE output hits.",
+    "is the naive timestamp type on BOTH sides: Spark's DATE_TRUNC over a "
+    "DATE yields session-tz TIMESTAMP, so it's pinned to TIMESTAMP_NTZ "
+    "(wall-clock midnight under any session timezone) and the oracle casts "
+    "DuckDB's DATE result up to its naive TIMESTAMP — both clients then "
+    "materialize datetime64, avoiding the date-object vs Timestamp "
+    "value-hash drift a DATE output hits.",
 )
 
 q_scalar_string_math = _shared(

@@ -1,0 +1,62 @@
+"""Timezone independence of every timestamp-emitting oracle query.
+
+The correctness driver builds its own plain SparkSession, so nothing
+guarantees `spark.sql.session.timeZone=UTC` at query time. `events.ts`
+is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) and is deliberately
+kept TIMESTAMP_NTZ end-to-end (queries/__init__.py load_views), with
+queries restricted to NTZ-safe expressions — so results must be
+bit-identical to the DuckDB oracle under ANY session timezone.
+
+This suite re-runs the timestamp-shaped oracle pairs with the session
+timezone forced far from UTC, which catches every way an LTZ leak can
+re-enter: an unqualified CAST(x AS TIMESTAMP), a DATE_TRUNC over DATE
+(session-tz midnight), a NULL literal typed LTZ inside a UNION with an
+NTZ branch (coerces the whole column), unix_micros/from_unixtime, …
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tagmarshal_data_lakehouse_spark.queries import registry
+
+from .oracle_harness import run_query_pair
+
+# Every oracle-checked query whose OUTPUT or internal logic touches a
+# timestamp/date derived from events.ts or a DATE_TRUNC — the surfaces
+# where session-timezone dependence can corrupt values.
+TS_QUERIES = [
+    "agg_minmax_duration",
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_funnel",
+    "events_dedup_exact",
+    "events_asof_join",
+    "events_time_rollup",
+    "events_anomaly_zscore",
+    "events_retention_cohorts",
+    "scalar_datetime",
+]
+
+# Large negative offset + DST so wall-clock != UTC in both halves of
+# the year; any session-tz leak shifts values by hours and fails the
+# exact compare.
+NON_UTC = "America/New_York"
+
+
+@pytest.fixture(scope="module")
+def tz_shifted_spark(spark):
+    original = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", NON_UTC)
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+
+
+@pytest.mark.parametrize("name", TS_QUERIES)
+def test_tz_independent(tz_shifted_spark, sf_smoke, name):
+    q = registry()[name]
+    assert q.oracle is not None, f"{name} must stay oracle-checked"
+    problems = run_query_pair(tz_shifted_spark, q, sf_smoke)
+    assert not problems, f"{name} under {NON_UTC}: {problems[:3]}"
