@@ -60,8 +60,9 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
     type everywhere. The testdata has shipped it two ways:
 
     - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — the current
-      shape. Read as TIMESTAMP_NTZ (inferTimestampNTZ forced on below so
-      a session configured otherwise agrees) and KEPT NTZ: naive on the
+      shape. Read as TIMESTAMP_NTZ (the per-read inferTimestampNTZ
+      reader option, so a session configured otherwise agrees without
+      this function mutating that session's conf) and KEPT NTZ: naive on the
       Spark side exactly as DuckDB's naive TIMESTAMP, so oracle
       comparisons never depend on the session timezone. Queries use only
       NTZ-safe functions over it (TIMESTAMPDIFF / DATE_TRUNC — never
@@ -90,16 +91,25 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
         pass
 
     # Runtime-settable; makes TIMESTAMP(NANOS) columns readable as long
-    # (then rebuilt as µs timestamps below) under any session.
+    # (then rebuilt as µs timestamps below) under any session. Left set
+    # (not restored): it only affects files physically containing
+    # TIMESTAMP(NANOS), which a plain session cannot read AT ALL, so it
+    # cannot change the inferred type of any column the caller could
+    # otherwise read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # TIMESTAMP(MICROS, adjusted=false) must read as NTZ under every
-    # session so query semantics don't depend on who built the session.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
 
     errors: dict[str, Exception] = {}
     for t in tables:
         try:
-            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            # TIMESTAMP(MICROS, adjusted=false) must read as NTZ under
+            # every session so query semantics don't depend on who built
+            # the session. Scoped to THIS read via the parquet reader
+            # option — a session-level conf.set here would permanently
+            # change the inferred type of the caller's own later
+            # unadjusted-UTC parquet reads.
+            df = spark.read.option("inferTimestampNTZ", "true").parquet(
+                f"{sf_dir}/{t}.parquet"
+            )
             if t == "events" and isinstance(df.schema["ts"].dataType, LongType):
                 # TIMESTAMP(NANOS) read as long (nanosAsLong); the data is
                 # µs-precision so nanos are exact multiples of 1000 and the
@@ -125,15 +135,54 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
         spark.conf.set("spark.graft.views.loaded", marker)
 
 
+# The correctness harness sweeps the registry in insertion order under a
+# budget (round 2 covered exactly the first 50 entries), so ordering is a
+# coverage decision, not cosmetics. Layout:
+#   1. a flagship interleave — one query per family every 4 slots, so even
+#      a severely truncated sweep produces a row for every family;
+#   2. all remaining events queries (9 total);
+#   3. all remaining training/LLM-pipeline queries (31 total — the surface
+#      a budget-truncated sweep must not starve);
+#   4. remaining TPC-H, then the relational tail (the family with the most
+#      prior verified coverage, cheapest to defer).
+_FLAGSHIP_INTERLEAVE = (
+    "events_sessionize",
+    "doc_dedup_exact",
+    "tpch_q3",
+    "agg_pricing_summary",
+    "events_tumbling_window",
+    "doc_token_stats",
+    "tpch_q6",
+    "window_dedup",
+    "events_asof_join",
+    "emb_cosine_topk",
+    "tpch_q18",
+    "join_multiway",
+)
+
+
 def registry() -> dict[str, Query]:
-    """Assemble the full named-query registry."""
+    """Assemble the full named-query registry (see ordering note above)."""
     from . import events_ops, relational, tpch
     from ..training import queries as training_queries
 
-    out: dict[str, Query] = {}
-    for mod in (relational, events_ops, tpch, training_queries):
-        for q in mod.QUERIES:
-            if q.name in out:
+    families = (
+        events_ops.QUERIES,
+        training_queries.QUERIES,
+        tpch.QUERIES,
+        relational.QUERIES,
+    )
+    by_name: dict[str, Query] = {}
+    for qs in families:
+        for q in qs:
+            if q.name in by_name:
                 raise ValueError(f"duplicate query name {q.name}")
-            out[q.name] = q
+            by_name[q.name] = q
+
+    out: dict[str, Query] = {}
+    for name in _FLAGSHIP_INTERLEAVE:
+        out[name] = by_name[name]
+    for qs in families:
+        for q in qs:
+            out.setdefault(q.name, q)
     return out
