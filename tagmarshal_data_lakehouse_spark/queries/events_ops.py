@@ -25,20 +25,37 @@ def _shared(name: str, sql: str, doc: str) -> Query:
     return Query(name=name, build=build, oracle=sql, doc=doc)
 
 
-q_events_tumbling_window = _shared(
-    "events_tumbling_window",
-    f"""
-SELECT DATE_TRUNC('hour', ts)       AS window_start,
+# Hour/day buckets over the NTZ ts column must never route through
+# Spark's DATE_TRUNC: it implicitly casts to session-tz TIMESTAMP, so a
+# timezone whose DST gap overlaps a bucket boundary shifts the bucket
+# (NTZ->LTZ->render is the identity only outside gaps). These forms stay
+# NTZ end-to-end under any session timezone. DuckDB's TIMESTAMP is
+# already naive, so its plain DATE_TRUNC is the same function.
+SPARK_HOUR_BUCKET = "MAKE_TIMESTAMP_NTZ(YEAR(ts), MONTH(ts), DAY(ts), HOUR(ts), 0, 0)"
+SPARK_DAY_BUCKET = "CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ)"
+
+_TUMBLING_SQL = f"""
+SELECT {{hour_bucket}}              AS window_start,
        event_type,
        CAST(COUNT(*) AS BIGINT)     AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        {dsum('value')}              AS total_value
 FROM events
 GROUP BY 1, 2
-""",
-    "Tumbling event-time window aggregate (batch form of streaming "
+"""
+
+q_events_tumbling_window = Query(
+    name="events_tumbling_window",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(_TUMBLING_SQL.format(hour_bucket=SPARK_HOUR_BUCKET)),
+    )[1],
+    oracle=_TUMBLING_SQL.format(hour_bucket="DATE_TRUNC('hour', ts)"),
+    doc="Tumbling event-time window aggregate (batch form of streaming "
     "groupBy(window(ts, '1 hour')); Structured Streaming variant in "
-    "streaming/ingest.py).",
+    "streaming/ingest.py). window_start is derived tz-free "
+    "(MAKE_TIMESTAMP_NTZ) so the bucket type and value are "
+    "session-timezone independent.",
 )
 
 q_events_sessionize = Query(
@@ -262,8 +279,8 @@ SELECT CASE
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM (SELECT event_type, value,
-             DATE_TRUNC('hour', ts) AS bucket_hour,
-             CAST(DATE_TRUNC('day', ts) AS TIMESTAMP_NTZ) AS bucket_day
+             {hour_bucket} AS bucket_hour,
+             {day_bucket} AS bucket_day
       FROM events)
 GROUP BY GROUPING SETS ((bucket_hour, event_type), (bucket_day, event_type))
 """
@@ -272,18 +289,25 @@ q_events_time_rollup = Query(
     name="events_time_rollup",
     build=lambda spark, sf_dir: (
         load_views(spark, sf_dir),
-        spark.sql(_TIME_ROLLUP_SQL),
+        spark.sql(
+            _TIME_ROLLUP_SQL.format(
+                hour_bucket=SPARK_HOUR_BUCKET, day_bucket=SPARK_DAY_BUCKET
+            )
+        ),
     )[1],
-    # DuckDB has no TIMESTAMP_NTZ spelling — its TIMESTAMP is already
-    # naive, i.e. the same semantics ts carries on the Spark side.
-    oracle=_TIME_ROLLUP_SQL.replace("TIMESTAMP_NTZ", "TIMESTAMP"),
+    # DuckDB's TIMESTAMP is already naive — plain DATE_TRUNC there is the
+    # same tz-free function the MAKE_TIMESTAMP_NTZ forms are on Spark.
+    oracle=_TIME_ROLLUP_SQL.format(
+        hour_bucket="DATE_TRUNC('hour', ts)",
+        day_bucket="DATE_TRUNC('day', ts)",
+    ),
     doc="Multi-resolution time-bucket rollup (hypertable continuous-aggregate "
     "shape): hour and day materializations from ONE scan via GROUPING SETS "
     "— Spark expands the sets inside a single Expand+HashAggregate, so the "
     "100 TB fact is read once for every resolution, not once per "
-    "resolution. bucket_day is cast back to the naive timestamp type so "
-    "both resolutions COALESCE into one typed column on both engines "
-    "with no session-timezone dependence.",
+    "resolution. Buckets are derived tz-free (MAKE_TIMESTAMP_NTZ / "
+    "DATE-cast) so both resolutions COALESCE into one NTZ column with no "
+    "session-timezone dependence.",
 )
 
 

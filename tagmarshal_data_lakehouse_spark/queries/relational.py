@@ -697,7 +697,7 @@ q_scalar_datetime = Query(
         load_views(spark, sf_dir),
         spark.sql(
             """
-            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP_NTZ) AS order_month,
+            SELECT CAST(TRUNC(o_orderdate, 'MM') AS TIMESTAMP_NTZ) AS order_month,
                    CAST(YEAR(o_orderdate) AS INT)                      AS order_year,
                    CAST(MONTH(o_orderdate) AS INT)                     AS order_month_num,
                    CAST(((DAYOFWEEK(o_orderdate) + 5) % 7) + 1 AS INT) AS iso_dow,
@@ -725,9 +725,11 @@ q_scalar_datetime = Query(
     doc="Datetime family incl. the ISO day-of-week conversion — the Spark "
     "1=Sunday vs Trino 1=Monday trap (SURVEY §2.8, §7.4 trap 1; reference "
     "fact_rounds.sql:110-114, global_time_patterns.sql:46-59). order_month "
-    "is the naive timestamp type on BOTH sides: Spark's DATE_TRUNC over a "
-    "DATE yields session-tz TIMESTAMP, so it's pinned to TIMESTAMP_NTZ "
-    "(wall-clock midnight under any session timezone) and the oracle casts "
+    "is the naive timestamp type on BOTH sides, derived WITHOUT the LTZ "
+    "detour: TRUNC(date,'MM') returns DATE and DATE->TIMESTAMP_NTZ casts "
+    "tz-free, whereas DATE_TRUNC implicitly casts to session-tz TIMESTAMP "
+    "and lands on 01:00 under timezones whose DST gap covers a month-first "
+    "midnight (e.g. America/Asuncion, Oct 1993-95). The oracle casts "
     "DuckDB's DATE result up to its naive TIMESTAMP — both clients then "
     "materialize datetime64, avoiding the date-object vs Timestamp "
     "value-hash drift a DATE output hits.",

@@ -1301,12 +1301,12 @@ ORDER BY missing_timestamps DESC
 
 EXPL_NP_MISSING_TS_TREND = f"""
 SELECT
-    DATE_TRUNC('month', CAST(ingest_date AS DATE)) AS ingest_month,
+    TRUNC(CAST(ingest_date AS DATE), 'MM') AS ingest_month,
     COUNT(*) AS total_rows,
     {_NP_FILTER.format(cond="is_timestamp_missing = true")} AS missing_count,
     ROUND(100.0 * {_NP_FILTER.format(cond="is_timestamp_missing = true")} / COUNT(*), 2) AS missing_percentage
 FROM fact_telemetry_event
-GROUP BY DATE_TRUNC('month', CAST(ingest_date AS DATE))
+GROUP BY TRUNC(CAST(ingest_date AS DATE), 'MM')
 ORDER BY ingest_month DESC
 """
 

@@ -36,18 +36,25 @@ TS_QUERIES = [
     "events_anomaly_zscore",
     "events_retention_cohorts",
     "scalar_datetime",
+    "window_dedup",  # emits raw ts — LTZ coercion anywhere upstream shifts it
 ]
 
-# Large negative offset + DST so wall-clock != UTC in both halves of
-# the year; any session-tz leak shifts values by hours and fails the
-# exact compare.
-NON_UTC = "America/New_York"
+# Three adversarial zones, each catching a different leak class:
+# - America/New_York: large negative offset + DST, 02:00 transitions —
+#   any blanket LTZ render shifts values by hours.
+# - America/Asuncion: DST spring-forward at MIDNIGHT, and in Oct 1993-95
+#   the gap lands exactly on a month-first inside the TPC-H date range —
+#   the one zone where a DATE_TRUNC-via-LTZ detour is NOT the identity
+#   (midnight doesn't exist, truncation lands on 01:00).
+# - Asia/Kathmandu: +05:45 non-whole-hour offset — hour-bucket routing
+#   through LTZ misaligns buckets by 45 minutes.
+NON_UTC_ZONES = ["America/New_York", "America/Asuncion", "Asia/Kathmandu"]
 
 
-@pytest.fixture(scope="module")
-def tz_shifted_spark(spark):
+@pytest.fixture(scope="module", params=NON_UTC_ZONES)
+def tz_shifted_spark(request, spark):
     original = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", NON_UTC)
+    spark.conf.set("spark.sql.session.timeZone", request.param)
     try:
         yield spark
     finally:
@@ -58,5 +65,6 @@ def tz_shifted_spark(spark):
 def test_tz_independent(tz_shifted_spark, sf_smoke, name):
     q = registry()[name]
     assert q.oracle is not None, f"{name} must stay oracle-checked"
+    tz = tz_shifted_spark.conf.get("spark.sql.session.timeZone")
     problems = run_query_pair(tz_shifted_spark, q, sf_smoke)
-    assert not problems, f"{name} under {NON_UTC}: {problems[:3]}"
+    assert not problems, f"{name} under {tz}: {problems[:3]}"
