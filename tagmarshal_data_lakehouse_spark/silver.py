@@ -82,18 +82,29 @@ _ROUND_FIELDS = [
 ]
 
 
-def normalize_rounds(df: DataFrame, course_id: str, ingest_date: str) -> DataFrame:
+def normalize_rounds(
+    df: DataFrame, course_id: str | Column, ingest_date: str | Column
+) -> DataFrame:
     """Round-level normalization: ids, timestamps, config casts
-    (reference etl.py:247-308)."""
+    (reference etl.py:247-308).
+
+    course_id/ingest_date are scalar job arguments in the batch path
+    (reference etl.py:283) but may be Columns (e.g. derived from the
+    source file path) so a multi-ingest micro-batch can run ONE
+    transform over every (course, date) slice at once instead of
+    serializing per pair.
+    """
     # round_id from _id (string) or _id.$oid (Mongo)
     if "_id" in df.columns:
         round_id = safe_col(df, "_id").cast("string")
     else:
         round_id = F.lit(None).cast("string")
+    cid = course_id if isinstance(course_id, Column) else F.lit(course_id)
+    idate = ingest_date if isinstance(ingest_date, Column) else F.lit(ingest_date)
     out = (
         df.withColumn("round_id", round_id)
-        .withColumn("course_id", F.lit(course_id))
-        .withColumn("ingest_date", F.lit(ingest_date))
+        .withColumn("course_id", cid)
+        .withColumn("ingest_date", idate)
         .withColumn("round_start_time", F.to_timestamp(safe_col(df, "startTime")))
         .withColumn("round_end_time", F.to_timestamp(safe_col(df, "endTime")))
     )
@@ -290,8 +301,18 @@ def dedup_fixes(df: DataFrame) -> DataFrame:
     trap 4): per (round_id, fix_timestamp, location_index) keep the
     cached, non-projected, highest-battery record.  location_index in
     the partition key stops NULL-timestamp rows from collapsing.
-    Ordered window, NOT dropDuplicates — the order IS the contract."""
-    w = W.partitionBy("round_id", "fix_timestamp", "location_index").orderBy(
+    Ordered window, NOT dropDuplicates — the order IS the contract.
+
+    course_id/ingest_date lead the partition key when present: constant
+    within a single ingest (so identical there to the reference's key),
+    they scope a multi-ingest batch (streaming micro-batch spanning
+    several (course, date) slices) so a round re-exported under two
+    ingest dates dedups within each slice, never across — matching the
+    per-(course_id, ingest_date) idempotent-rewrite grain.  (Absent on
+    bare fix-grain frames in unit tests — then the key is exactly the
+    reference's.)"""
+    scope = [c for c in ("course_id", "ingest_date") if c in df.columns]
+    w = W.partitionBy(*scope, "round_id", "fix_timestamp", "location_index").orderBy(
         F.col("is_cache").desc_nulls_last(),
         F.col("is_projected").asc_nulls_last(),
         F.col("battery_percentage").desc_nulls_last(),
@@ -321,7 +342,11 @@ def split_coordinates(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def transform_rounds(
-    raw: DataFrame, fmt: str, course_id: str, ingest_date: str, topology: DataFrame | None
+    raw: DataFrame,
+    fmt: str,
+    course_id: str | Column,
+    ingest_date: str | Column,
+    topology: DataFrame | None,
 ) -> DataFrame:
     """Full bronze->silver transform, pre-write (pure; unit-testable)."""
     df = normalize_rounds(raw, course_id, ingest_date)

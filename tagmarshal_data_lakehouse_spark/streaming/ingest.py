@@ -48,31 +48,32 @@ def _process_batch(lake: Lakehouse, table: str, topology: DataFrame | None):
     def inner(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # distinct (course, date) pairs in this batch — file-grain, tiny
-        pairs = (
-            batch_df.select(
-                F.regexp_extract(F.col("_path"), _COURSE_RE, 1).alias("course_id"),
-                F.regexp_extract(F.col("_path"), _DATE_RE, 1).alias("ingest_date"),
-            )
-            .distinct()
-            .collect()
+        # ONE transform + ONE dynamic-partition write for the whole
+        # micro-batch: course_id/ingest_date are Columns derived from the
+        # file path, so every (course, date) slice flows through a single
+        # plan and replace_partitions overwrites exactly the partitions
+        # present.  (A per-pair loop here serializes a backfill-shaped
+        # batch into hundreds of sequential writes — and its per-pair
+        # quarantine overwrite clobbers earlier pairs' quarantine rows.)
+        # The dedup window is scoped per (course_id, ingest_date) inside
+        # dedup_fixes, so batching cannot dedup across ingests.
+        out = transform_rounds(
+            batch_df,
+            "json",
+            F.regexp_extract(F.col("_path"), _COURSE_RE, 1),
+            F.regexp_extract(F.col("_path"), _DATE_RE, 1),
+            topology,
         )
-        for p in pairs:
-            course, date = p["course_id"], p["ingest_date"]
-            raw = batch_df.filter(
-                F.col("_path").rlike(f"course_id={course}/ingest_date={date}/")
-            ).drop("_path")
-            out = transform_rounds(raw, "json", course, date, topology)
-            valid, invalid = split_coordinates(out)
-            valid = lake.align_to_schema(valid, FACT_TELEMETRY_EVENT)
-            if not invalid.isEmpty():
-                lake.write_partitioned(
-                    f"quarantine.stream_batch_{batch_id}",
-                    lake.align_to_schema(invalid, FACT_TELEMETRY_EVENT),
-                    ["course_id", "ingest_date"],
-                    mode="overwrite",
-                )
-            lake.replace_partitions(table, valid, ["course_id", "ingest_date", "event_date"])
+        valid, invalid = split_coordinates(out)
+        valid = lake.align_to_schema(valid, FACT_TELEMETRY_EVENT)
+        if not invalid.isEmpty():
+            lake.write_partitioned(
+                f"quarantine.stream_batch_{batch_id}",
+                lake.align_to_schema(invalid, FACT_TELEMETRY_EVENT),
+                ["course_id", "ingest_date"],
+                mode="overwrite",
+            )
+        lake.replace_partitions(table, valid, ["course_id", "ingest_date", "event_date"])
 
     return inner
 

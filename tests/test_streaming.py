@@ -51,6 +51,61 @@ def test_stream_silver_matches_batch(spark, tmp_path, landing):
     assert s_keys == b_keys
 
 
+def test_stream_multi_pair_batch_matches_per_pair_loop(spark, tmp_path):
+    """A micro-batch spanning several (course, date) slices goes through
+    ONE transform + ONE dynamic-partition write, and the table state is
+    row-identical to running the batch transform per pair."""
+    root = tmp_path / "landing"
+    pairs = [
+        ("americanfalls", "2024-01-16"),
+        ("americanfalls", "2024-01-17"),
+        ("mirrorfalls", "2024-01-16"),
+        ("mirrorfalls", "2024-01-18"),
+    ]
+    for course, date in pairs:
+        d = root / f"course_id={course}" / f"ingest_date={date}"
+        os.makedirs(d)
+        fixtures_gen.write_plain_json(str(d / "rounds.json"))
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    sample = f"{root}/course_id=americanfalls/ingest_date=2024-01-16"
+    schema = infer_bronze_schema(spark, sample)
+
+    # all 4 files fit one trigger -> one micro-batch, one sink write
+    q = streaming.stream_silver(
+        spark,
+        lake,
+        str(root),
+        schema,
+        checkpoint_dir=str(tmp_path / "ckpt_mp"),
+        max_files_per_trigger=100,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = lake.read("silver.fact_telemetry_event")
+
+    expected_parts = []
+    for course, date in pairs:
+        raw, fmt = bronze.read_rounds(
+            spark, f"{root}/course_id={course}/ingest_date={date}"
+        )
+        out = silver.transform_rounds(raw, fmt, course, date, None)
+        valid, _ = silver.split_coordinates(out)
+        expected_parts.append(lake.align_to_schema(valid, silver.FACT_TELEMETRY_EVENT))
+    expected = expected_parts[0]
+    for p in expected_parts[1:]:
+        expected = expected.unionByName(p)
+
+    cols = sorted(streamed.columns)
+    assert cols == sorted(expected.columns)
+    s_rows = sorted(map(tuple, streamed.select(*cols).collect()), key=repr)
+    b_rows = sorted(map(tuple, expected.select(*cols).collect()), key=repr)
+    assert s_rows == b_rows
+    assert streamed.select("course_id", "ingest_date").distinct().count() == 4
+
+
 def test_stream_new_file_and_replay_idempotent(spark, tmp_path, landing):
     lake = Lakehouse(spark, str(tmp_path / "wh"))
     sample = f"{landing}/course_id=americanfalls/ingest_date=2024-01-16"
