@@ -42,6 +42,13 @@ HEADLINE = [
     "emb_cosine_topk_lsh",
     "events_asof_join",
     "doc_train_split",
+    # TPC-H subset: the canonical multi-join/agg OLAP shapes — scan-heavy
+    # filter+agg (q6), join+topk (q3), 6-way dim stitch (q5), large
+    # group-by with HAVING semi-join (q18)
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
 ]
 
 

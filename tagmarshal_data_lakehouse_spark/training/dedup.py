@@ -28,10 +28,23 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     explode-heavy shingling work; at real scale (many parquet splits)
     this is a no-op.  The repartition shuffles raw text once — cheap
     relative to the O(tokens) work it parallelizes.
+
+    The split estimate reads `inputFiles()` (a logical-plan walk, no job,
+    no DataFrame->RDD conversion, which would needlessly compile a second
+    physical plan).  A file-backed input with >= target/2 files already
+    parallelizes; fewer files — or a non-file source, where inputFiles()
+    is empty — gets the one-time spread.  A single file larger than
+    maxPartitionBytes would be re-shuffled despite already splitting,
+    which costs one pass over that file — irrelevant at 100 TB where
+    inputs are many-file by construction.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — estimate only, never fail the query
+        n_splits = 0
+    if n_splits < max(2, target // 2):
         return df.repartition(target)
     return df
 
@@ -268,6 +281,38 @@ def minhash_near_duplicates(
     return verify_jaccard(cands, hashed_sets, id_col, threshold, set_col="gram_hashes")
 
 
+def ngram_dropped_gram_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """The silent-cap audit for `ngram_jaccard_pairs`: one row per gram
+    whose document frequency exceeds `max_doc_freq` (and is therefore
+    dropped before the inverted-index join), with the pair volume that
+    drop suppresses.
+
+    At 100 TB the cap is what keeps the join from exploding, but a
+    capped-and-silent result reads as "covered everything" when it
+    didn't — a dedup sweep should run this beside the pair output and
+    alert when `affected_pairs_est` is material.  Columns:
+    gram, gram_df (documents containing it), affected_pairs_est
+    (gram_df choose 2 — the self-join rows the cap suppressed).
+    """
+    grams = with_token_grams(df, text_col=text_col, n=n, out="grams")
+    inv = grams.select(F.col(id_col), F.explode("grams").alias("gram"))
+    return (
+        inv.groupBy("gram")
+        .agg(F.count("*").alias("gram_df"))
+        .filter(F.col("gram_df") > max_doc_freq)
+        .withColumn(
+            "affected_pairs_est",
+            (F.col("gram_df") * (F.col("gram_df") - 1) / 2).cast("bigint"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -291,7 +336,10 @@ def ngram_jaccard_pairs(
     dropped BEFORE the join — the same degenerate-bucket kill switch as
     the minhash path's max_bucket.  n_common undercounts only for pairs
     whose overlap includes a dropped gram; on the test corpus no gram
-    reaches the cap, so the output is exact (asserted in tests).
+    reaches the cap, so the output is exact (asserted in tests).  The cap
+    is NOT silent: `ngram_dropped_gram_metrics` (same parameters) emits
+    the dropped grams and the pair volume each suppressed — run it beside
+    this at scale.
     """
     grams = with_token_grams(ensure_parallelism(df), text_col=text_col, n=n, out="grams").select(
         F.col(id_col), "grams"

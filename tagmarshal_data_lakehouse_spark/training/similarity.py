@@ -37,6 +37,56 @@ _DOT = (
     "cast(0.0 as double), (acc, v) -> acc + v)"
 )
 
+# The query side of every top-k path is broadcast to the candidate scan;
+# beyond this bound the broadcast itself becomes the bottleneck (and for
+# the exact path the O(|Q|·|C|·d) cost is prohibitive far earlier).
+MAX_BROADCAST_QUERIES = 100_000
+# The exact path is a correctness baseline, not a serving path: cost is
+# O(|Q|·|C|·d) with a decimal-sum shuffle — hard-capped so it cannot be
+# reached accidentally at scale.
+MAX_EXACT_QUERIES = 1_000
+
+
+def _guard_query_bound(n_queries: int, bound: int, fn: str) -> None:
+    if n_queries > bound:
+        raise ValueError(
+            f"{fn}: n_queries={n_queries} exceeds the {bound}-query bound. "
+            "Use cosine_topk (LSH/IVF scale paths) for large query sets; "
+            "the exact form exists only as a bounded correctness baseline."
+        )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 3,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Default ANN entry point. Routes to the scale paths by name:
+    ``lsh`` (hyperplane-bucketed, the default), ``ivf`` (IVF-Flat), or
+    ``fast`` (brute force, JVM double math — only for bounded query
+    sets).  The decimal-exact brute force is deliberately NOT reachable
+    here — call :func:`cosine_topk_exact` explicitly; it is a
+    correctness baseline with a hard query-count cap, never a serving
+    path.
+    """
+    methods = {
+        "lsh": cosine_topk_lsh,
+        "ivf": ivf_topk,
+        "fast": cosine_topk_fast,
+    }
+    if method not in methods:
+        raise ValueError(
+            f"cosine_topk: unknown method {method!r}; choose from {sorted(methods)} "
+            "(or call cosine_topk_exact directly for the bounded exact baseline)"
+        )
+    return methods[method](
+        embeddings, n_queries=n_queries, k=k, id_col=id_col, vec_col=vec_col, **kwargs
+    )
+
 
 def _norms_decimal(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Exact squared L2 norm per vector via decimal sums of x*x."""
@@ -58,6 +108,7 @@ def cosine_topk_exact(
     Decimal-exact dot products -> identical ranking in any engine; ties
     broken by candidate id.
     """
+    _guard_query_bound(n_queries, MAX_EXACT_QUERIES, "cosine_topk_exact")
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     queries = vecs.filter(F.col(id_col) < n_queries)
     q_elem = queries.select(
@@ -108,6 +159,7 @@ def cosine_topk_fast(
     One broadcast of the (small) query set against a scan of candidates —
     at scale the candidate side stays partitioned and never shuffles.
     """
+    _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "cosine_topk_fast")
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     queries = vecs.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -299,6 +351,8 @@ def ivf_topk(
     """
     from pyspark.sql.types import ArrayType, IntegerType
 
+    _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "ivf_topk")
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -395,6 +449,7 @@ def cosine_topk_lsh(
     higher recall & cost).  Candidate join is bucket-equi — a hash
     shuffle, never a cross product.
     """
+    _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "cosine_topk_lsh")
     # bucket is computed inline in the scan (no join-back shuffle); the
     # tiny query side is broadcast so candidates never shuffle at all
     vecs = embeddings.select(

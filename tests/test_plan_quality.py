@@ -185,6 +185,50 @@ def test_tpch_dim_joins_all_broadcast(spark, sf_smoke, reg):
         assert plans.count_exchanges(df) == 1, name
 
 
+def test_minhash_lsh_never_goes_quadratic(spark, sf_smoke, reg):
+    """The 100 TB claim of the LSH dedup path, pinned in the plan: pair
+    generation is bucket-local (no CartesianProduct, no
+    BroadcastNestedLoopJoin anywhere), the verify join is hash-based,
+    and the shuffle inventory is bounded by the documented set
+    (parallelize-spread, band bucket, candidate distinct, verify join
+    sides) — not O(n) or data-dependent."""
+    df = reg["doc_minhash_near_dups"].build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    strategies = plans.join_strategies(df)
+    assert strategies and all("NestedLoop" not in s for s in strategies)
+    assert plans.count_exchanges(df) <= 6
+
+
+def test_embedding_lsh_never_goes_quadratic(spark, sf_smoke, reg):
+    """Same contract for the embedding near-dup scale path."""
+    df = reg["emb_cosine_near_dups_lsh"].build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plans.count_exchanges(df) <= 6
+
+
+def test_exact_dedup_single_shuffle(spark, sf_smoke, reg):
+    """Exact dedup is one hash-shuffle on the content digest (plus the
+    small-input spread repartition) — nothing else may move data."""
+    df = reg["doc_dedup_exact"].build(spark, sf_smoke)
+    assert plans.join_strategies(df) == []
+    assert plans.count_exchanges(df) <= 2
+
+
+def test_minhash_signatures_shuffle_free(spark, sf_smoke):
+    """Signature computation itself must be entirely row-local: the only
+    permitted exchange is the ensure_parallelism spread of a small input."""
+    from tagmarshal_data_lakehouse_spark.training import dedup as tdedup
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    sigs = tdedup.minhash_signatures(docs)
+    assert plans.join_strategies(sigs) == []
+    assert plans.count_exchanges(sigs) <= 1
+
+
 def test_tpch_subqueries_decorrelate_to_joins(spark, sf_smoke, reg):
     # Q4's correlated EXISTS and Q17's correlated scalar AVG must be
     # decorrelated by Catalyst into aggregate+join shapes — a

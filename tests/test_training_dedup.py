@@ -43,6 +43,29 @@ def test_ngram_cap_bounds_degenerate_gram(spark):
     assert all(a >= 100 for a, _ in ids)  # boilerplate-only pairs gone
 
 
+def test_ngram_dropped_gram_metrics_surfaces_cap(spark):
+    """The cap must not be silent: every over-cap gram appears in the
+    audit frame with its doc frequency and suppressed-pair estimate."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique{i} token{i} filler{i}") for i in range(8)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma epsilon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dropped = dedup.ngram_dropped_gram_metrics(docs, n=2, max_doc_freq=4).collect()
+    assert len(dropped) > 0
+    by_gram = {r["gram"]: r for r in dropped}
+    assert "all rights" in by_gram
+    r = by_gram["all rights"]
+    assert r["gram_df"] == 8
+    assert r["affected_pairs_est"] == 8 * 7 // 2
+    # under-cap grams never appear
+    assert all(r["gram_df"] > 4 for r in dropped)
+    # and on a clean corpus the audit is empty
+    clean = spark.createDataFrame(
+        [(0, "one two three"), (1, "four five six")], "doc_id long, text string"
+    )
+    assert dedup.ngram_dropped_gram_metrics(clean, n=2, max_doc_freq=4).count() == 0
+
+
 def test_connected_components_transitive_chain(spark):
     """A-B, B-C, C-D chain + isolated pair must collapse to min labels."""
     pairs = spark.createDataFrame(

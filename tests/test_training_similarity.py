@@ -113,3 +113,26 @@ def test_hyperplane_buckets_deterministic_and_bounded(planted):
     assert all(0 <= v < 64 for v in a.values())
     # near-identical planted copies agree on every sign bit
     assert a[0] == a[100] and a[1] == a[101]
+
+
+def test_cosine_topk_wrapper_routes_to_lsh_by_default(planted):
+    via_wrapper = similarity.cosine_topk(planted, n_queries=2, k=3)
+    direct = similarity.cosine_topk_lsh(planted, n_queries=2, k=3)
+    assert sorted(map(tuple, via_wrapper.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cosine_topk_wrapper_rejects_exact_and_unknown(planted):
+    with pytest.raises(ValueError, match="unknown method"):
+        similarity.cosine_topk(planted, method="exact")
+    with pytest.raises(ValueError, match="unknown method"):
+        similarity.cosine_topk(planted, method="bruteforce")
+
+
+def test_query_bound_guards(planted):
+    """The exact baseline hard-caps its query count; broadcast paths cap
+    at the broadcastable bound. Guards fire at plan-build time (no job)."""
+    with pytest.raises(ValueError, match="exceeds the"):
+        similarity.cosine_topk_exact(planted, n_queries=similarity.MAX_EXACT_QUERIES + 1)
+    for fn in (similarity.cosine_topk_fast, similarity.cosine_topk_lsh, similarity.ivf_topk):
+        with pytest.raises(ValueError, match="exceeds the"):
+            fn(planted, n_queries=similarity.MAX_BROADCAST_QUERIES + 1)
