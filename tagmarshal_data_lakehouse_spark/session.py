@@ -16,10 +16,76 @@ post-shuffle partition counts adapt to the real data volume at any SF.
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+
+
+@dataclass(frozen=True)
+class ObjectStoreConfig:
+    """S3/MinIO connection settings (reference spark_utils.py:17-146:
+    endpoint + path-style + credentials + region wired into both the
+    catalog and the Hadoop s3a filesystem).
+
+    Config-only: constructing this and passing it to :func:`get_spark`
+    sets the s3a Hadoop confs on the builder; no network access happens
+    until a path is actually read.  Credentials default to the standard
+    AWS environment variables, endpoint/path-style to the MinIO-style
+    variables the reference uses for local development.
+    """
+
+    endpoint: str | None = None
+    access_key: str | None = None
+    secret_key: str | None = None
+    region: str = "us-east-1"
+    path_style_access: bool = True
+    ssl_enabled: bool = False
+
+    @classmethod
+    def from_env(cls) -> "ObjectStoreConfig | None":
+        """Build from the environment; None when no endpoint/creds are
+        configured (the local-filesystem default)."""
+        endpoint = os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
+        access = os.environ.get("AWS_ACCESS_KEY_ID")
+        secret = os.environ.get("AWS_SECRET_ACCESS_KEY")
+        if not endpoint and not access:
+            return None
+        return cls(
+            endpoint=endpoint,
+            access_key=access,
+            secret_key=secret,
+            region=os.environ.get("AWS_REGION")
+            or os.environ.get("AWS_DEFAULT_REGION")
+            or "us-east-1",
+            path_style_access=os.environ.get("SPARK_GRAFT_S3_PATH_STYLE", "true").lower()
+            == "true",
+            ssl_enabled=os.environ.get("SPARK_GRAFT_S3_SSL", "false").lower() == "true",
+        )
+
+    def spark_conf(self) -> dict[str, str]:
+        """The builder conf map (spark.hadoop.fs.s3a.*) this config
+        expands to — mirrors the reference's s3a block and is what
+        get_spark applies."""
+        conf: dict[str, str] = {
+            "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+            "spark.hadoop.fs.s3a.path.style.access": str(self.path_style_access).lower(),
+            "spark.hadoop.fs.s3a.connection.ssl.enabled": str(self.ssl_enabled).lower(),
+            "spark.hadoop.fs.s3a.aws.region": self.region,
+            # region must reach the JVM as a system property too: the JVM
+            # may start before Python mutates os.environ (reference
+            # spark_utils.py comment on aws.region resolution)
+            "spark.driver.extraJavaOptions": f"-Daws.region={self.region}",
+            "spark.executor.extraJavaOptions": f"-Daws.region={self.region}",
+        }
+        if self.endpoint:
+            conf["spark.hadoop.fs.s3a.endpoint"] = self.endpoint
+        if self.access_key:
+            conf["spark.hadoop.fs.s3a.access.key"] = self.access_key
+        if self.secret_key:
+            conf["spark.hadoop.fs.s3a.secret.key"] = self.secret_key
+        return conf
 
 
 def delta_available() -> bool:
@@ -41,6 +107,7 @@ def get_spark(
     driver_memory: str | None = None,
     warehouse_dir: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    object_store: ObjectStoreConfig | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -71,6 +138,11 @@ def get_spark(
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    if object_store is None:
+        object_store = ObjectStoreConfig.from_env()
+    if object_store is not None:
+        for k, v in object_store.spark_conf().items():
+            builder = builder.config(k, v)
     if delta_available():
         builder = builder.config(
             "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
