@@ -46,6 +46,54 @@ def _esc(value: str) -> str:
     return value.replace("'", "''")
 
 
+def _exact_avg_std(sql: str) -> str:
+    """Rewrite AVG(col)/STDDEV(col) over simple column references to
+    decimal-exact forms (the engine-wide determinism contract of
+    queries/__init__.py, applied to this library at registration time).
+
+    Plain double AVG/STDDEV are partition-order dependent; telemetry
+    metrics carry few decimals (pace rounds to 3), so their averages
+    land on ROUND half-boundaries constantly and a one-ulp accumulation
+    difference flips the rounded output. The decimal-sum forms make the
+    aggregate a single exact value, after which every engine's IEEE
+    division/sqrt produces the identical double:
+
+    - AVG(x)    -> SUM(DECIMAL(28,10) x) / COUNT(x), as double
+      (scale 10 is exact for every telemetry metric's precision);
+    - STDDEV(x) -> sample stddev via exact decimal moments at scale 6
+      (squares stay inside DECIMAL(38,12)); NULL when COUNT <= 1,
+      matching the built-in.
+
+    Only identifier arguments are rewritten (`AVG(hp.pace)` yes,
+    `AVG(CASE ...)` no) — every half-boundary-prone site in this
+    library is of the identifier form.
+    """
+    import re
+
+    def avg_repl(m: "re.Match[str]") -> str:
+        c = m.group(1)
+        return (
+            f"(CAST(SUM(CAST({c} AS DECIMAL(28,10))) AS DOUBLE) / COUNT({c}))"
+        )
+
+    def std_repl(m: "re.Match[str]") -> str:
+        c = m.group(1)
+        n = f"CAST(COUNT({c}) AS DOUBLE)"
+        sx = f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
+        sxx = (
+            f"CAST(SUM(CAST(CAST({c} AS DECIMAL(18,6)) * CAST({c} AS DECIMAL(18,6))"
+            f" AS DECIMAL(38,12))) AS DOUBLE)"
+        )
+        return (
+            f"(CASE WHEN COUNT({c}) > 1 THEN "
+            f"SQRT(GREATEST(({sxx} - {sx} * {sx} / {n}) / ({n} - 1.0e0), 0.0e0)) END)"
+        )
+
+    sql = re.sub(r"\bSTDDEV\(([A-Za-z_][\w.]*)\)", std_repl, sql)
+    sql = re.sub(r"\bAVG\(([A-Za-z_][\w.]*)\)", avg_repl, sql)
+    return sql
+
+
 # ===========================================================================
 # Dashboard constants (dashboard/utils/queries.py)
 # ===========================================================================
@@ -1545,6 +1593,9 @@ TELEMETRY_QUERIES: dict[str, str] = {
     "demo_rarest_sections": DEMO_RAREST_SECTIONS,
 }
 
+# decimal-exact AVG/STDDEV across the whole library (see _exact_avg_std)
+TELEMETRY_QUERIES = {k: _exact_avg_std(v) for k, v in TELEMETRY_QUERIES.items()}
+
 # Queries that read gold model views (need gold.build_all first).
 GOLD_BACKED = {
     "expl_course_configuration",
@@ -2048,6 +2099,19 @@ PARAMETERIZED = {
     "get_demo_boundary_support": get_demo_boundary_support,
     "get_demo_hole_max_outlier": get_demo_hole_max_outlier,
 }
+
+
+def _wrap_exact(fn):
+    def render(**params) -> str:
+        return _exact_avg_std(fn(**params))
+
+    render.__name__ = fn.__name__
+    render.__doc__ = fn.__doc__
+    return render
+
+
+# decimal-exact AVG/STDDEV for the parameterized surface too
+PARAMETERIZED = {k: _wrap_exact(f) for k, f in PARAMETERIZED.items()}
 
 
 # ===========================================================================

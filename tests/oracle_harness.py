@@ -104,3 +104,165 @@ def run_query_pair(spark, q: Query, sf_dir: str) -> list[str]:
     finally:
         con.close()
     return compare(sdf, odf)
+
+
+# ---------------------------------------------------------------------------
+# Same-text two-engine oracle: run Spark SQL texts on DuckDB unchanged.
+#
+# The gold models and the telemetry query library are declared as Spark
+# SQL strings. DuckDB parses the same texts once a handful of Spark
+# function spellings are defined as macros — turning every such query
+# into a hard two-engine oracle without hand-porting the SQL.
+# ---------------------------------------------------------------------------
+
+# Everything else in the query texts (BOOL_OR, FILTER clause, GREATEST,
+# NULLIF, DATE_TRUNC, HOUR/YEAR/MONTH/DAY, LAG/RANK/ROW_NUMBER, ||,
+# CASE, COUNT DISTINCT over CASE, STDDEV=sample-stddev) parses and
+# evaluates identically.
+SPARK_DIALECT_MACROS = [
+    "SET TimeZone = 'UTC'",
+    "CREATE MACRO UNIX_TIMESTAMP(x) AS CAST(epoch(x::TIMESTAMP) AS BIGINT)",
+    # Spark: 1=Sunday..7=Saturday; via isodow (1=Mon..7=Sun) because a
+    # dayofweek()-based macro would shadow DuckDB's case-insensitive
+    # builtin of the same name and recurse. Same for DATEDIFF/date_diff.
+    "CREATE MACRO DAYOFWEEK(x) AS CAST((isodow(x::DATE) % 7) + 1 AS INT)",
+    "CREATE MACRO DATEDIFF(a, b) AS date_diff('day', b::DATE, a::DATE)",
+    "CREATE MACRO DATE_FORMAT(x, f) AS CASE WHEN f = 'MMMM' THEN monthname(x::TIMESTAMP) WHEN f = 'EEEE' THEN dayname(x::TIMESTAMP) END",
+    "CREATE MACRO COLLECT_LIST(x) AS list(x)",
+    "CREATE MACRO COLLECT_SET(x) AS list(DISTINCT x)",
+    "CREATE MACRO SORT_ARRAY(x) AS list_sort(x)",
+    "CREATE MACRO ARRAY_DISTINCT(x) AS list_distinct(x)",
+    "CREATE MACRO SIZE(x) AS len(x)",
+    # every call site uses TRUNC(date,'MM'); shadows numeric trunc()
+    # inside oracle connections only
+    "CREATE MACRO TRUNC(x, f) AS CAST(date_trunc('month', x::DATE) AS DATE)",
+    # every call site joins with '+'; array_to_string requires a
+    # constant separator, unavailable through a macro parameter
+    "CREATE MACRO ARRAY_JOIN(x, s) AS array_to_string(x, '+')",
+    # Spark's DATE(x) function form; DuckDB only has the cast
+    "CREATE MACRO DATE(x) AS x::DATE",
+    # Spark ROUND rounds the SHORTEST DECIMAL REPRESENTATION of a double
+    # (BigDecimal.valueOf path): ROUND(4.35d, 1) = 4.4 even though the
+    # binary value is 4.3499999999999996, which DuckDB's binary-value
+    # round takes to 4.3. The VARCHAR roundtrip reproduces Spark's
+    # behavior exactly (DuckDB's double->VARCHAR is shortest-repr).
+    # Installed as SPARK_ROUND and substituted textually (no 1-arg ROUND
+    # exists in the query surface; macro overloading is unavailable).
+    # Scale 20 so the intermediate decimal holds every fraction digit of
+    # a shortest-repr double below 1e18 without a pre-round (scale 15
+    # would round 4.6499999999999995 UP at digit 15 before the real
+    # rounding step).
+    "CREATE MACRO SPARK_ROUND(x, n) AS round(CAST(x::VARCHAR AS DECIMAL(38,20)), n)::DOUBLE",
+]
+
+
+def spark_sql_to_duckdb(sql: str) -> str:
+    """Per-statement rewrites that macros cannot express.
+
+    PERCENTILE_APPROX appears under FILTER clauses, which DuckDB only
+    accepts on true aggregates (not macros) — substitute the aggregate
+    name textually. median_* output columns are excluded from value
+    compares anyway (quantile sketches are engine-specific); the
+    substitution only keeps the statement runnable.
+
+    ROUND is substituted for the Spark-semantics SPARK_ROUND macro (see
+    SPARK_DIALECT_MACROS) so half-boundary doubles round identically.
+    """
+    import re
+
+    sql = sql.replace("PERCENTILE_APPROX(", "quantile_disc(")
+    return re.sub(r"\bROUND\(", "SPARK_ROUND(", sql, flags=re.IGNORECASE)
+
+
+def _normalize_dates(df: pd.DataFrame) -> pd.DataFrame:
+    """Spark DATE columns arrive as python date objects, DuckDB's as
+    datetime64 — unify so sorting and comparison see one type."""
+    import datetime
+
+    out = df.copy()
+    for c in out.columns:
+        s = out[c]
+        if s.dtype == object:
+            nonnull = s.dropna()
+            if len(nonnull) and all(
+                isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
+                for v in nonnull
+            ):
+                out[c] = pd.to_datetime(s).astype("datetime64[us]")
+    return out
+
+
+def _to_float(v: Any) -> Any:
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _values_close(a: Any, b: Any) -> bool:
+    a, b = _to_float(a), _to_float(b)
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        # doubles accumulated in different partition/visit orders agree
+        # to ~1e-12 relative; everything integral/rounded is exact
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def compare_tolerant(
+    sdf: pd.DataFrame,
+    odf: pd.DataFrame,
+    drop_prefixes: tuple[str, ...] = ("median_",),
+) -> list[str]:
+    """Two-engine frame compare: exact on everything except float
+    accumulation jitter; sketch columns (drop_prefixes) excluded."""
+    drop = [
+        c for c in set(sdf.columns) | set(odf.columns) if c.startswith(drop_prefixes)
+    ]
+    a = canonicalize(_normalize_dates(sdf.drop(columns=[c for c in drop if c in sdf.columns])))
+    b = canonicalize(_normalize_dates(odf.drop(columns=[c for c in drop if c in odf.columns])))
+    if list(a.columns) != list(b.columns):
+        return [f"columns: spark={list(a.columns)} duckdb={list(b.columns)}"]
+    if len(a) != len(b):
+        return [f"rows: spark={len(a)} duckdb={len(b)}"]
+    # Re-sort BOTH frames by a shared key order: columns float-typed in
+    # EITHER frame go last (Spark may type a count BIGINT where DuckDB's
+    # SUM arrives float64 — a per-frame classification would sort the
+    # frames differently), so float jitter can never reorder rows.
+    floatish = {
+        c
+        for c in a.columns
+        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c])
+    }
+    key_cols = [c for c in a.columns if c not in floatish] + [
+        c for c in a.columns if c in floatish
+    ]
+    if key_cols:
+        a = a.sort_values(by=key_cols, na_position="last", kind="mergesort").reset_index(drop=True)
+        b = b.sort_values(by=key_cols, na_position="last", kind="mergesort").reset_index(drop=True)
+    problems = []
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if not _values_close(x, y)
+        ]
+        if bad:
+            i, x, y = bad[0]
+            problems.append(
+                f"col {col}: {len(bad)}/{len(av)} differ; row {i}: "
+                f"spark={x!r} duckdb={y!r}"
+            )
+    return problems
