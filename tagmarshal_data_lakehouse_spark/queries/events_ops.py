@@ -377,6 +377,77 @@ q_events_retention_cohorts = Query(
 )
 
 
+q_events_hll_rollup = Query(
+    name="events_hll_rollup",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            f"""
+            WITH hourly AS (
+                SELECT event_type,
+                       {SPARK_HOUR_BUCKET} AS bucket_hour,
+                       HLL_SKETCH_AGG(user_id, 14) AS user_sketch,
+                       COUNT(*) AS n_events
+                FROM events
+                GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT)       AS n_hourly_buckets,
+                   CAST(SUM(n_events) AS BIGINT)  AS n_events,
+                   CAST(HLL_SKETCH_ESTIMATE(HLL_UNION_AGG(user_sketch)) AS BIGINT) AS approx_users
+            FROM hourly
+            GROUP BY event_type
+            """
+        ),
+    )[1],
+    # Datasketches HLL binary representations are engine-specific — no
+    # cross-engine oracle; mergeability and error bounds are pinned in
+    # tests/test_sketch_rollups.py.
+    oracle=None,
+    doc="Mergeable-sketch rollup — the canonical 100 TB distinct-count "
+    "pattern: the fact is scanned ONCE into hourly (event_type, hour) "
+    "HLL sketches (map-side partial aggregation, shuffle carries "
+    "kilobyte sketches, never user ids), then any coarser resolution "
+    "(day, type, global) re-aggregates SKETCHES, not raw data — unlike "
+    "COUNT(DISTINCT), which cannot be rolled up from pre-aggregates at "
+    "all. lgK=14 gives ~0.8% standard error at arbitrary cardinality "
+    "in 16 KB per group. Tests pin that union-of-hourly equals the "
+    "direct whole-table sketch exactly (mergeability is lossless by "
+    "construction) and the estimate lands within bounds of exact.",
+)
+
+
+q_events_approx_topk = Query(
+    name="events_approx_topk",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            """
+            SELECT event_type, hit.item AS user_id, CAST(hit.count AS BIGINT) AS est_events
+            FROM (
+                SELECT event_type, APPROX_TOP_K(user_id, 5, 10000) AS hits
+                FROM events GROUP BY event_type
+            )
+            LATERAL VIEW EXPLODE(hits) AS hit
+            """
+        ),
+    )[1],
+    # frequency-sketch output: counts are exact while distinct items fit
+    # maxItemsTracked, but boundary ties make the SELECTION engine-
+    # specific — rows-only here, exactness pinned in pytest.
+    oracle=None,
+    doc="Heavy-hitter detection per event type via APPROX_TOP_K "
+    "(frequent-items sketch): constant memory per group "
+    "(maxItemsTracked bound), single scan, mergeable partials — the "
+    "scale path beside the exact window_topn baseline. At 100 TB the "
+    "exact form needs a full (group, item) aggregation before ranking; "
+    "the sketch tracks candidates in-line and shuffles only sketch "
+    "state. Tests verify every reported count against the exact "
+    "aggregate (counts are exact below the tracking bound) and the "
+    "returned set against the true top-k modulo ties.",
+)
+
+
 QUERIES = [
     q_events_tumbling_window,
     q_events_sessionize,
@@ -387,4 +458,6 @@ QUERIES = [
     q_events_time_rollup,
     q_events_retention_cohorts,
     q_events_anomaly_zscore,
+    q_events_hll_rollup,
+    q_events_approx_topk,
 ]

@@ -1,0 +1,99 @@
+"""Mergeable-sketch operators: HLL rollup mergeability + error bounds,
+APPROX_TOP_K exactness below the tracking bound.
+
+These are the rows-only registry entries `events_hll_rollup` and
+`events_approx_topk`; their semantics are pinned here because sketch
+binaries are engine-specific and boundary ties make top-k selection
+engine-dependent — no DuckDB oracle is possible.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tagmarshal_data_lakehouse_spark.queries import load_views, registry
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_smoke):
+    load_views(spark, sf_smoke)
+    return spark.table("events")
+
+
+def test_hll_rollup_estimate_within_bounds(spark, sf_smoke, events):
+    exact = {
+        r["event_type"]: (r["n_users"], r["n_events"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    out = registry()["events_hll_rollup"].build(spark, sf_smoke).collect()
+    assert {r["event_type"] for r in out} == set(exact)
+    for r in out:
+        true_users, true_events = exact[r["event_type"]]
+        assert r["n_events"] == true_events  # counts are exact
+        # lgK=14 standard error is ~0.81%; 5x margin for the tail
+        assert abs(r["approx_users"] - true_users) <= max(3, 0.05 * true_users), (
+            r["event_type"],
+            r["approx_users"],
+            true_users,
+        )
+
+
+def test_hll_union_of_buckets_equals_direct_sketch(spark, sf_smoke, events):
+    """Mergeability is lossless by construction: unioning the hourly
+    sketches must give EXACTLY the estimate of one whole-table sketch —
+    this is the property that makes pre-aggregated sketch tables safe
+    to roll up at any later resolution."""
+    events.createOrReplaceTempView("events")
+    merged = spark.sql(
+        """
+        SELECT event_type, CAST(HLL_SKETCH_ESTIMATE(HLL_UNION_AGG(sk)) AS BIGINT) AS est
+        FROM (
+            SELECT event_type,
+                   MAKE_TIMESTAMP_NTZ(YEAR(ts), MONTH(ts), DAY(ts), HOUR(ts), 0, 0) AS h,
+                   HLL_SKETCH_AGG(user_id, 14) AS sk
+            FROM events GROUP BY 1, 2
+        ) GROUP BY event_type
+        """
+    ).collect()
+    direct = spark.sql(
+        """
+        SELECT event_type,
+               CAST(HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(user_id, 14)) AS BIGINT) AS est
+        FROM events GROUP BY event_type
+        """
+    ).collect()
+    assert {(r["event_type"], r["est"]) for r in merged} == {
+        (r["event_type"], r["est"]) for r in direct
+    }
+
+
+def test_approx_topk_counts_exact_below_tracking_bound(spark, sf_smoke, events):
+    exact_counts = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in events.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    out = registry()["events_approx_topk"].build(spark, sf_smoke).collect()
+    assert len(out) > 0
+    by_type: dict[str, list] = {}
+    for r in out:
+        # distinct users per type fit maxItemsTracked=10000 at this SF,
+        # so every reported count must be exact
+        assert r["est_events"] == exact_counts[(r["event_type"], r["user_id"])], r
+        by_type.setdefault(r["event_type"], []).append(r)
+    for etype, rows in by_type.items():
+        assert len(rows) == 5
+        reported = sorted((r["est_events"] for r in rows), reverse=True)
+        true_sorted = sorted(
+            (n for (t, _), n in exact_counts.items() if t == etype), reverse=True
+        )
+        # the reported MULTISET of counts must equal the true top-5
+        # counts (ties may swap which user is reported, never the count)
+        assert reported == true_sorted[:5], (etype, reported, true_sorted[:5])
