@@ -49,6 +49,8 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q18",
+    # mergeable-sketch rollup: the pre-aggregated distinct-count scale path
+    "events_hll_rollup",
 ]
 
 
