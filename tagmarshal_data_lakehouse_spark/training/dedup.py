@@ -379,6 +379,95 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Span-level (sub-document) exact dedup audit: split each document
+    into consecutive non-overlapping `span_tokens`-token spans and
+    measure, per document, how many of its spans appear more than once
+    ANYWHERE in the corpus (including within the same document).
+
+    This is the fine-grained counterpart of document-level exact dedup:
+    corpora cleaned at document grain still carry boilerplate spans
+    (headers, licence text, templated sentences) that repeat across
+    documents, and span-grain statistics are what C4/RefinedWeb-style
+    pipelines use to decide span removal.
+
+    Scale shape: span generation is row-local (transform over the token
+    array — no explode of token grain); the only shuffles are the span
+    frequency aggregation and the join back, both keyed by the span
+    string (uniform). Every document appears in the output (zero-span
+    docs carry n_spans=0 and a NULL fraction) — the no-data-loss rule.
+    """
+    k = span_tokens
+    tmp = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_toks")
+    )
+    # sequence(0, n-1) DESCENDS for n=0 (sequence(0,-1) = [0,-1]) — the
+    # WHEN guard keeps short docs out of the generator entirely
+    spans_expr = F.when(F.size("_toks") >= k, F.expr(
+        f"transform(sequence(0, CAST(size(_toks) / {k} AS INT) - 1), "
+        f"i -> array_join(slice(_toks, i * {k} + 1, {k}), ' '))"
+    )).otherwise(F.array().cast("array<string>"))
+    spans = tmp.select(F.col(id_col), F.explode(spans_expr).alias("span"))
+    counts = spans.groupBy("span").agg(F.count("*").alias("span_occurrences"))
+    per_doc = (
+        spans.join(counts, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.count_if(F.col("span_occurrences") > 1).cast("bigint").alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"), 6
+            ).alias("dup_span_fraction"),
+        )
+    )
+
+
+def cross_source_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-contamination matrix: for every (source, source) pair, the
+    number of exact-duplicate document pairs spanning them (diagonal =
+    within-source duplication).
+
+    The pair join is keyed by the content digest, so its cost is bounded
+    by duplicate-cluster sizes (sum of cluster^2), never the corpus
+    cross product — the audit that tells a training-data pipeline which
+    ingestion feeds are re-serving each other's content.
+    """
+    d = df.select(
+        F.col(id_col).alias("did"),
+        F.col(source_col).alias("src"),
+        F.md5(normalize_text(F.col(text_col))).alias("h"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.did") < F.col("b.did")))
+        .select(
+            F.least(F.col("a.src"), F.col("b.src")).alias("source_a"),
+            F.greatest(F.col("a.src"), F.col("b.src")).alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_dup_pairs"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",

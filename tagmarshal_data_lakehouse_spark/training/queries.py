@@ -805,6 +805,58 @@ q_multimodal_frame_sample = Query(
 )
 
 
+q_doc_span_dedup = Query(
+    name="doc_span_dedup",
+    build=lambda spark, sf_dir: dedup.span_dedup_stats(_docs(spark, sf_dir)),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+        ), spans AS (
+            SELECT doc_id, array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ') AS span
+            FROM toks, UNNEST(range(len(t) // 8)) AS u(i)
+        ), counts AS (
+            SELECT span, COUNT(*) AS occ FROM spans GROUP BY span
+        ), per_doc AS (
+            SELECT s.doc_id, COUNT(*) AS n_spans,
+                   SUM(CASE WHEN c.occ > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+            FROM spans s JOIN counts c USING (span)
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               ROUND(CAST(p.n_dup_spans AS DOUBLE) / CAST(p.n_spans AS DOUBLE), 6)
+                   AS dup_span_fraction
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Span-level (8-token, non-overlapping) exact-dup audit per doc — "
+    "the sub-document grain C4/RefinedWeb-style cleaning uses to catch "
+    "boilerplate that document-level dedup misses. Span generation is "
+    "row-local (no token-grain explode); shuffles are span-keyed. "
+    "Zero-span docs stay in the output with NULL fraction (no data loss).",
+)
+
+q_doc_cross_source_dups = Query(
+    name="doc_cross_source_dups",
+    build=lambda spark, sf_dir: dedup.cross_source_duplicates(_docs(spark, sf_dir)),
+    oracle=f"""
+        WITH hashed AS (
+            SELECT doc_id, source, md5({_NORM}) AS h FROM documents
+        )
+        SELECT LEAST(a.source, b.source) AS source_a,
+               GREATEST(a.source, b.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+        FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    doc="Source-contamination matrix: exact-duplicate pairs per "
+    "(source, source) with the diagonal as within-source duplication — "
+    "digest-keyed pair join bounded by cluster sizes, never a cross "
+    "product. Tells a pipeline which ingestion feeds re-serve each "
+    "other's content.",
+)
+
+
 QUERIES = [
     q_doc_dedup_exact,
     q_doc_token_stats,
@@ -837,4 +889,6 @@ QUERIES = [
     q_doc_clean_corpus_stats,
     q_multimodal_features,
     q_multimodal_frame_sample,
+    q_doc_span_dedup,
+    q_doc_cross_source_dups,
 ]

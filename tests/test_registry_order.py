@@ -45,8 +45,12 @@ def test_sweep_budget_covers_events_and_training_completely():
     all_training = [n for n in names if _family(n) == "training"]
     assert set(all_events) <= set(head)
     assert set(all_training) <= set(head)
-    # and the head still carries tpch + relational representatives
-    assert sum(_family(n) == "tpch" for n in head) >= 5
+    # The head still carries tpch + relational representatives. With
+    # events+training fully inside the 50-slot window (the families the
+    # round-2 sweep starved), only the flagship stripe slots remain for
+    # the other two — the deliberate trade: tpch/relational get
+    # representatives, not full coverage, until the budget grows.
+    assert sum(_family(n) == "tpch" for n in head) >= 3
     assert sum(_family(n) == "relational" for n in head) >= 3
 
 

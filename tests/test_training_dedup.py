@@ -66,6 +66,49 @@ def test_ngram_dropped_gram_metrics_surfaces_cap(spark):
     assert dedup.ngram_dropped_gram_metrics(clean, n=2, max_doc_freq=4).count() == 0
 
 
+def test_span_dedup_flags_shared_boilerplate(spark):
+    """Docs sharing an 8-token boilerplate prefix get that span flagged;
+    unique spans stay clean; short docs survive with zero spans."""
+    boiler = "one two three four five six seven eight"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta epsilon zeta eta theta"),
+        (2, f"{boiler} iota kappa lambda mu nu xi omicron pi"),
+        (3, "unique content here entirely different words from others etc"),
+        (4, "short doc"),  # < 8 tokens -> zero spans, still in output
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.span_dedup_stats(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # docs 1 and 2: 2 spans each, the boilerplate span duplicated
+    for d in (1, 2):
+        assert out[d]["n_spans"] == 2
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_span_fraction"] == 0.5
+    assert out[3]["n_dup_spans"] == 0
+    assert out[4]["n_spans"] == 0 and out[4]["dup_span_fraction"] is None
+
+
+def test_cross_source_duplicates_matrix(spark):
+    """Pairs count per (source, source) with canonical ordering and the
+    diagonal as within-source duplication."""
+    rows = [
+        (1, "same text content", "crawl"),
+        (2, "same text content", "books"),
+        (3, "same text content", "books"),
+        (4, "other duplicate body", "crawl"),
+        (5, "other duplicate body", "crawl"),
+        (6, "totally unique document", "wiki"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_dup_pairs"]
+        for r in dedup.cross_source_duplicates(docs).collect()
+    }
+    # cluster {1,2,3}: pairs (1,2) crawl-books, (1,3) crawl-books, (2,3) books-books
+    # cluster {4,5}: (4,5) crawl-crawl
+    assert got == {("books", "crawl"): 2, ("books", "books"): 1, ("crawl", "crawl"): 1}
+
+
 def test_connected_components_transitive_chain(spark):
     """A-B, B-C, C-D chain + isolated pair must collapse to min labels."""
     pairs = spark.createDataFrame(
