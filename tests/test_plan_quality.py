@@ -229,6 +229,27 @@ def test_minhash_signatures_shuffle_free(spark, sf_smoke):
     assert plans.count_exchanges(sigs) <= 1
 
 
+def test_span_dedup_row_local_generation(spark, sf_smoke, reg):
+    """Span generation must stay inside the scan projection (one explode
+    of per-doc span arrays, never a token-grain shuffle); the only wide
+    ops are the span-frequency aggregate and the joins back."""
+    df = reg["doc_span_dedup"].build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    strategies = plans.join_strategies(df)
+    assert strategies and all("NestedLoop" not in s for s in strategies)
+
+
+def test_cross_source_dups_hash_join_on_digest(spark, sf_smoke, reg):
+    """The contamination matrix self-join is digest-equality keyed — a
+    hash-based join, never a nested loop over the corpus."""
+    df = reg["doc_cross_source_dups"].build(spark, sf_smoke)
+    strategies = plans.join_strategies(df)
+    assert strategies and all("NestedLoop" not in s for s in strategies)
+    assert "CartesianProduct" not in plans.physical_plan(df)
+
+
 def test_tpch_subqueries_decorrelate_to_joins(spark, sf_smoke, reg):
     # Q4's correlated EXISTS and Q17's correlated scalar AVG must be
     # decorrelated by Catalyst into aggregate+join shapes — a
