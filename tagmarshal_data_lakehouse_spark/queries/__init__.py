@@ -60,9 +60,10 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
     type everywhere. The testdata has shipped it two ways:
 
     - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — the current
-      shape. Read as TIMESTAMP_NTZ (the per-read inferTimestampNTZ
-      reader option, so a session configured otherwise agrees without
-      this function mutating that session's conf) and KEPT NTZ: naive on the
+      shape. Read as TIMESTAMP_NTZ (inferTimestampNTZ set for the
+      registration reads and restored after, so a session configured
+      otherwise agrees without this function permanently mutating that
+      session's conf) and KEPT NTZ: naive on the
       Spark side exactly as DuckDB's naive TIMESTAMP, so oracle
       comparisons never depend on the session timezone. Queries use only
       NTZ-safe functions over it (TIMESTAMPDIFF / DATE_TRUNC — never
@@ -75,9 +76,6 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
     Each table is also failure-isolated: one unreadable table must not
     take down queries that never touch it.
     """
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
     # Registration is idempotent per (session, sf_dir, tables): every
     # registry builder calls load_views, so without this marker a
     # multi-query run (bench.py, the correctness sweep) re-reads 10
@@ -98,18 +96,47 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
     # otherwise read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+    # TIMESTAMP(MICROS, adjusted=false) must read as NTZ under every
+    # session so query semantics don't depend on who built the session.
+    # The conf is set for the registration reads only and RESTORED in
+    # the finally below: schema inference happens eagerly at read(), so
+    # the registered views keep NTZ (verified under a restored-false
+    # session), while the caller's own later unadjusted-UTC parquet
+    # reads keep the semantics their session configured. (A per-read
+    # parquet reader option would be cleaner, but Spark silently ignores
+    # an `inferTimestampNTZ` option — only the conf is honored.)
+    ntz_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    try:
+        prior_ntz: str | None = spark.conf.get(ntz_key)
+    except Exception:  # noqa: BLE001 — unset/unreadable: nothing to restore
+        prior_ntz = None
+    spark.conf.set(ntz_key, "true")
+
     errors: dict[str, Exception] = {}
+    try:
+        _register_tables(spark, sf_dir, tables, errors)
+    finally:
+        if prior_ntz is not None:
+            spark.conf.set(ntz_key, prior_ntz)
+    if errors and len(errors) == len(tables):
+        # Nothing loaded at all — surface the first real failure.
+        raise next(iter(errors.values()))
+    if not errors:
+        spark.conf.set("spark.graft.views.loaded", marker)
+
+
+def _register_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...],
+    errors: dict[str, Exception],
+) -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
     for t in tables:
         try:
-            # TIMESTAMP(MICROS, adjusted=false) must read as NTZ under
-            # every session so query semantics don't depend on who built
-            # the session. Scoped to THIS read via the parquet reader
-            # option — a session-level conf.set here would permanently
-            # change the inferred type of the caller's own later
-            # unadjusted-UTC parquet reads.
-            df = spark.read.option("inferTimestampNTZ", "true").parquet(
-                f"{sf_dir}/{t}.parquet"
-            )
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
             if t == "events" and isinstance(df.schema["ts"].dataType, LongType):
                 # TIMESTAMP(NANOS) read as long (nanosAsLong); the data is
                 # µs-precision so nanos are exact multiples of 1000 and the
@@ -128,11 +155,6 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
             df.createOrReplaceTempView(t)
         except Exception as exc:  # noqa: BLE001 — isolate per-table failure
             errors[t] = exc
-    if errors and len(errors) == len(tables):
-        # Nothing loaded at all — surface the first real failure.
-        raise next(iter(errors.values()))
-    if not errors:
-        spark.conf.set("spark.graft.views.loaded", marker)
 
 
 # The correctness harness sweeps the registry in insertion order under a
