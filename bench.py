@@ -67,14 +67,27 @@ def main() -> None:
     spark.range(1).count()
     load_views(spark, sf_dir)
 
+    # Each query runs twice in the same session: the first (cold) timing
+    # includes whole-stage-codegen JIT compilation, which on this set is
+    # up to 3x the actual execution (e.g. doc_minhash_near_dups ~4s cold
+    # vs ~1s warm) and made round-over-round comparisons pure JIT noise.
+    # `queries`/`value` report the steady-state (2nd) run — the number
+    # that scales with data volume and the one to regress against;
+    # `queries_cold`/`value_cold` keep the 1st-run timings comparable
+    # with rounds <= 3, which were single-run (cold).
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         q = reg[name]
-        start = time.perf_counter()
-        df = q.build(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - start, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        for attempt, sink in ((1, cold), (2, timings)):
+            start = time.perf_counter()
+            df = q.build(spark, sf_dir)
+            n = df.count()
+            sink[name] = round(time.perf_counter() - start, 3)
+        print(
+            f"# {name}: cold {cold[name]}s / warm {timings[name]}s ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +98,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "mode": "warm (2nd of 2 in-session runs; rounds <=3 were cold/1-run)",
+                "value_cold": round(sum(cold.values()), 3),
+                "queries_cold": cold,
             }
         )
     )

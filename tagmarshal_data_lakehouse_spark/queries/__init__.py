@@ -108,7 +108,7 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
     ntz_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
     try:
         prior_ntz: str | None = spark.conf.get(ntz_key)
-    except Exception:  # noqa: BLE001 — unset/unreadable: nothing to restore
+    except Exception:  # noqa: BLE001 — unreadable: restore by unsetting
         prior_ntz = None
     spark.conf.set(ntz_key, "true")
 
@@ -118,6 +118,14 @@ def load_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLE
     finally:
         if prior_ntz is not None:
             spark.conf.set(ntz_key, prior_ntz)
+        else:
+            # The pre-read raised, i.e. the conf had no readable value —
+            # leaving our "true" behind would permanently mutate the
+            # caller's session; unset returns the key to its default.
+            try:
+                spark.conf.unset(ntz_key)
+            except Exception:  # noqa: BLE001 — never fail a query on restore
+                pass
     if errors and len(errors) == len(tables):
         # Nothing loaded at all — surface the first real failure.
         raise next(iter(errors.values()))
@@ -158,15 +166,21 @@ def _register_tables(
 
 
 # The correctness harness sweeps the registry in insertion order under a
-# budget (round 2 covered exactly the first 50 entries), so ordering is a
-# coverage decision, not cosmetics. Layout:
-#   1. a flagship interleave — one query per family every 4 slots, so even
+# budget (rounds 2 and 3 each covered exactly the first 50 entries), so
+# ordering is a coverage decision, not cosmetics. With 108 registry
+# entries and a ~50-entry budget, full driver coverage is a ROTATION:
+# each round the head carries (a) the flagship family stripes, (b) every
+# query that is red, was edited after its last green row, or gained a new
+# oracle, (c) never-swept queries, (d) a rotating slice of the queries
+# whose last green row is oldest. Queries verified last round can safely
+# sit past the budget for one round. Layout:
+#   1. flagship interleave — one query per family every 4 slots, so even
 #      a severely truncated sweep produces a row for every family;
-#   2. all remaining events queries (9 total);
-#   3. all remaining training/LLM-pipeline queries (31 total — the surface
-#      a budget-truncated sweep must not starve);
-#   4. remaining TPC-H, then the relational tail (the family with the most
-#      prior verified coverage, cheapest to defer).
+#   2. the round's sweep-priority block (_SWEEP_PRIORITY, slots 13..50):
+#      must-verify entries first, then the stale-rotation slice;
+#   3. the tail: the rest of the stale relational rotation first (they
+#      are next round's priority and benefit if the budget ever grows),
+#      then the families green in the most recent sweep.
 _FLAGSHIP_INTERLEAVE = (
     "events_sessionize",
     "doc_dedup_exact",
@@ -182,29 +196,91 @@ _FLAGSHIP_INTERLEAVE = (
     "join_multiway",
 )
 
+# Round-4 sweep priorities (38 entries; slots 13..50 of the head):
+#   - emb_quantize_int8: round-3's one red row (list-column canonicalizer
+#     crash), re-shaped to scalar columns — must re-verify;
+#   - scalar_datetime: text edited (tz fix) AFTER its round-2 green row;
+#   - doc_dedup_clusters / doc_pack_sequences: newly gained DuckDB
+#     oracles (recursive-CTE twins) — first hash rows;
+#   - tpch_q4..q22: the 12 extended TPC-H queries that sat at positions
+#     51-62 and have NEVER had a driver row;
+#   - telemetry_*: the reference-parity telemetry library's first driver
+#     rows ever (events->fact bridge, telemetry_bridge.py);
+#   - 19 relational queries whose last green row is round 2 (stale-
+#     rotation slice 1 of 2; the remaining 26 lead the tail and rotate
+#     into round 5's window).
+_SWEEP_PRIORITY = (
+    "emb_quantize_int8",
+    "scalar_datetime",
+    "doc_dedup_clusters",
+    "doc_pack_sequences",
+    "telemetry_start_hole_distribution",
+    "telemetry_avg_pace_by_hole",
+    "telemetry_pace_comparison_hole",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
+    "agg_conditional",
+    "agg_filter_clause",
+    "agg_minmax_duration",
+    "agg_percentile",
+    "agg_stddev",
+    "agg_bool_array",
+    "agg_mode_deterministic",
+    "agg_having",
+    "agg_global",
+    "agg_weighted_score",
+    "distinct_projection",
+    "join_broadcast",
+    "join_range_broadcast",
+    "join_salted_skew",
+    "join_semi",
+    "join_anti",
+    "join_coverage_audit",
+    "join_share_of_total",
+    "join_outlier_vs_max",
+)
+
 
 def registry() -> dict[str, Query]:
     """Assemble the full named-query registry (see ordering note above)."""
-    from . import events_ops, relational, tpch
+    from . import events_ops, relational, telemetry_bridge, tpch
     from ..training import queries as training_queries
 
-    families = (
+    by_name: dict[str, Query] = {}
+    for qs in (
         events_ops.QUERIES,
         training_queries.QUERIES,
         tpch.QUERIES,
         relational.QUERIES,
-    )
-    by_name: dict[str, Query] = {}
-    for qs in families:
+        telemetry_bridge.QUERIES,
+    ):
         for q in qs:
             if q.name in by_name:
                 raise ValueError(f"duplicate query name {q.name}")
             by_name[q.name] = q
 
     out: dict[str, Query] = {}
-    for name in _FLAGSHIP_INTERLEAVE:
+    for name in _FLAGSHIP_INTERLEAVE + _SWEEP_PRIORITY:
         out[name] = by_name[name]
-    for qs in families:
+    # Tail: stale relational rotation remainder first, then last-round-
+    # green families (events, training, tpch flagships already placed).
+    for qs in (
+        relational.QUERIES,
+        events_ops.QUERIES,
+        training_queries.QUERIES,
+        tpch.QUERIES,
+        telemetry_bridge.QUERIES,
+    ):
         for q in qs:
             out.setdefault(q.name, q)
     return out

@@ -67,6 +67,18 @@ def _exact_avg_std(sql: str) -> str:
     Only identifier arguments are rewritten (`AVG(hp.pace)` yes,
     `AVG(CASE ...)` no) — every half-boundary-prone site in this
     library is of the identifier form.
+
+    Derived-column caveat: the "scale 10/6 is exact" premise holds for
+    RAW metric columns (pace rounds to 3 decimals at ingest). Identifier
+    args can also name DERIVED doubles (e.g. AVG(course_avg_pace) over a
+    CTE), where the DECIMAL cast quantizes the input. That quantization
+    is still applied to the SAME rewritten text on BOTH engines, so a
+    cross-engine mismatch would additionally require Spark and DuckDB to
+    break a double->DECIMAL tie differently at digit 10/6 — not observed
+    anywhere in the two-engine suite (tests/test_telemetry_oracle.py
+    sweeps every query in this library). If a future derived metric ever
+    lands on such a tie, restrict this rewrite to a raw-column allowlist
+    rather than widening the decimals.
     """
     import re
 

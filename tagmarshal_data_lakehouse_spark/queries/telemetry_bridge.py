@@ -1,0 +1,154 @@
+"""Driver rows for the telemetry library (reference-parity surface).
+
+The telemetry query library (queries/telemetry.py — every dashboard /
+exploration / example SQL the reference ships) runs over golf-telemetry
+tables that do not exist in the driver's TPC-H-shaped sf_dir, so until
+round 4 its only hard check was the pytest two-engine suite
+(tests/test_telemetry_oracle.py).  This module gives a few flagship
+library queries DRIVER rows too, by bridging the driver's `events`
+table into a deterministic `fact_telemetry_event` view and running the
+REAL library texts (same strings `run_telemetry_query` serves) on top.
+
+The bridge mapping is integer-arithmetic only, spelled once per engine
+(Spark temp view / DuckDB CTE), and engineered so every derived value is
+cross-engine exact:
+
+- all ids/holes/sections come from `%` on BIGINTs (identical remainder
+  semantics both engines);
+- `pace` is an INTEGER-VALUED double (FLOOR(value*100) % 50 + 1), so
+  DECIMAL-exact AVG rewrites (telemetry._exact_avg_std) produce
+  bit-identical doubles — no half-boundary ROUND risk;
+- `FLOOR` (not CAST) converts the double: Spark's double->bigint CAST
+  truncates while DuckDB's rounds, so CAST would diverge; FLOOR agrees.
+
+Queries chosen are fact-only (no gold DAG to inline) and free of
+approximate aggregates (the driver hashes every output column, and
+percentile sketches are engine-specific).  The rest of the 94-query
+library surface keeps its same-text pytest oracle — inlining the gold
+DAG into single DuckDB statements is not worth the duplication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import Query, load_views
+
+_COURSE = "course_1"
+_HOLE = 5
+
+# Spark spelling of the bridge mapping (dialect: STRING, || concat).
+_SPARK_BRIDGE = """
+    SELECT
+        'r' || CAST(user_id AS STRING)                              AS round_id,
+        'course_' || CAST(user_id % 3 AS STRING)                    AS course_id,
+        ts                                                          AS fix_timestamp,
+        FALSE                                                       AS is_location_padding,
+        FALSE                                                       AS is_nine_hole,
+        CAST(user_id % 18 + 1 AS INT)                               AS start_hole,
+        CAST(event_id % 18 + 1 AS INT)                              AS hole_number,
+        CAST(event_id % 54 + 1 AS INT)                              AS section_number,
+        CAST(CASE WHEN event_id % 18 < 9 THEN 1 ELSE 2 END AS INT)  AS nine_number,
+        CAST(CAST(FLOOR(value * 100) AS BIGINT) % 50 + 1 AS DOUBLE) AS pace,
+        CAST(event_id AS INT)                                       AS location_index
+    FROM events
+"""
+
+# DuckDB spelling (VARCHAR instead of STRING; INT/BIGINT/DOUBLE agree).
+_DUCK_BRIDGE = _SPARK_BRIDGE.replace("AS STRING)", "AS VARCHAR)")
+
+
+def _bridged(spark: SparkSession, sf_dir: str, name: str, **params) -> DataFrame:
+    """Register the bridge view, then run the real library text."""
+    from . import telemetry
+
+    load_views(spark, sf_dir)
+    spark.sql(_SPARK_BRIDGE).createOrReplaceTempView("fact_telemetry_event")
+    return spark.sql(telemetry.PARAMETERIZED[name](**params))
+
+
+q_telemetry_start_hole_distribution = Query(
+    name="telemetry_start_hole_distribution",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "get_start_hole_distribution", course_id=_COURSE
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            start_hole,
+            COUNT(DISTINCT round_id) AS rounds
+        FROM fact_telemetry_event
+        WHERE course_id = '{_COURSE}'
+          AND start_hole IS NOT NULL
+        GROUP BY start_hole
+        ORDER BY rounds DESC, start_hole
+    """,
+    doc="Reference parity, shotgun-start distribution "
+    "(examples/indiancreek_shotgun_start_distribution.sql; the same text "
+    "run_telemetry_query('get_start_hole_distribution') serves) over the "
+    "events->telemetry bridge — exact COUNT DISTINCT per start hole.",
+)
+
+q_telemetry_avg_pace_by_hole = Query(
+    name="telemetry_avg_pace_by_hole",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "get_avg_pace_by_hole", course_id=_COURSE
+    ),
+    # Mirrors the _exact_avg_std-rewritten text the Spark side actually
+    # runs: decimal-exact sum, double division — bit-identical on both
+    # engines for the integer-valued bridge pace.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            hole_number,
+            (CAST(SUM(CAST(pace AS DECIMAL(28,10))) AS DOUBLE) / COUNT(pace)) AS avg_pace,
+            COUNT(*) AS fixes
+        FROM fact_telemetry_event
+        WHERE course_id = '{_COURSE}'
+          AND hole_number IS NOT NULL
+        GROUP BY hole_number
+        ORDER BY hole_number
+    """,
+    doc="Reference parity, average pace per hole "
+    "(examples/common_queries.sql:29-37) over the events->telemetry "
+    "bridge; AVG runs in the library's decimal-exact form.",
+)
+
+q_telemetry_pace_comparison_hole = Query(
+    name="telemetry_pace_comparison_hole",
+    build=lambda spark, sf_dir: _bridged(
+        spark,
+        sf_dir,
+        "get_pace_comparison_for_hole",
+        course_id=_COURSE,
+        hole_number=_HOLE,
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            round_id, nine_number,
+            CASE
+                WHEN nine_number = 1 THEN 'first_nine'
+                WHEN nine_number = 2 THEN 'second_nine'
+                ELSE 'nine_' || CAST(nine_number AS VARCHAR)
+            END AS pass_number,
+            pace, fix_timestamp
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+          AND course_id = '{_COURSE}'
+          AND is_nine_hole = FALSE
+          AND pace IS NOT NULL AND pace > 0 AND pace < 60
+          AND hole_number = {_HOLE}
+          AND nine_number IS NOT NULL
+        ORDER BY round_id, fix_timestamp
+    """,
+    doc="Reference parity, per-round loop-fatigue detail for one hole "
+    "(dashboard/utils/queries.py:1503-1529) over the events->telemetry "
+    "bridge — row-level projection, no aggregation.",
+)
+
+QUERIES = [
+    q_telemetry_start_hole_distribution,
+    q_telemetry_avg_pace_by_hole,
+    q_telemetry_pace_comparison_hole,
+]

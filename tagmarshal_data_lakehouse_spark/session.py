@@ -45,12 +45,18 @@ class ObjectStoreConfig:
 
     @classmethod
     def from_env(cls) -> "ObjectStoreConfig | None":
-        """Build from the environment; None when no endpoint/creds are
-        configured (the local-filesystem default)."""
+        """Build from the environment; None when no endpoint is
+        configured (the local-filesystem default).
+
+        Activation is gated on the EXPLICIT ``SPARK_GRAFT_S3_ENDPOINT``
+        opt-in — never on the mere presence of AWS credentials, which are
+        ambient on many dev machines and must not get copied into Spark
+        conf (visible in the UI/event logs) for purely local runs.
+        """
         endpoint = os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
         access = os.environ.get("AWS_ACCESS_KEY_ID")
         secret = os.environ.get("AWS_SECRET_ACCESS_KEY")
-        if not endpoint and not access:
+        if not endpoint:
             return None
         return cls(
             endpoint=endpoint,
@@ -86,6 +92,20 @@ class ObjectStoreConfig:
         if self.secret_key:
             conf["spark.hadoop.fs.s3a.secret.key"] = self.secret_key
         return conf
+
+
+def merge_conf(base: dict[str, str], extra: dict[str, str]) -> dict[str, str]:
+    """Overlay `extra` on `base`, CONCATENATING the extraJavaOptions keys
+    (space-joined JVM option lists) instead of letting one assignment
+    clobber the other — the object store's -Daws.region and a caller's
+    JVM flags must both survive."""
+    merged = dict(base)
+    for k, v in extra.items():
+        if k in ("spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions") and k in merged:
+            merged[k] = f"{merged[k]} {v}"
+        else:
+            merged[k] = v
+    return merged
 
 
 def delta_available() -> bool:
@@ -140,9 +160,9 @@ def get_spark(
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     if object_store is None:
         object_store = ObjectStoreConfig.from_env()
-    if object_store is not None:
-        for k, v in object_store.spark_conf().items():
-            builder = builder.config(k, v)
+    merged = merge_conf(
+        object_store.spark_conf() if object_store else {}, extra_conf or {}
+    )
     if delta_available():
         builder = builder.config(
             "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
@@ -150,7 +170,7 @@ def get_spark(
             "spark.sql.catalog.spark_catalog",
             "org.apache.spark.sql.delta.catalog.DeltaCatalog",
         )
-    for k, v in (extra_conf or {}).items():
+    for k, v in merged.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -337,9 +337,11 @@ def ngram_jaccard_pairs(
     the minhash path's max_bucket.  n_common undercounts only for pairs
     whose overlap includes a dropped gram; on the test corpus no gram
     reaches the cap, so the output is exact (asserted in tests).  The cap
-    is NOT silent: `ngram_dropped_gram_metrics` (same parameters) emits
-    the dropped grams and the pair volume each suppressed — run it beside
-    this at scale.
+    is NOT silent: every output row carries the corpus-level audit
+    scalars `n_dropped_grams` (over-cap grams excluded from the join) and
+    `suppressed_pairs_est` (sum of gram_df-choose-2 — the self-join rows
+    the cap suppressed), so a capped run cannot read as exhaustive; the
+    per-gram breakdown is `ngram_dropped_gram_metrics` (same parameters).
     """
     grams = with_token_grams(ensure_parallelism(df), text_col=text_col, n=n, out="grams").select(
         F.col(id_col), "grams"
@@ -349,13 +351,21 @@ def ngram_jaccard_pairs(
     # The over-cap gram set is tiny by construction (few grams are shared
     # by >max_doc_freq docs), so it broadcasts; the anti-join stays
     # shuffle-free on the big side.
-    overcap = (
-        inv.groupBy("gram")
-        .agg(F.count("*").alias("gram_df"))
-        .filter(F.col("gram_df") > max_doc_freq)
-        .select("gram")
+    gram_df = inv.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    overcap = gram_df.filter(F.col("gram_df") > max_doc_freq)
+    # One-row audit over the SAME gram-df aggregate (Catalyst's
+    # ReuseExchange dedupes the shuffle) — broadcast-cross-joined onto
+    # every pair row below.
+    audit = overcap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dropped_grams"),
+        F.coalesce(
+            F.sum((F.col("gram_df") * (F.col("gram_df") - 1) / 2).cast("bigint")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("suppressed_pairs_est"),
     )
-    inv = inv.join(F.broadcast(overcap), "gram", "left_anti")
+    inv = inv.join(F.broadcast(overcap.select("gram")), "gram", "left_anti")
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), on="gram")
@@ -376,7 +386,7 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b", F.col("n_common").cast("bigint").alias("n_common"), "jaccard")
     )
-    return out.filter(F.col("jaccard") >= threshold)
+    return out.filter(F.col("jaccard") >= threshold).crossJoin(F.broadcast(audit))
 
 
 def span_dedup_stats(

@@ -111,13 +111,28 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover - documentation stub
-    """Placeholder for the real decoder (PIL not shipped in this
-    container)."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv which are not available; "
-        "use extract_media_features (deterministic stub) instead"
-    )
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Real image decode when Pillow is installed, raising otherwise.
+
+    Returns (width, height, n_frames) — the same triple the deterministic
+    stub produces — so `extract_media_features` plumbing (schema, batch
+    shape, partitioning) is identical whichever decoder runs. The import
+    lives inside the function: it executes on executors, where a
+    module-top-level import would make the whole module unusable in
+    containers without PIL (like this one).
+    """
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - PIL absent here
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not installed; "
+            "use extract_media_features (deterministic stub) instead"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as img:
+        n_frames = int(getattr(img, "n_frames", 1))
+        return int(img.width), int(img.height), n_frames
 
 
 FRAME_SCHEMA = T.StructType(

@@ -175,12 +175,20 @@ q_doc_ngram_jaccard = Query(
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
             FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        ), audit AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped_grams,
+                   CAST(COALESCE(SUM(CAST(gram_df * (gram_df - 1) / 2 AS BIGINT)), 0)
+                        AS BIGINT) AS suppressed_pairs_est
+            FROM (SELECT gram, COUNT(*) AS gram_df FROM inv GROUP BY gram)
+            WHERE gram_df > 100
         )
         SELECT id_a, id_b, n_common,
-               ROUND(n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 6) AS jaccard
+               ROUND(n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 6) AS jaccard,
+               n_dropped_grams, suppressed_pairs_est
         FROM pairs
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
+        CROSS JOIN audit
         WHERE ROUND(n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 6) >= 0.15
     """,
     doc="Token-trigram Jaccard near-dup pairs via inverted-index join "
@@ -481,21 +489,75 @@ def _build_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edge set = the EXACT n-gram Jaccard pairs (same parameters as the
+    # oracle-green doc_ngram_jaccard entry), so the whole cluster output
+    # is two-engine provable.  The minhash-LSH edge generator (the 100 TB
+    # path — engine xxhash64, no DuckDB twin) feeds the same
+    # dedup_clusters API and is exercised rows-only via
+    # doc_minhash_near_dups + pytest transitivity checks.
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_near_duplicates(docs, num_perm=32, bands=4, ngram=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.15)
     return dedup.dedup_clusters(docs, pairs)
 
 
 q_doc_dedup_clusters = Query(
     name="doc_dedup_clusters",
     build=_build_dedup_clusters,
-    oracle=None,  # iterative fixpoint (connected components) — the class
-    # of algorithm the harness exempts from SQL oracles; transitivity and
-    # canonical-election invariants are pytest-checked.
+    # Connected components IS SQL-expressible on DuckDB: transitive
+    # closure as a recursive CTE (UNION-dedup'd working table), then the
+    # component label = min reachable vertex.  The near-dup graph is
+    # unions of small dense clusters, so closure depth ~= diameter ~2-3.
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, {_TOKENS} AS tokens FROM documents
+        ), gram_lists AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(tokens) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS grams
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, len(grams) AS n_grams FROM gram_lists
+        ), inv AS (
+            SELECT doc_id, unnest(grams) AS gram FROM gram_lists
+        ), cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), jpairs AS (
+            SELECT id_a, id_b
+            FROM cand
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 6)
+                  >= 0.15
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM jpairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM jpairs
+        ), reach AS (
+            SELECT src AS a, dst AS b FROM edges
+            UNION
+            SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON r.b = e.src
+        ), comp AS (
+            SELECT a AS vid, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        ), labeled AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.vid
+        )
+        SELECT doc_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+               doc_id = cluster_id AS is_canonical,
+               doc_id = cluster_id AS keep
+        FROM labeled
+    """,
     doc="Dedup clusters from near-dup pairs via iterative min-label "
     "connected components (localCheckpoint-truncated lineage, rounds = "
     "graph diameter ~2-3 for near-dup graphs) + canonical keep/drop "
-    "election (dedup.py:connected_components/dedup_clusters).",
+    "election (dedup.py:connected_components/dedup_clusters). Registry "
+    "edge set is the exact n-gram Jaccard path (oracle-provable); the "
+    "minhash-LSH generator is the rows-only scale path.",
 )
 
 
@@ -586,11 +648,62 @@ q_doc_pack_sequences = Query(
     build=lambda spark, sf_dir: curation.pack_sequences(
         _docs(spark, sf_dir), max_tokens=256, n_shards=8
     ),
-    oracle=None,  # greedy reset-on-overflow scan has no SQL twin;
-    # invariants (budget, ordering, contiguity) are pytest-checked.
+    # The greedy scan IS deterministic given (shard, doc order, budget),
+    # so it has a SQL twin after all: a recursive CTE stepping one doc
+    # per shard per iteration (all shards advance in lockstep), carrying
+    # the (pack, used, pos) state and emitting the Python loop's exact
+    # transition (overflow reset, then oversized-doc pack retirement).
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   CAST({sampling.oracle_bucket('doc_id', 8)} AS INT) AS shard,
+                   CAST(CASE WHEN len({_NORM}) = 0 THEN 0
+                             ELSE len({_TOKENS}) END AS BIGINT) AS n_tokens
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, shard, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM toks
+        ), scan AS (
+            SELECT doc_id, shard, n_tokens, rn,
+                   CAST(0 AS BIGINT) AS pack_id,
+                   0 AS pos_in_pack,
+                   CAST(0 AS BIGINT) AS "offset",
+                   CAST(CASE WHEN n_tokens > 256 THEN 1 ELSE 0 END AS BIGINT) AS nxt_pack,
+                   CAST(CASE WHEN n_tokens > 256 THEN 0 ELSE n_tokens END AS BIGINT) AS nxt_used,
+                   CASE WHEN n_tokens > 256 THEN 0 ELSE 1 END AS nxt_pos
+            FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT r.doc_id, r.shard, r.n_tokens, r.rn,
+                   s.nxt_pack + CASE WHEN s.nxt_used > 0 AND s.nxt_used + r.n_tokens > 256
+                                     THEN 1 ELSE 0 END,
+                   CASE WHEN s.nxt_used > 0 AND s.nxt_used + r.n_tokens > 256
+                        THEN 0 ELSE s.nxt_pos END,
+                   CASE WHEN s.nxt_used > 0 AND s.nxt_used + r.n_tokens > 256
+                        THEN CAST(0 AS BIGINT) ELSE s.nxt_used END,
+                   s.nxt_pack
+                     + CASE WHEN s.nxt_used > 0 AND s.nxt_used + r.n_tokens > 256
+                            THEN 1 ELSE 0 END
+                     + CASE WHEN r.n_tokens > 256 THEN 1 ELSE 0 END,
+                   CASE WHEN r.n_tokens > 256 THEN CAST(0 AS BIGINT)
+                        WHEN s.nxt_used > 0 AND s.nxt_used + r.n_tokens > 256 THEN r.n_tokens
+                        ELSE s.nxt_used + r.n_tokens END,
+                   CASE WHEN r.n_tokens > 256 THEN 0
+                        WHEN s.nxt_used > 0 AND s.nxt_used + r.n_tokens > 256 THEN 1
+                        ELSE s.nxt_pos + 1 END
+            FROM scan s JOIN ranked r ON r.shard = s.shard AND r.rn = s.rn + 1
+        )
+        SELECT doc_id, shard, pack_id,
+               CAST(pos_in_pack AS INT) AS pos_in_pack,
+               "offset", n_tokens,
+               n_tokens > 256 AS truncated
+        FROM scan
+    """,
     doc="Greedy sequence packing into fixed-token-budget packs, "
     "shard-local via applyInPandas — the sequential scan Spark cannot "
-    "window; shards pack in parallel (curation.py:134-199).",
+    "window; shards pack in parallel (curation.py:134-199). Oracle "
+    "replays the same scan as a DuckDB recursive CTE (one doc per shard "
+    "per step).",
 )
 
 
@@ -700,7 +813,15 @@ q_doc_bigram_freqs = Query(
 
 q_emb_quantize_int8 = Query(
     name="emb_quantize_int8",
-    build=lambda spark, sf_dir: similarity.quantize_int8(_embs(spark, sf_dir)),
+    # The library API (similarity.quantize_int8) returns q8 as array<int>;
+    # the registry entry flattens it to a CSV string because the driver's
+    # frame canonicalizer sorts with pandas, which cannot hash list cells.
+    build=lambda spark, sf_dir: similarity.quantize_int8(_embs(spark, sf_dir)).select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("q8", lambda v: v.cast("string")), ",").alias("q8_csv"),
+        "recon_err_l2",
+    ),
     oracle="""
         WITH scaled AS (
             SELECT vec_id,
@@ -710,8 +831,9 @@ q_emb_quantize_int8 = Query(
         )
         SELECT e.vec_id,
                ROUND(CAST(s.max_abs / 127 AS DOUBLE), 9) AS scale,
-               list_transform(e.embedding,
-                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 127 / s.max_abs) AS INT)) AS q8,
+               array_to_string(list_transform(e.embedding,
+                   x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 127 / s.max_abs) AS INT)
+                             AS VARCHAR)), ',') AS q8_csv,
                CAST(ROUND(SQRT(list_sum(list_transform(e.embedding,
                    x -> (CAST(x AS DOUBLE)
                          - ROUND(CAST(x AS DOUBLE) * 127 / s.max_abs) * (s.max_abs / 127))
@@ -722,7 +844,9 @@ q_emb_quantize_int8 = Query(
     """,
     doc="Symmetric int8 scalar quantization per vector (max-abs scale, "
     "round-to-nearest) + L2 reconstruction error — 4x memory cut for the "
-    "ANN candidate store; row-local, no shuffle (similarity.py:quantize_int8).",
+    "ANN candidate store; row-local, no shuffle (similarity.py:quantize_int8). "
+    "Registry shape emits q8 as a CSV string (driver canonicalizer can't "
+    "hash list columns); the library API keeps the array.",
 )
 
 q_doc_clean_corpus_stats = Query(

@@ -170,6 +170,26 @@ def spark_sql_to_duckdb(sql: str) -> str:
     """
     import re
 
+    # The quantile_disc substitution is only semantics-preserving-enough
+    # for the 2-arg PERCENTILE_APPROX(col, p) form (3-arg adds an
+    # accuracy parameter quantile_disc does not take — it would not even
+    # parse). Guard the arity so a future 3-arg call site fails loudly
+    # here instead of as a confusing DuckDB binder error.
+    for m in re.finditer(r"PERCENTILE_APPROX\(", sql):
+        depth, commas = 1, 0
+        for ch in sql[m.end():]:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                commas += 1
+        assert commas == 1, (
+            "spark_sql_to_duckdb only supports 2-arg PERCENTILE_APPROX; "
+            f"found {commas + 1} args at: ...{sql[m.start():m.start() + 80]}..."
+        )
     sql = sql.replace("PERCENTILE_APPROX(", "quantile_disc(")
     return re.sub(r"\bROUND\(", "SPARK_ROUND(", sql, flags=re.IGNORECASE)
 

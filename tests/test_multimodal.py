@@ -63,3 +63,27 @@ def test_sample_frames_batch_bounded(spark):
         n_frames = 1 + (len(bytes(r["payload"])) % 16)
         expected += len(range(0, n_frames, 4))
     assert out.count() == expected
+
+
+def test_decode_image_real_guarded_by_pillow_presence():
+    """decode_image_real is a working decoder when Pillow exists and a
+    clear NotImplementedError when it doesn't — either way the plumbing
+    contract (returns (width, height, n_frames)) is pinned."""
+    try:
+        import io
+
+        from PIL import Image
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image_real(b"not-an-image")
+    else:  # pragma: no cover - container ships no Pillow
+        buf = io.BytesIO()
+        Image.new("RGB", (12, 8)).save(buf, format="PNG")
+        assert multimodal.decode_image_real(buf.getvalue()) == (12, 8, 1)

@@ -1,17 +1,54 @@
 """Registry-order contract.
 
 The driver's correctness sweep walks ``registry()`` in insertion order
-under a budget (round 2 stopped at exactly 50 entries), so ordering is a
-coverage guarantee: a truncated sweep must still touch every query
-family, and the training/LLM-pipeline surface must fit entirely inside
-the historical 50-entry budget.
+under a budget (rounds 2 and 3 each stopped at exactly 50 entries), so
+ordering is a coverage guarantee. With 108 entries and a 50-slot budget,
+full driver coverage is a ROTATION; this module pins the invariants the
+rotation must keep every round:
+
+- the flagship stripes give every family a row even under a tiny budget;
+- every red / edited-since-green / newly-oracled / never-swept query is
+  inside the budget window (the round's _SWEEP_PRIORITY head);
+- no oracle-backed query goes more than one round without a driver row
+  (what's outside this round's window was green last round).
 """
 
 from __future__ import annotations
 
-from tagmarshal_data_lakehouse_spark.queries import registry
+from tagmarshal_data_lakehouse_spark.queries import (
+    _FLAGSHIP_INTERLEAVE,
+    _SWEEP_PRIORITY,
+    registry,
+)
 
 SWEEP_BUDGET = 50
+
+# Round-3 sweep = flagship + all events + all training (CORRECTNESS_r03
+# keys). Anything green there may sit past the budget for one round.
+_GREEN_LAST_ROUND = frozenset(
+    {
+        "events_sessionize", "events_tumbling_window", "events_asof_join",
+        "events_funnel", "events_dedup_exact", "events_approx_sketches",
+        "events_time_rollup", "events_retention_cohorts",
+        "events_anomaly_zscore", "events_hll_rollup", "events_approx_topk",
+        "doc_dedup_exact", "doc_token_stats", "emb_cosine_topk",
+        "doc_quality", "doc_lang_id", "doc_ngram_jaccard",
+        "doc_minhash_near_dups", "doc_simhash_near_dups", "emb_label_stats",
+        "emb_cosine_topk_lsh", "emb_cosine_near_dups",
+        "emb_cosine_near_dups_lsh", "emb_ivf_topk", "emb_pq_topk",
+        "emb_kmeans", "doc_train_split", "doc_stratified_sample",
+        "doc_hash_sample_k", "doc_mixture_weights", "doc_decontaminate",
+        "doc_repetition", "doc_pii_scan", "doc_dup_rate_by_source",
+        "doc_token_histogram", "doc_bigram_freqs", "doc_clean_corpus_stats",
+        "multimodal_features", "multimodal_frame_sample", "doc_span_dedup",
+        "doc_cross_source_dups",
+        "tpch_q3", "tpch_q6", "tpch_q18",
+        "agg_pricing_summary", "window_dedup", "join_multiway",
+        # rows-only in r03 but swept; the two that since gained oracles
+        # (doc_dedup_clusters, doc_pack_sequences) are deliberately NOT
+        # listed: their first hash row must come this round.
+    }
+)
 
 
 def _family(name: str) -> str:
@@ -38,20 +75,39 @@ def test_first_twelve_interleave_every_family():
         }, stripe
 
 
-def test_sweep_budget_covers_events_and_training_completely():
+def test_head_is_flagship_then_priority_and_fills_budget():
     names = list(registry())
-    head = names[:SWEEP_BUDGET]
-    all_events = [n for n in names if _family(n) == "events"]
-    all_training = [n for n in names if _family(n) == "training"]
-    assert set(all_events) <= set(head)
-    assert set(all_training) <= set(head)
-    # The head still carries tpch + relational representatives. With
-    # events+training fully inside the 50-slot window (the families the
-    # round-2 sweep starved), only the flagship stripe slots remain for
-    # the other two — the deliberate trade: tpch/relational get
-    # representatives, not full coverage, until the budget grows.
-    assert sum(_family(n) == "tpch" for n in head) >= 3
-    assert sum(_family(n) == "relational" for n in head) >= 3
+    head = tuple(names[:SWEEP_BUDGET])
+    assert head == _FLAGSHIP_INTERLEAVE + _SWEEP_PRIORITY
+    assert len(head) == SWEEP_BUDGET
+
+
+def test_priority_block_carries_the_must_verify_entries():
+    head = set(list(registry())[:SWEEP_BUDGET])
+    # Round-3 red row (fixed) + text edited after its green row.
+    assert "emb_quantize_int8" in head
+    assert "scalar_datetime" in head
+    # Newly-oracled: first hash row must come this round.
+    assert "doc_dedup_clusters" in head
+    assert "doc_pack_sequences" in head
+    # The 12 extended TPC-H queries that had never been swept.
+    never_swept = {
+        "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+        "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q22",
+    }
+    assert never_swept <= head
+
+
+def test_nothing_goes_two_rounds_without_a_driver_row():
+    names = list(registry())
+    beyond = names[SWEEP_BUDGET:]
+    stale = [n for n in beyond if n not in _GREEN_LAST_ROUND]
+    # Everything outside this round's window was green last round, except
+    # the explicitly deferred slice-2 of the relational rotation (their
+    # last green is round 2; they MUST lead the tail so round 5's window
+    # picks them up first).
+    assert all(_family(n) == "relational" for n in stale), stale
+    assert beyond[: len(stale)] == stale, "stale relational slice must lead the tail"
 
 
 def test_registry_complete_and_unique():

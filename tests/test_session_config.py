@@ -66,3 +66,30 @@ def test_from_env_reads_standard_variables(monkeypatch):
     assert cfg.region == "ap-south-1"
     assert cfg.path_style_access is False
     assert cfg.ssl_enabled is True
+
+
+def test_from_env_ignores_ambient_aws_credentials(monkeypatch):
+    """Activation is gated on the explicit SPARK_GRAFT_S3_ENDPOINT opt-in:
+    dev machines with ambient AWS credentials must NOT get those
+    credentials copied into Spark conf on purely local-filesystem runs."""
+    monkeypatch.delenv("SPARK_GRAFT_S3_ENDPOINT", raising=False)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "ambient-key")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "ambient-secret")
+    assert ObjectStoreConfig.from_env() is None
+
+
+def test_extra_java_options_merge_with_object_store():
+    """get_spark merges caller extraJavaOptions with the object-store
+    -Daws.region instead of one clobbering the other (both are
+    space-joined JVM option lists) — merge_conf is the helper get_spark
+    applies to (object_store.spark_conf(), extra_conf)."""
+    from tagmarshal_data_lakehouse_spark.session import merge_conf
+
+    cfg = ObjectStoreConfig(endpoint="http://minio:9000", region="eu-west-1")
+    extra = {"spark.driver.extraJavaOptions": "-Xss4m", "spark.foo": "bar"}
+    merged = merge_conf(cfg.spark_conf(), extra)
+    assert merged["spark.driver.extraJavaOptions"] == "-Daws.region=eu-west-1 -Xss4m"
+    assert merged["spark.executor.extraJavaOptions"] == "-Daws.region=eu-west-1"
+    assert merged["spark.foo"] == "bar"
+    # plain keys still overlay base values
+    assert merge_conf({"a": "1"}, {"a": "2"})["a"] == "2"

@@ -66,6 +66,44 @@ def test_ngram_dropped_gram_metrics_surfaces_cap(spark):
     assert dedup.ngram_dropped_gram_metrics(clean, n=2, max_doc_freq=4).count() == 0
 
 
+def test_ngram_pairs_always_carry_cap_audit_scalars(spark):
+    """A capped pair run must be un-ignorable: every pair row carries the
+    corpus-level dropped-gram count and suppressed-pair estimate, so a
+    pipeline cannot consume the (possibly incomplete) pairs without the
+    audit riding along."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique{i} token{i} filler{i}") for i in range(8)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma epsilon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.01, max_doc_freq=4)
+    assert {"n_dropped_grams", "suppressed_pairs_est"} <= set(pairs.columns)
+    collected = pairs.collect()
+    assert len(collected) > 0
+    # boilerplate bigrams: "all rights", "rights reserved", "reserved
+    # worldwide" each hit df=8 > 4 -> dropped; per-gram suppression 8C2.
+    dropped = dedup.ngram_dropped_gram_metrics(docs, n=2, max_doc_freq=4).collect()
+    expect_n = len(dropped)
+    expect_suppressed = sum(r["affected_pairs_est"] for r in dropped)
+    assert expect_n > 0
+    for r in collected:
+        assert r["n_dropped_grams"] == expect_n
+        assert r["suppressed_pairs_est"] == expect_suppressed
+
+    # clean corpus: audit scalars present and zero
+    clean_pairs = dedup.ngram_jaccard_pairs(
+        spark.createDataFrame(
+            [(0, "one two three four"), (1, "one two three five")],
+            "doc_id long, text string",
+        ),
+        n=2,
+        threshold=0.01,
+    ).collect()
+    assert len(clean_pairs) > 0
+    assert all(r["n_dropped_grams"] == 0 for r in clean_pairs)
+    assert all(r["suppressed_pairs_est"] == 0 for r in clean_pairs)
+
+
 def test_span_dedup_flags_shared_boilerplate(spark):
     """Docs sharing an 8-token boilerplate prefix get that span flagged;
     unique spans stay clean; short docs survive with zero spans."""
