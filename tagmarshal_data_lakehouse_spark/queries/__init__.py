@@ -206,8 +206,10 @@ _FLAGSHIP_INTERLEAVE = (
 #     51-62 and have NEVER had a driver row;
 #   - telemetry_*: the reference-parity telemetry library's first driver
 #     rows ever (events->fact bridge, telemetry_bridge.py);
-#   - 19 relational queries whose last green row is round 2 (stale-
-#     rotation slice 1 of 2; the remaining 26 lead the tail and rotate
+#   - doc_incremental_dedup / emb_semantic_dedup: new round-4 operators
+#     (delta-vs-corpus dedup, SemDeDup) — first rows;
+#   - 17 relational queries whose last green row is round 2 (stale-
+#     rotation slice 1 of 2; the remaining 28 lead the tail and rotate
 #     into round 5's window).
 _SWEEP_PRIORITY = (
     "emb_quantize_int8",
@@ -217,6 +219,8 @@ _SWEEP_PRIORITY = (
     "telemetry_start_hole_distribution",
     "telemetry_avg_pace_by_hole",
     "telemetry_pace_comparison_hole",
+    "doc_incremental_dedup",
+    "emb_semantic_dedup",
     "tpch_q4",
     "tpch_q5",
     "tpch_q7",
@@ -246,8 +250,6 @@ _SWEEP_PRIORITY = (
     "join_semi",
     "join_anti",
     "join_coverage_audit",
-    "join_share_of_total",
-    "join_outlier_vs_max",
 )
 
 

@@ -271,3 +271,40 @@ def stream_dedup_within_watermark(
     """
     key_cols = key_cols or ["user_id", "event_type", ts_col]
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_dedup_against_corpus(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming delta-vs-corpus dedup: the continuous-ingest form of
+    `training.dedup.incremental_dedup` — new documents arriving on a
+    stream are dropped when their normalized-content digest already
+    exists in the (static, immutable-for-this-run) training corpus.
+
+    Stream-static LEFT ANTI join: Spark re-plans the static side per
+    micro-batch, streams state-FREE (no watermark needed — the corpus is
+    not a stream), and the anti join is the only stateless join shape
+    that filters without widening the row.  At 100 TB the static side is
+    the corpus DIGEST table (one md5 column, written at last ingest),
+    bucketed on the digest so each micro-batch joins without a corpus
+    shuffle; broadcast kicks in automatically below the threshold.
+
+    Within-batch repeats are NOT handled here (an anti join cannot see
+    sibling rows) — chain `stream_dedup_within_watermark` on the digest
+    column downstream for that, which this function exposes by emitting
+    `content_md5` alongside the input columns.
+    """
+    from ..training.dedup import normalize_text
+
+    digests = corpus.select(
+        F.md5(normalize_text(F.col(text_col))).alias("content_md5")
+    ).distinct()
+    return (
+        docs_stream.withColumn(
+            "content_md5", F.md5(normalize_text(F.col(text_col)))
+        )
+        .join(digests, "content_md5", "left_anti")
+    )

@@ -118,6 +118,56 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against the EXISTING corpus — the operator a
+    *continuous* training pipeline runs every ingest: yesterday's corpus
+    is immutable, only the delta needs verdicts.
+
+    One row per new document:
+    - `dup_of_corpus`: its normalized-content digest already exists in
+      the corpus (drop — we trained on it);
+    - `dup_within_batch`: an earlier (lower-id) new doc in this batch has
+      the same digest;
+    - `keep`: neither.
+
+    Scale shape: the corpus side reduces to DISTINCT digests before the
+    join (one shuffle over corpus, output bounded by unique content);
+    the verdict join and the within-batch window both key on
+    `content_md5`, so Catalyst reuses one hash partitioning of the new
+    batch for both (no second shuffle). Nothing here is proportional to
+    corpus x batch — at 100 TB the corpus digests would come from a
+    bucketed digest table written at last ingest, making the corpus-side
+    shuffle a one-time cost too.
+    """
+    digest = F.md5(normalize_text(F.col(text_col)))
+    corpus_digests = corpus.select(digest.alias("content_md5")).distinct()
+    batch = new_docs.select(F.col(id_col), digest.alias("content_md5"))
+    w_rank = W.partitionBy("content_md5").orderBy(F.col(id_col).asc())
+    return (
+        batch.withColumn("dup_within_batch", F.row_number().over(w_rank) > 1)
+        .join(
+            corpus_digests.withColumn("dup_of_corpus", F.lit(True)),
+            "content_md5",
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            "content_md5",
+            F.coalesce(F.col("dup_of_corpus"), F.lit(False)).alias("dup_of_corpus"),
+            "dup_within_batch",
+            (
+                ~F.coalesce(F.col("dup_of_corpus"), F.lit(False))
+                & ~F.col("dup_within_batch")
+            ).alias("keep"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

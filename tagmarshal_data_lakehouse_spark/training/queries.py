@@ -481,6 +481,62 @@ q_doc_mixture_weights = Query(
     "|strata|-row aggregates regardless of corpus size (sampling.py:114-150).",
 )
 
+q_doc_incremental_dedup = Query(
+    name="doc_incremental_dedup",
+    # Batch = every 5th doc, corpus = the rest: the continuous-pipeline
+    # shape (immutable yesterday-corpus, delta-only verdicts).
+    build=lambda spark, sf_dir: dedup.incremental_dedup(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0),
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0),
+    ),
+    oracle=f"""
+        WITH corpus AS (
+            SELECT DISTINCT md5({_NORM}) AS content_md5
+            FROM documents WHERE doc_id % 5 <> 0
+        ), batch0 AS (
+            SELECT doc_id, md5({_NORM}) AS content_md5
+            FROM documents WHERE doc_id % 5 = 0
+        ), batch AS (
+            SELECT doc_id, content_md5,
+                   ROW_NUMBER() OVER (PARTITION BY content_md5
+                                      ORDER BY doc_id) > 1 AS dup_within_batch
+            FROM batch0
+        )
+        SELECT b.doc_id, b.content_md5,
+               (c.content_md5 IS NOT NULL) AS dup_of_corpus,
+               b.dup_within_batch,
+               (c.content_md5 IS NULL AND NOT b.dup_within_batch) AS keep
+        FROM batch b LEFT JOIN corpus c ON b.content_md5 = c.content_md5
+    """,
+    doc="Incremental (delta-vs-corpus) dedup: new-batch digests verdicted "
+    "against the immutable existing corpus plus within-batch first-wins — "
+    "the every-ingest operator of a continuous training pipeline; corpus "
+    "side reduces to distinct digests, verdict join and batch window share "
+    "one content_md5 partitioning (dedup.py:incremental_dedup).",
+)
+
+
+def _build_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(
+        _embs(spark, sf_dir), n_clusters=8, threshold=0.9, kmeans_iter=3
+    )
+
+
+q_emb_semantic_dedup = Query(
+    name="emb_semantic_dedup",
+    build=_build_semantic_dedup,
+    oracle=None,  # k-means cluster boundaries are engine-specific (double
+    # partial-sum centroids); the keep-set independence and
+    # drop-justification invariants are pytest-checked
+    # (test_training_similarity.py).
+    doc="SemDeDup-style semantic dedup (arXiv:2303.09540): k-means "
+    "partitions the space, near-identical vectors within a cluster "
+    "dedup to the lowest id via a cluster-keyed semi-join — quadratic "
+    "cost confined per cluster, the clustering analogue of LSH banding "
+    "(similarity.py:semantic_dedup).",
+)
+
+
 def _build_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % 37 != 0)
@@ -1015,4 +1071,6 @@ QUERIES = [
     q_multimodal_frame_sample,
     q_doc_span_dedup,
     q_doc_cross_source_dups,
+    q_doc_incremental_dedup,
+    q_emb_semantic_dedup,
 ]

@@ -516,3 +516,67 @@ def quantize_int8(
             6,
         ).cast("double").alias("recon_err_l2"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.98,
+    kmeans_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partitions the embedding space, then
+    near-identical vectors WITHIN each cluster are deduplicated, keeping
+    the lowest id of every near-dup group.
+
+    Verdict per vector: (id, cluster, is_dropped, keep) where a vector
+    is dropped iff some SAME-CLUSTER vector with a smaller id has
+    cosine >= threshold to it.  This greedy rule guarantees the kept set
+    is an independent set: no two kept vectors in a cluster are within
+    threshold of each other (if x < y were both kept with cos >= t, y
+    would have been dropped by x) — the property the paper's dedup
+    relies on.
+
+    Scale shape: this is the clustering analogue of LSH banding — the
+    quadratic rescoring is confined within clusters (shuffle keyed on
+    the cluster id, per-cluster cost bounded by cluster size, chosen via
+    k ~ n/expected_cluster_size), and the existence check is a
+    left-semi join, so the pair stream is never materialized into the
+    output. Cross-cluster near-dups are missed by design — the paper's
+    recall/cost trade.
+    """
+    from . import clustering
+
+    assigned = clustering.kmeans_assignments(
+        embeddings, k=n_clusters, max_iter=kmeans_iter, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col), "cluster")
+    vecs = assigned.join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
+
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("cluster"), F.col(vec_col).alias("veca")
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("cluster"), F.col(vec_col).alias("vecb")
+    )
+    dot = F.expr(_DOT.format(a="veca", b="vecb"))
+    aa = F.expr(_DOT.format(a="veca", b="veca"))
+    bb = F.expr(_DOT.format(a="vecb", b="vecb"))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(dot / (F.sqrt(aa) * F.sqrt(bb)), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.coalesce(F.col("is_dropped"), F.lit(False)).alias("is_dropped"),
+            (~F.coalesce(F.col("is_dropped"), F.lit(False))).alias("keep"),
+        )
+    )

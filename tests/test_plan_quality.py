@@ -263,3 +263,47 @@ def test_tpch_subqueries_decorrelate_to_joins(spark, sf_smoke, reg):
             name,
             strategies,
         )
+
+
+def test_incremental_dedup_digest_keyed_no_cartesian(spark, sf_smoke, reg):
+    """Delta-vs-corpus dedup: the corpus reduces to distinct digests
+    before a hash-keyed verdict join; the within-batch window and the
+    join share the content_md5 key. No nested loop anywhere, exchange
+    inventory bounded (corpus distinct, batch window, join sides)."""
+    df = reg["doc_incremental_dedup"].build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    strategies = plans.join_strategies(df)
+    assert strategies and all("NestedLoop" not in s for s in strategies)
+    assert plans.count_exchanges(df) <= 4
+
+
+def test_semantic_dedup_cluster_keyed_no_cartesian(spark, sf_smoke):
+    """SemDeDup: the within-cluster rescoring join must be keyed on the
+    cluster id (hash join) — the n^2 cross product may never appear even
+    though the per-cluster cost is quadratic by design."""
+    from tagmarshal_data_lakehouse_spark.training import similarity
+
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    df = similarity.semantic_dedup(embs, n_clusters=4, threshold=0.9, kmeans_iter=1)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    strategies = plans.join_strategies(df)
+    assert strategies and all("NestedLoop" not in s for s in strategies)
+
+
+def test_stream_corpus_dedup_is_anti_join(spark, sf_smoke):
+    """The streaming corpus dedup must plan as a left-anti hash join on
+    the digest (state-free stream-static shape) — checked on the batch
+    twin of the same plan (streaming planning differs only in the
+    micro-batch wrapper)."""
+    from tagmarshal_data_lakehouse_spark.streaming import stream_dedup_against_corpus
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = stream_dedup_against_corpus(docs, docs)
+    plan = plans.physical_plan(out)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

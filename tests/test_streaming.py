@@ -376,3 +376,40 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert len(got) == 3 and len(set(got)) == 3
+
+
+def test_stream_dedup_against_corpus(spark, tmp_path):
+    """Streaming delta-vs-corpus dedup: corpus hits dropped (after text
+    normalization), fresh docs pass through with their digest attached;
+    chaining dropDuplicatesWithinWatermark is left to the caller."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "existing corpus document")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docstream_src"
+    os.makedirs(src)
+    batch = spark.createDataFrame(
+        [
+            (10, "THE  quick   brown fox"),  # normalizes to corpus hit -> dropped
+            (11, "a brand new document"),    # fresh -> kept
+            (12, "another fresh one"),       # fresh -> kept
+        ],
+        "doc_id long, text string",
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    out = streaming.stream_dedup_against_corpus(stream, corpus)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scorpus_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("scorpus_out").collect()
+    finally:
+        q.stop()
+    assert {r["doc_id"] for r in rows} == {11, 12}
+    assert all(r["content_md5"] is not None for r in rows)

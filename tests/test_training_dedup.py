@@ -198,3 +198,29 @@ def test_with_simhash_deterministic(spark):
     rows = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
     assert rows[1] == rows[2]          # identical text -> identical hash
     assert rows[1] != rows[3]
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Delta-vs-corpus: corpus hits drop, within-batch dups keep only the
+    first, fresh docs keep."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "existing corpus document")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "THE  quick   brown fox"),   # normalizes to a corpus hit
+            (11, "a brand new document"),      # fresh
+            (12, "a brand new document"),      # within-batch dup of 11
+            (13, "another fresh one"),         # fresh
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.incremental_dedup(batch, corpus).collect()}
+    assert rows[10]["dup_of_corpus"] and not rows[10]["keep"]
+    assert rows[11]["keep"] and not rows[11]["dup_of_corpus"] and not rows[11]["dup_within_batch"]
+    assert rows[12]["dup_within_batch"] and not rows[12]["keep"]
+    assert not rows[12]["dup_of_corpus"]
+    assert rows[13]["keep"]
+    # every batch doc gets exactly one verdict row
+    assert set(rows) == {10, 11, 12, 13}

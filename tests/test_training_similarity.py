@@ -136,3 +136,57 @@ def test_query_bound_guards(planted):
     for fn in (similarity.cosine_topk_fast, similarity.cosine_topk_lsh, similarity.ivf_topk):
         with pytest.raises(ValueError, match="exceeds the"):
             fn(planted, n_queries=similarity.MAX_BROADCAST_QUERIES + 1)
+
+
+def test_semantic_dedup_invariants(spark):
+    """Identical vectors in one cluster dedup to the lowest id; the kept
+    set is an independent set (no two kept vectors in a cluster are
+    within threshold); every drop is justified by a smaller-id
+    near-neighbor in the same cluster."""
+    from tagmarshal_data_lakehouse_spark.training import similarity
+
+    # two tight groups far apart + one isolated vector
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),      # exact dup of 0
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.999, 0.02]),  # near-dup of 10
+        (20, [0.0, 0.0, 1.0]),     # isolated
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            embs, n_clusters=3, threshold=0.95, kmeans_iter=5
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 10, 11, 20}
+    # verdicts partition: keep == not dropped, one row per vector
+    assert all(r["keep"] != r["is_dropped"] for r in out.values())
+    assert out[20]["keep"]  # isolated vector always survives
+
+    # brute-force cosine for verification
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    vecs = dict((i, v) for i, v in rows)
+    clusters = {i: out[i]["cluster"] for i in out}
+    for i, r in out.items():
+        same_cluster_smaller = [
+            j for j in out if j < i and clusters[j] == clusters[i]
+        ]
+        justified = any(cos(vecs[i], vecs[j]) >= 0.95 - 1e-9 for j in same_cluster_smaller)
+        if r["is_dropped"]:
+            assert justified, f"vec {i} dropped without a smaller near-neighbor"
+        else:
+            assert not justified, f"vec {i} kept despite a smaller near-neighbor"
+    # independence: no two kept vectors in one cluster within threshold
+    kept = [i for i, r in out.items() if r["keep"]]
+    for a in kept:
+        for b in kept:
+            if a < b and clusters[a] == clusters[b]:
+                assert cos(vecs[a], vecs[b]) < 0.95 + 1e-9
