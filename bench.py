@@ -37,6 +37,7 @@ HEADLINE = [
     "events_sessionize",
     "events_tumbling_window",
     "doc_dedup_exact",
+    "doc_incremental_dedup",
     "doc_token_stats",
     "doc_minhash_near_dups",
     "emb_cosine_topk_lsh",

@@ -208,8 +208,8 @@ _FLAGSHIP_INTERLEAVE = (
 #     rows ever (events->fact bridge, telemetry_bridge.py);
 #   - doc_incremental_dedup / emb_semantic_dedup: new round-4 operators
 #     (delta-vs-corpus dedup, SemDeDup) — first rows;
-#   - 17 relational queries whose last green row is round 2 (stale-
-#     rotation slice 1 of 2; the remaining 28 lead the tail and rotate
+#   - 15 relational queries whose last green row is round 2 (stale-
+#     rotation slice 1 of 2; the remaining 30 lead the tail and rotate
 #     into round 5's window).
 _SWEEP_PRIORITY = (
     "emb_quantize_int8",
@@ -219,6 +219,8 @@ _SWEEP_PRIORITY = (
     "telemetry_start_hole_distribution",
     "telemetry_avg_pace_by_hole",
     "telemetry_pace_comparison_hole",
+    "telemetry_round_duration",
+    "telemetry_global_overview",
     "doc_incremental_dedup",
     "emb_semantic_dedup",
     "tpch_q4",
@@ -248,8 +250,6 @@ _SWEEP_PRIORITY = (
     "join_range_broadcast",
     "join_salted_skew",
     "join_semi",
-    "join_anti",
-    "join_coverage_audit",
 )
 
 

@@ -37,34 +37,72 @@ from . import Query, load_views
 _COURSE = "course_1"
 _HOLE = 5
 
-# Spark spelling of the bridge mapping (dialect: STRING, || concat).
+# Spark spelling of the bridge mapping (dialect: STRING, TIMESTAMPDIFF).
+# Rounds are (user, day, hour) grain so round durations land inside the
+# library's 0-600-minute validity window; duration is derived through
+# EXACT microsecond arithmetic (the testdata is µs-precision, so the µs
+# difference is the same integer on both engines — minute- or
+# second-grain datediffs would diverge: Spark truncates, DuckDB counts
+# boundary crossings).
 _SPARK_BRIDGE = """
-    SELECT
-        'r' || CAST(user_id AS STRING)                              AS round_id,
-        'course_' || CAST(user_id % 3 AS STRING)                    AS course_id,
-        ts                                                          AS fix_timestamp,
-        FALSE                                                       AS is_location_padding,
-        FALSE                                                       AS is_nine_hole,
-        CAST(user_id % 18 + 1 AS INT)                               AS start_hole,
-        CAST(event_id % 18 + 1 AS INT)                              AS hole_number,
-        CAST(event_id % 54 + 1 AS INT)                              AS section_number,
-        CAST(CASE WHEN event_id % 18 < 9 THEN 1 ELSE 2 END AS INT)  AS nine_number,
-        CAST(CAST(FLOOR(value * 100) AS BIGINT) % 50 + 1 AS DOUBLE) AS pace,
-        CAST(event_id AS INT)                                       AS location_index
-    FROM events
+    WITH base AS (
+        SELECT
+            'r' || CAST(user_id AS STRING) || '_'
+                || CAST(CAST(ts AS DATE) AS STRING) || '_'
+                || CAST(HOUR(ts) AS STRING)                             AS round_id,
+            'course_' || CAST(user_id % 3 AS STRING)                    AS course_id,
+            ts                                                          AS fix_timestamp,
+            CAST(ts AS DATE)                                            AS event_date,
+            FALSE                                                       AS is_location_padding,
+            FALSE                                                       AS is_nine_hole,
+            'd' || CAST(user_id % 7 AS STRING)                          AS device,
+            CAST(user_id % 18 + 1 AS INT)                               AS start_hole,
+            CAST(event_id % 18 + 1 AS INT)                              AS hole_number,
+            CAST(event_id % 54 + 1 AS INT)                              AS section_number,
+            CAST(CASE WHEN event_id % 18 < 9 THEN 1 ELSE 2 END AS INT)  AS nine_number,
+            CAST(CAST(FLOOR(value * 100) AS BIGINT) % 50 + 1 AS DOUBLE) AS pace,
+            CAST(CAST(FLOOR(value * 10) AS BIGINT) % 101 AS DOUBLE)     AS battery_percentage,
+            CAST(event_id AS INT)                                       AS location_index
+        FROM events
+    )
+    SELECT base.*,
+           CAST(FLOOR(TIMESTAMPDIFF(MICROSECOND,
+                    MIN(fix_timestamp) OVER (PARTITION BY round_id),
+                    MAX(fix_timestamp) OVER (PARTITION BY round_id))
+                / 60000000) AS BIGINT)                                  AS round_duration_minutes
+    FROM base
 """
 
-# DuckDB spelling (VARCHAR instead of STRING; INT/BIGINT/DOUBLE agree).
-_DUCK_BRIDGE = _SPARK_BRIDGE.replace("AS STRING)", "AS VARCHAR)")
+# DuckDB spelling (VARCHAR instead of STRING; date_diff instead of
+# TIMESTAMPDIFF; HOUR/FLOOR/CAST/%/|| agree).
+_DUCK_BRIDGE = _SPARK_BRIDGE.replace("AS STRING)", "AS VARCHAR)").replace(
+    "TIMESTAMPDIFF(MICROSECOND,", "date_diff('microsecond',"
+)
 
 
 def _bridged(spark: SparkSession, sf_dir: str, name: str, **params) -> DataFrame:
-    """Register the bridge view, then run the real library text."""
+    """Register the bridge view, then run the real library text (a
+    parameterized render or a fixed TELEMETRY_QUERIES constant)."""
     from . import telemetry
 
     load_views(spark, sf_dir)
     spark.sql(_SPARK_BRIDGE).createOrReplaceTempView("fact_telemetry_event")
-    return spark.sql(telemetry.PARAMETERIZED[name](**params))
+    if name in telemetry.PARAMETERIZED:
+        return spark.sql(telemetry.PARAMETERIZED[name](**params))
+    return spark.sql(telemetry.TELEMETRY_QUERIES[name])
+
+
+def _dates_as_ntz(df: DataFrame, *cols: str) -> DataFrame:
+    """Registry-shape shim (same convention as the events queries):
+    DATE output columns are cast to TIMESTAMP_NTZ because Spark's
+    toPandas ships dates as python objects while DuckDB's ships
+    datetime64 — the harness would compare them unequal. The library
+    text itself is unchanged; only the registry entry re-types."""
+    from pyspark.sql import functions as F
+
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
 
 
 q_telemetry_start_hole_distribution = Query(
@@ -147,8 +185,89 @@ q_telemetry_pace_comparison_hole = Query(
     "bridge — row-level projection, no aggregation.",
 )
 
+q_telemetry_round_duration = Query(
+    name="telemetry_round_duration",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _bridged(spark, sf_dir, "get_round_duration_for_course", course_id=_COURSE),
+        "round_date",
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        round_stats AS (
+            SELECT
+                course_id,
+                round_id,
+                MAX(round_duration_minutes) AS duration_minutes,
+                MAX(CAST(is_nine_hole AS INTEGER)) = 1 AS is_nine_hole,
+                COUNT(DISTINCT hole_number) AS holes_visited,
+                MIN(event_date) AS round_date
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE
+              AND course_id = '{_COURSE}'
+            GROUP BY course_id, round_id
+        )
+        SELECT
+            course_id,
+            round_id,
+            CAST(round_date AS TIMESTAMP) AS round_date,
+            duration_minutes,
+            is_nine_hole,
+            holes_visited,
+            CASE WHEN is_nine_hole THEN '9-hole' ELSE '18-hole' END AS round_type
+        FROM round_stats
+        WHERE duration_minutes IS NOT NULL
+          AND duration_minutes > 0
+          AND duration_minutes < 600
+        ORDER BY round_date DESC
+    """,
+    doc="Reference parity, per-round duration details "
+    "(dashboard/utils/queries.py:912-947; the text "
+    "run_telemetry_query('get_round_duration_for_course') serves) over "
+    "the events->telemetry bridge at (user, day, hour) round grain — "
+    "integer-exact µs-derived durations, no doubles anywhere.",
+)
+
+q_telemetry_global_overview = Query(
+    name="telemetry_global_overview",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _bridged(spark, sf_dir, "global_overview"), "earliest_date", "latest_date"
+    ),
+    # The library text's ROUND(AVG(x),1) runs in its _exact_avg_std
+    # decimal-exact form on Spark; the oracle mirrors that form and
+    # inlines the Spark-semantics ROUND (round the shortest-decimal
+    # representation: VARCHAR -> DECIMAL(38,20) -> round) because the
+    # driver's DuckDB session has no macros.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            COUNT(DISTINCT course_id) AS total_courses,
+            COUNT(DISTINCT round_id) AS total_rounds,
+            COUNT(*) AS total_events,
+            CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS real_events,
+            COUNT(DISTINCT device) AS unique_devices,
+            CAST(MIN(event_date) AS TIMESTAMP) AS earliest_date,
+            CAST(MAX(event_date) AS TIMESTAMP) AS latest_date,
+            COUNT(DISTINCT event_date) AS total_playing_days,
+            CAST(round(CAST(CAST(
+                (CAST(SUM(CAST(pace AS DECIMAL(28,10))) AS DOUBLE) / COUNT(pace))
+                AS VARCHAR) AS DECIMAL(38,20)), 1) AS DOUBLE) AS global_avg_pace,
+            CAST(round(CAST(CAST(
+                (CAST(SUM(CAST(battery_percentage AS DECIMAL(28,10))) AS DOUBLE)
+                 / COUNT(battery_percentage))
+                AS VARCHAR) AS DECIMAL(38,20)), 1) AS DOUBLE) AS global_avg_battery
+        FROM fact_telemetry_event
+    """,
+    doc="Reference parity, the dashboard's global overview strip "
+    "(dashboard/utils/queries.py global stats: courses/rounds/events/"
+    "devices/dates + decimal-exact global averages) over the "
+    "events->telemetry bridge.",
+)
+
 QUERIES = [
     q_telemetry_start_hole_distribution,
     q_telemetry_avg_pace_by_hole,
     q_telemetry_pace_comparison_hole,
+    q_telemetry_round_duration,
+    q_telemetry_global_overview,
 ]

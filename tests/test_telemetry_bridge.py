@@ -1,0 +1,52 @@
+"""Events->telemetry bridge contracts (queries/telemetry_bridge.py).
+
+The bridge gives the telemetry library driver rows by mapping the
+TPC-H-shaped `events` table into a deterministic fact_telemetry_event
+view. These tests pin the cross-engine determinism premises the bridge's
+oracles rely on, and that each bridged query is non-vacuous (a mapping
+drift that empties a result would otherwise pass the sweep trivially).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tagmarshal_data_lakehouse_spark.queries import telemetry_bridge
+
+
+BRIDGE_NAMES = [q.name for q in telemetry_bridge.QUERIES]
+
+
+def test_bridge_registers_and_pace_is_integer_valued(spark, sf_oracle):
+    """`pace` must be an integer-valued double: the decimal-exact AVG
+    rewrite is bit-identical across engines only because the inputs
+    carry no fractional part."""
+    telemetry_bridge._bridged(spark, sf_oracle, "get_avg_pace_by_hole", course_id="course_1")
+    fact = spark.table("fact_telemetry_event")
+    from pyspark.sql import functions as F
+
+    bad = fact.filter(
+        (F.col("pace") != F.floor(F.col("pace")).cast("double"))
+        | (F.col("battery_percentage") != F.floor(F.col("battery_percentage")).cast("double"))
+    ).count()
+    assert bad == 0
+    # pace stays in the library's validity window (0, 60)
+    out_of_range = fact.filter((F.col("pace") <= 0) | (F.col("pace") >= 60)).count()
+    assert out_of_range == 0
+
+
+@pytest.mark.parametrize("name", BRIDGE_NAMES)
+def test_bridge_queries_non_vacuous(spark, sf_oracle, name):
+    """Every bridged library query must return rows at the driver's
+    sweep scale — an empty frame would make its oracle row meaningless."""
+    q = {q.name: q for q in telemetry_bridge.QUERIES}[name]
+    assert q.build(spark, sf_oracle).count() > 0
+
+
+def test_round_grain_durations_fit_validity_window(spark, sf_oracle):
+    """(user, day, hour) round grain exists so durations land inside the
+    library's 0-600-minute filter — pin that the filter keeps data."""
+    df = telemetry_bridge.q_telemetry_round_duration.build(spark, sf_oracle)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(0 < r["duration_minutes"] < 600 for r in rows)
