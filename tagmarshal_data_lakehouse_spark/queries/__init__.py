@@ -206,10 +206,11 @@ _FLAGSHIP_INTERLEAVE = (
 #     51-62 and have NEVER had a driver row;
 #   - telemetry_*: the reference-parity telemetry library's first driver
 #     rows ever (events->fact bridge, telemetry_bridge.py);
-#   - doc_incremental_dedup / emb_semantic_dedup: new round-4 operators
-#     (delta-vs-corpus dedup, SemDeDup) — first rows;
-#   - 15 relational queries whose last green row is round 2 (stale-
-#     rotation slice 1 of 2; the remaining 30 lead the tail and rotate
+#   - doc_incremental_dedup / emb_semantic_dedup / multimodal_resize:
+#     new round-4 operators (delta-vs-corpus dedup, SemDeDup, thumbnail
+#     resize) — first rows;
+#   - 14 relational queries whose last green row is round 2 (stale-
+#     rotation slice 1 of 2; the remaining 31 lead the tail and rotate
 #     into round 5's window).
 _SWEEP_PRIORITY = (
     "emb_quantize_int8",
@@ -223,6 +224,7 @@ _SWEEP_PRIORITY = (
     "telemetry_global_overview",
     "doc_incremental_dedup",
     "emb_semantic_dedup",
+    "multimodal_resize",
     "tpch_q4",
     "tpch_q5",
     "tpch_q7",
@@ -249,7 +251,6 @@ _SWEEP_PRIORITY = (
     "join_broadcast",
     "join_range_broadcast",
     "join_salted_skew",
-    "join_semi",
 )
 
 

@@ -183,3 +183,86 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("thumb", T.BinaryType(), True),
+        T.StructField("thumb_md5", T.StringType(), True),
+        T.StructField("thumb_n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Batch thumbnail/resize over binary payloads — the preprocessing
+    step every vision-training pipeline runs before feature extraction.
+
+    mapInPandas like `extract_media_features`: one bounded Arrow batch
+    in, one out; source payload bytes are dropped before yield so task
+    memory is one input batch plus its (smaller) thumbnails. With Pillow
+    installed the real decoder resizes via Image.resize and re-encodes;
+    in this container the deterministic stub stands in: source dims from
+    `_fake_decode`, thumbnail bytes = md5(payload : WxH) digest — stable
+    across engines, so the whole mapInPandas path is oracle-checkable
+    end-to-end (the same contract as multimodal_features).
+    """
+    tw, th = int(target_w), int(target_h)
+
+    def fake_decode(payload: bytes) -> tuple[int, int, int]:
+        # closure-local (pickles by value; see extract_media_features)
+        n = len(payload)
+        return 64 + (n % 512), 64 + ((n * 7) % 512), 1 + (n % 16)
+
+    def resize_one(payload: bytes) -> tuple[int, int, bytes]:
+        try:  # real path when Pillow exists
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as img:
+                sw, sh = int(img.width), int(img.height)
+                buf = io.BytesIO()
+                img.resize((tw, th)).save(buf, format="PNG")
+                return sw, sh, buf.getvalue()
+        except Exception:  # noqa: BLE001 — no PIL / not an image: stub
+            sw, sh, _ = fake_decode(payload)
+            # hex-string bytes (not the raw digest): keeps the stub's
+            # downstream content hash expressible in the SQL oracle
+            # (DuckDB md5() only accepts VARCHAR)
+            thumb = hashlib.md5(payload + f":{tw}x{th}".encode()).hexdigest().encode()
+            return sw, sh, thumb
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sws, shs, thumbs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    ids.append(mid); sws.append(None); shs.append(None); thumbs.append(None)
+                    continue
+                sw, sh, thumb = resize_one(bytes(payload))
+                ids.append(mid); sws.append(sw); shs.append(sh); thumbs.append(thumb)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "src_width": pd.Series(sws, dtype="object"),
+                    "src_height": pd.Series(shs, dtype="object"),
+                    "out_width": pd.Series([tw] * len(ids), dtype="int32"),
+                    "out_height": pd.Series([th] * len(ids), dtype="int32"),
+                    "thumb": pd.Series(thumbs, dtype="object"),
+                    "thumb_md5": pd.Series(
+                        [hashlib.md5(t).hexdigest() if t is not None else None for t in thumbs],
+                        dtype="object",
+                    ),
+                    "thumb_n_bytes": pd.Series(
+                        [len(t) if t is not None else None for t in thumbs], dtype="object"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)

@@ -962,6 +962,39 @@ q_multimodal_features = Query(
     "deterministically; the oracle verifies the full UDF pipeline).",
 )
 
+q_multimodal_resize = Query(
+    name="multimodal_resize",
+    # Registry shape omits the binary `thumb` column (Spark ships binary
+    # to pandas as unhashable bytearray — same canonicalizer limit as
+    # list columns); thumb_md5/thumb_n_bytes pin its content and size.
+    build=lambda spark, sf_dir: multimodal.resize_media(
+        multimodal.documents_as_media(_docs(spark, sf_dir)), target_w=64, target_h=64
+    ).select(
+        "media_id",
+        "src_width",
+        "src_height",
+        "out_width",
+        "out_height",
+        "thumb_md5",
+        "thumb_n_bytes",
+    ),
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(64 + strlen(text) % 512 AS INT)       AS src_width,
+               CAST(64 + (strlen(text) * 7) % 512 AS INT) AS src_height,
+               CAST(64 AS INT)  AS out_width,
+               CAST(64 AS INT)  AS out_height,
+               md5(md5(text || ':64x64')) AS thumb_md5,
+               CAST(32 AS BIGINT) AS thumb_n_bytes
+        FROM documents
+    """,
+    doc="Batch thumbnail/resize over binary payloads (the vision-training "
+    "preprocessing step): mapInPandas, source payloads dropped before "
+    "yield; real Pillow resize when installed, deterministic digest stub "
+    "otherwise — the oracle verifies the stub path end-to-end "
+    "(multimodal.py:resize_media).",
+)
+
 q_multimodal_frame_sample = Query(
     name="multimodal_frame_sample",
     build=lambda spark, sf_dir: multimodal.sample_frames(
@@ -1068,6 +1101,7 @@ QUERIES = [
     q_emb_quantize_int8,
     q_doc_clean_corpus_stats,
     q_multimodal_features,
+    q_multimodal_resize,
     q_multimodal_frame_sample,
     q_doc_span_dedup,
     q_doc_cross_source_dups,

@@ -87,3 +87,27 @@ def test_decode_image_real_guarded_by_pillow_presence():
         buf = io.BytesIO()
         Image.new("RGB", (12, 8)).save(buf, format="PNG")
         assert multimodal.decode_image_real(buf.getvalue()) == (12, 8, 1)
+
+
+def test_resize_media_stub_contract(spark):
+    """Resize plumbing: fixed output dims, stub thumbnail is the
+    32-byte hex digest of payload:WxH, null payloads pass through with
+    null features, and source payloads are not in the output schema."""
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id long, text string"
+    )
+    media = multimodal.documents_as_media(docs)
+    out = {r["media_id"]: r for r in multimodal.resize_media(media, 32, 16).collect()}
+    assert set(out) == {1, 2}
+    r = out[1]
+    assert (r["out_width"], r["out_height"]) == (32, 16)
+    expect = hashlib.md5(b"hello:32x16").hexdigest().encode()
+    assert bytes(r["thumb"]) == expect
+    assert r["thumb_md5"] == hashlib.md5(expect).hexdigest()
+    assert r["thumb_n_bytes"] == 32
+    # fake source dims mirror the feature extractor's stub
+    assert r["src_width"] == 64 + (5 % 512) and r["src_height"] == 64 + (5 * 7) % 512
+    # null payload -> null features, fixed target dims still present
+    n = out[2]
+    assert n["thumb"] is None and n["thumb_md5"] is None and n["src_width"] is None
+    assert (n["out_width"], n["out_height"]) == (32, 16)

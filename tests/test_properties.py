@@ -84,3 +84,42 @@ def test_mixture_arithmetic_never_upsamples(shares, counts):
         assert 0 <= take <= counts[k]
     binding = min(norm, key=lambda k: counts[k] / norm[k])
     assert takes[binding] >= counts[binding] - 1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6), st.sampled_from(["a b c", "d e f", "g h i", "j k"])),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(st.sampled_from(["a b c", "d e f", "x y z"]), max_size=3, unique=True),
+)
+@settings(max_examples=15, deadline=None)
+def test_incremental_dedup_matches_pure_python(spark, batch_rows, corpus_texts):
+    """Delta-vs-corpus dedup must agree with the obvious sequential
+    Python implementation for arbitrary batches and corpora."""
+    from tagmarshal_data_lakehouse_spark.training import dedup as tdedup
+
+    corpus_digests = {
+        hashlib.md5(" ".join(t.lower().split()).encode()).hexdigest() for t in corpus_texts
+    }
+    expected = {}
+    seen: set[str] = set()
+    for doc_id, text in sorted(batch_rows):
+        digest = hashlib.md5(" ".join(text.lower().split()).encode()).hexdigest()
+        in_corpus = digest in corpus_digests
+        in_batch = digest in seen
+        seen.add(digest)
+        expected[doc_id] = (in_corpus, in_batch, not in_corpus and not in_batch)
+
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)] or [(0, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_of_corpus"], r["dup_within_batch"], r["keep"])
+        for r in tdedup.incremental_dedup(batch, corpus).collect()
+    }
+    assert got == expected
