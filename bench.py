@@ -80,7 +80,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in HEADLINE:
         q = reg[name]
-        for attempt, sink in ((1, cold), (2, timings)):
+        for sink in (cold, timings):
             start = time.perf_counter()
             df = q.build(spark, sf_dir)
             n = df.count()

@@ -195,6 +195,7 @@ RESIZE_SCHEMA = T.StructType(
         T.StructField("thumb", T.BinaryType(), True),
         T.StructField("thumb_md5", T.StringType(), True),
         T.StructField("thumb_n_bytes", T.LongType(), True),
+        T.StructField("is_stub", T.BooleanType(), True),
     ]
 )
 
@@ -207,10 +208,16 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
     in, one out; source payload bytes are dropped before yield so task
     memory is one input batch plus its (smaller) thumbnails. With Pillow
     installed the real decoder resizes via Image.resize and re-encodes;
-    in this container the deterministic stub stands in: source dims from
-    `_fake_decode`, thumbnail bytes = md5(payload : WxH) digest — stable
-    across engines, so the whole mapInPandas path is oracle-checkable
+    otherwise (or when a payload is not a decodable image) the
+    deterministic stub stands in: source dims from `_fake_decode`,
+    thumbnail bytes = md5(payload : WxH) hex digest — stable across
+    engines, so the whole mapInPandas path is oracle-checkable
     end-to-end (the same contract as multimodal_features).
+
+    `is_stub` flags which path produced each row: stub bytes must never
+    be mistaken for a real PNG by a downstream vision loader, so a
+    corrupt image in a Pillow deployment yields (is_stub=true) rather
+    than a silently-wrong thumbnail — filter or alert on it.
     """
     tw, th = int(target_w), int(target_h)
 
@@ -219,7 +226,7 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
         n = len(payload)
         return 64 + (n % 512), 64 + ((n * 7) % 512), 1 + (n % 16)
 
-    def resize_one(payload: bytes) -> tuple[int, int, bytes]:
+    def resize_one(payload: bytes) -> tuple[int, int, bytes, bool]:
         try:  # real path when Pillow exists
             import io
 
@@ -229,24 +236,26 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                 sw, sh = int(img.width), int(img.height)
                 buf = io.BytesIO()
                 img.resize((tw, th)).save(buf, format="PNG")
-                return sw, sh, buf.getvalue()
+                return sw, sh, buf.getvalue(), False
         except Exception:  # noqa: BLE001 — no PIL / not an image: stub
             sw, sh, _ = fake_decode(payload)
             # hex-string bytes (not the raw digest): keeps the stub's
             # downstream content hash expressible in the SQL oracle
             # (DuckDB md5() only accepts VARCHAR)
             thumb = hashlib.md5(payload + f":{tw}x{th}".encode()).hexdigest().encode()
-            return sw, sh, thumb
+            return sw, sh, thumb, True
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sws, shs, thumbs = [], [], [], []
+            ids, sws, shs, thumbs, stubs = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
-                    ids.append(mid); sws.append(None); shs.append(None); thumbs.append(None)
+                    ids.append(mid)
+                    sws.append(None); shs.append(None); thumbs.append(None); stubs.append(None)
                     continue
-                sw, sh, thumb = resize_one(bytes(payload))
-                ids.append(mid); sws.append(sw); shs.append(sh); thumbs.append(thumb)
+                sw, sh, thumb, stub = resize_one(bytes(payload))
+                ids.append(mid); sws.append(sw); shs.append(sh)
+                thumbs.append(thumb); stubs.append(stub)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -262,6 +271,7 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                     "thumb_n_bytes": pd.Series(
                         [len(t) if t is not None else None for t in thumbs], dtype="object"
                     ),
+                    "is_stub": pd.Series(stubs, dtype="object"),
                 }
             )
 

@@ -977,6 +977,7 @@ q_multimodal_resize = Query(
         "out_height",
         "thumb_md5",
         "thumb_n_bytes",
+        "is_stub",
     ),
     oracle="""
         SELECT doc_id AS media_id,
@@ -985,7 +986,8 @@ q_multimodal_resize = Query(
                CAST(64 AS INT)  AS out_width,
                CAST(64 AS INT)  AS out_height,
                md5(md5(text || ':64x64')) AS thumb_md5,
-               CAST(32 AS BIGINT) AS thumb_n_bytes
+               CAST(32 AS BIGINT) AS thumb_n_bytes,
+               TRUE AS is_stub
         FROM documents
     """,
     doc="Batch thumbnail/resize over binary payloads (the vision-training "

@@ -105,6 +105,9 @@ def test_resize_media_stub_contract(spark):
     assert bytes(r["thumb"]) == expect
     assert r["thumb_md5"] == hashlib.md5(expect).hexdigest()
     assert r["thumb_n_bytes"] == 32
+    # the stub path must self-identify: downstream vision loaders filter
+    # on is_stub instead of discovering non-PNG bytes at train time
+    assert r["is_stub"] is True
     # fake source dims mirror the feature extractor's stub
     assert r["src_width"] == 64 + (5 % 512) and r["src_height"] == 64 + (5 * 7) % 512
     # null payload -> null features, fixed target dims still present
