@@ -206,12 +206,15 @@ _FLAGSHIP_INTERLEAVE = (
 #     51-62 and have NEVER had a driver row;
 #   - telemetry_*: the reference-parity telemetry library's first driver
 #     rows ever (events->fact bridge, telemetry_bridge.py);
-#   - doc_incremental_dedup / emb_semantic_dedup / multimodal_resize:
+#   - doc_incremental_dedup / emb_semantic_dedup / multimodal_resize /
+#     doc_decontaminate_bloom / doc_chunk_windows / doc_epoch_shuffle:
 #     new round-4 operators (delta-vs-corpus dedup, SemDeDup, thumbnail
-#     resize) — first rows;
-#   - 14 relational queries whose last green row is round 2 (stale-
-#     rotation slice 1 of 2; the remaining 31 lead the tail and rotate
-#     into round 5's window).
+#     resize, bloom decontamination prefilter, token-window chunking,
+#     epoch shuffle order) — first rows;
+#   - 11 relational queries whose last green row is round 2 (stale-
+#     rotation slice 1 of 2; the remaining 34 — including the three
+#     join_* entries bumped by the new operators — lead the tail and
+#     rotate into round 5's window).
 _SWEEP_PRIORITY = (
     "emb_quantize_int8",
     "scalar_datetime",
@@ -225,6 +228,9 @@ _SWEEP_PRIORITY = (
     "doc_incremental_dedup",
     "emb_semantic_dedup",
     "multimodal_resize",
+    "doc_decontaminate_bloom",
+    "doc_chunk_windows",
+    "doc_epoch_shuffle",
     "tpch_q4",
     "tpch_q5",
     "tpch_q7",
@@ -248,9 +254,6 @@ _SWEEP_PRIORITY = (
     "agg_global",
     "agg_weighted_score",
     "distinct_projection",
-    "join_broadcast",
-    "join_range_broadcast",
-    "join_salted_skew",
 )
 
 

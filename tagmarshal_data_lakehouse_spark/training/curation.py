@@ -1,5 +1,5 @@
-"""Corpus-curation operators: decontamination, repetition analysis, PII
-scanning, sequence packing.
+"""Corpus-curation operators: decontamination (exact and Bloom-filter),
+repetition analysis, PII scanning, sequence packing, chunking.
 
 These are the quality/safety gates a large-scale training-data pipeline
 runs between raw dedup and tokenized output (the C4/Pile-style curation
@@ -11,7 +11,10 @@ the standard shard-local packing real pipelines use.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -53,6 +56,148 @@ def decontaminate(
         train_grams.join(F.broadcast(eval_grams), "gram_hash")
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination pre-filter: per corpus document, how
+    many of its token n-grams *might* appear in the eval set, and a
+    `bloom_hit` flag.
+
+    The scale path for `decontaminate`: instead of joining the corpus
+    gram stream against the (broadcast) eval grams, the eval set is
+    folded into a fixed-size bitset ONCE — `num_hashes` xxhash64-seeded
+    bit positions per gram — and membership becomes a row-local
+    expression over the corpus scan.  Zero joins, zero shuffles on the
+    100 TB side; the filter is `num_bits/8` bytes regardless of eval
+    size.  One-sided error: no false negatives (every leaked gram hits),
+    false-positive rate ~ (1 - e^(-k·n/m))^k, so survivors of this
+    filter go to the exact `decontaminate` join and clean documents
+    never pay that join's cost.
+
+    The bitset is embedded in the plan as an `array<bigint>` literal
+    (num_bits=2^20 -> 16384 longs = 128 KiB — the same order as any
+    broadcast dim); for filters beyond ~2^24 bits switch the literal to
+    a broadcast single-row join.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    n_words = num_bits // 64
+    seeds = list(range(num_hashes))
+
+    # Eval side: one pass, distinct grams -> all k bit positions,
+    # collected to the driver (eval sets are small by construction; the
+    # collect is <= k * |eval grams| longs, and duplicates collapse).
+    eval_positions = (
+        with_token_grams(eval_set, text_col=text_col, n=ngram, out="grams")
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("g"), F.lit(s)), F.lit(num_bits))
+                        for s in seeds
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * n_words
+    for row in eval_positions:
+        words[row.p // 64] |= 1 << (row.p % 64)
+    # LongType is signed; fold the high bit back into two's complement.
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words_lit = F.lit(words)
+
+    def might_contain(g: Column) -> Column:
+        checks = []
+        for s in seeds:
+            p = F.pmod(F.xxhash64(g, F.lit(s)), F.lit(num_bits))
+            word = F.get(words_lit, (p / 64).cast("int"))
+            checks.append(F.bit_get(word, (p % 64).cast("long")) == 1)
+        return functools.reduce(operator.and_, checks)
+
+    grams = with_token_grams(
+        ensure_parallelism(corpus), text_col=text_col, n=ngram, out="grams"
+    )
+    n_hits = F.size(F.filter(F.col("grams"), might_contain))
+    return grams.select(
+        F.col(id_col),
+        F.size("grams").cast("bigint").alias("n_grams"),
+        n_hits.cast("bigint").alias("n_bloom_hits"),
+        (n_hits > 0).alias("bloom_hit"),
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    max_tokens: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    training-sample construction step for long documents (every token is
+    covered; consecutive chunks overlap by `max_tokens - stride` tokens
+    for context continuity).
+
+    Chunk starts are 0, stride, 2·stride, …; a document of n tokens
+    yields 1 + ceil(max(n - max_tokens, 0) / stride) chunks, each of at
+    most `max_tokens` tokens.  Blank documents yield no chunks.
+
+    ENTIRELY row-local (tokenize -> sequence -> posexplode -> slice):
+    the 1->N expansion happens inside the scan's generator, no shuffle,
+    no state — the shape that holds at any corpus size.
+    """
+    if stride <= 0 or max_tokens <= 0 or stride > max_tokens:
+        raise ValueError("need 0 < stride <= max_tokens")
+    toks = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+        ).alias("_toks"),
+        F.length(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        ).alias("_len"),
+    )
+    n_tok = F.when(F.col("_len") == 0, F.lit(0)).otherwise(F.size("_toks"))
+    n_chunks = F.when(
+        n_tok == 0, F.lit(0)
+    ).otherwise(
+        F.lit(1)
+        + F.ceil(F.greatest(n_tok - max_tokens, F.lit(0)) / F.lit(stride)).cast("int")
+    )
+    with_n = toks.select(F.col(id_col), F.col("_toks"), n_chunks.alias("_n_chunks"))
+    # sequence(a, b) runs DESCENDING when b < a (sequence(1, 0) = [1, 0]),
+    # so the zero-chunk case must short-circuit to an empty array — a bare
+    # sequence(1, _n_chunks) would hand blank documents two phantom chunks.
+    chunk_seq = F.when(
+        F.col("_n_chunks") > 0, F.expr("sequence(0, _n_chunks - 1)")
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = with_n.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode(chunk_seq).alias("chunk_index"),
+    )
+    start = F.col("chunk_index") * stride  # 0-based token offset
+    chunk_toks = F.slice(F.col("_toks"), start + 1, max_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        start.cast("bigint").alias("chunk_start_token"),
+        F.size(chunk_toks).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk_toks, " ").alias("chunk_text"),
     )
 
 

@@ -645,6 +645,88 @@ q_doc_decontaminate = Query(
     "the corpus gram stream never shuffles (curation.py:24-58).",
 )
 
+def _build_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same corpus/eval split as doc_decontaminate, so the two entries
+    # document the exact-join vs bloom-prefilter relationship on
+    # identical inputs (pytest pins bloom_hit ⊇ exact hits).
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+    return curation.decontaminate_bloom(corpus, eval_set, ngram=5)
+
+
+q_doc_decontaminate_bloom = Query(
+    name="doc_decontaminate_bloom",
+    build=_build_decontaminate_bloom,
+    # No oracle: bit positions come from Spark's xxhash64 (engine
+    # intrinsic; DuckDB has no compatible hash). Semantics pinned in
+    # pytest instead: zero false negatives vs the exact decontaminate
+    # join, and the FPR stays within the (1-e^{-kn/m})^k envelope.
+    oracle=None,
+    doc="Bloom-filter decontamination pre-filter: eval-set 5-grams folded "
+    "into a 2^20-bit / 4-hash bitset embedded in the plan; membership is "
+    "a row-local expression over the corpus scan — zero shuffles at "
+    "100 TB, no false negatives (curation.py:decontaminate_bloom).",
+)
+
+
+q_doc_chunk_windows = Query(
+    name="doc_chunk_windows",
+    build=lambda spark, sf_dir: curation.chunk_windows(
+        _docs(spark, sf_dir), max_tokens=64, stride=48
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS tokens,
+                   CASE WHEN len({_NORM}) = 0 THEN 0
+                        ELSE len({_TOKENS}) END AS n_tokens
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, tokens,
+                   CASE WHEN n_tokens = 0 THEN 0
+                        ELSE 1 + CAST(ceil(greatest(n_tokens - 64, 0) / 48.0) AS INT)
+                   END AS n_chunks
+            FROM toks
+        ), exploded AS (
+            SELECT doc_id, tokens,
+                   unnest(range(0, n_chunks)) AS ci
+            FROM counted
+        )
+        SELECT doc_id,
+               CAST(ci AS INT) AS chunk_index,
+               CAST(ci * 48 AS BIGINT) AS chunk_start_token,
+               CAST(len(list_slice(tokens, ci * 48 + 1, ci * 48 + 64))
+                    AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(tokens, ci * 48 + 1, ci * 48 + 64),
+                               ' ') AS chunk_text
+        FROM exploded
+    """,
+    doc="Overlapping token-window chunking (64-token windows, stride 48) "
+    "— long-document training-sample construction; row-local 1->N "
+    "generator expansion inside the scan, no shuffle "
+    "(curation.py:chunk_windows).",
+)
+
+
+q_doc_epoch_shuffle = Query(
+    name="doc_epoch_shuffle",
+    build=lambda spark, sf_dir: sampling.epoch_shuffle(_docs(spark, sf_dir), epoch=1),
+    oracle="""
+        SELECT doc_id,
+               CAST(1 AS INT) AS epoch,
+               md5('e1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               CAST(ROW_NUMBER() OVER (
+                        ORDER BY md5('e1:' || CAST(doc_id AS VARCHAR)), doc_id)
+                    - 1 AS BIGINT) AS epoch_position
+        FROM documents
+    """,
+    doc="Deterministic per-epoch global shuffle order: dense position in "
+    "md5((epoch, id)) order, assembled from hash-prefix bucket offsets + "
+    "within-bucket ranks — no single-partition window at any scale "
+    "(sampling.py:epoch_shuffle). Oracle is the direct ROW_NUMBER form.",
+)
+
+
 q_doc_repetition = Query(
     name="doc_repetition",
     build=lambda spark, sf_dir: curation.repetition_stats(_docs(spark, sf_dir), n=3),
@@ -1109,4 +1191,7 @@ QUERIES = [
     q_doc_cross_source_dups,
     q_doc_incremental_dedup,
     q_emb_semantic_dedup,
+    q_doc_decontaminate_bloom,
+    q_doc_chunk_windows,
+    q_doc_epoch_shuffle,
 ]

@@ -110,6 +110,59 @@ def hash_sample_k(df: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def epoch_shuffle(df: DataFrame, epoch: int = 0, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle order for one training epoch: every
+    row gets a dense position 0..n-1 in md5('e{epoch}:' || id) order.
+
+    Training loaders need a reproducible permutation that changes per
+    epoch; hashing (epoch, id) gives exactly that — same order on every
+    run/engine/partitioning, different order every epoch, and no RNG
+    state to ship.
+
+    Scale shape: a naive ROW_NUMBER() OVER (ORDER BY hash) collapses the
+    whole corpus into ONE window partition.  Instead the position is
+    assembled from the hash's own first byte (an order-preserving prefix,
+    values 0..255): global position = (count of rows in lower-valued
+    prefix buckets) + (rank within this bucket).  The bucket counts are a
+    256-row aggregate (broadcast back), and the within-bucket rank is a
+    256-way-parallel window — two shuffles, no single-task stage, at any
+    corpus size.  Ties (md5 collisions) are broken by id, so the
+    permutation is total and the bucket-prefix decomposition is exact.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"e{int(epoch)}:"), F.col(id_col).cast("string")))
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_bucket"),
+    )
+    bucket_counts = keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    # 256-row frame: the running-sum window is single-partition but tiny.
+    offsets = bucket_counts.select(
+        "_bucket",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    in_bucket = (
+        F.row_number().over(Window.partitionBy("_bucket").orderBy("shuffle_key", id_col))
+        - 1
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "_bucket")
+        .select(
+            F.col(id_col),
+            F.lit(int(epoch)).cast("int").alias("epoch"),
+            F.col("shuffle_key"),
+            (F.col("_offset") + in_bucket).cast("bigint").alias("epoch_position"),
+        )
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     target_shares: Mapping[str, float],

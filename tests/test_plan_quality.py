@@ -307,3 +307,27 @@ def test_stream_corpus_dedup_is_anti_join(spark, sf_smoke):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_windows_row_local_generation(spark, sf_smoke, reg):
+    """Chunking is a scan-side generator: tokenize -> sequence ->
+    explode -> slice, all inside the projection. No join anywhere, and
+    the only exchange allowed is ensure_parallelism's one-time spread of
+    a small input — the 1->N expansion itself must not move data."""
+    df = reg["doc_chunk_windows"].build(spark, sf_smoke)
+    assert plans.join_strategies(df) == []
+    assert plans.count_exchanges(df) <= 1
+    assert "Generate" in plans.physical_plan(df)  # explode, not a join
+
+
+def test_epoch_shuffle_two_bounded_shuffles(spark, sf_smoke, reg):
+    """The permutation must be assembled from the 256-bucket
+    decomposition: the corpus-side window partitions by _bucket (256-way
+    parallel), the offsets frame is broadcast back, and the exchange
+    count stays fixed (bucket agg + bucket window + broadcast) at any
+    corpus size."""
+    df = reg["doc_epoch_shuffle"].build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    strategies = plans.join_strategies(df)
+    assert strategies and all("Broadcast" in s for s in strategies)
+    assert plans.count_exchanges(df) <= 4

@@ -96,6 +96,12 @@ def test_priority_block_carries_the_must_verify_entries():
         "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q22",
     }
     assert never_swept <= head
+    # New round-4 operators: first driver rows must come this round.
+    new_ops = {
+        "doc_incremental_dedup", "emb_semantic_dedup", "multimodal_resize",
+        "doc_decontaminate_bloom", "doc_chunk_windows", "doc_epoch_shuffle",
+    }
+    assert new_ops <= head
 
 
 def test_nothing_goes_two_rounds_without_a_driver_row():

@@ -124,3 +124,34 @@ def test_approx_sketches_error_bounds(spark, sf_smoke):
         # HLL++ default rsd is 5%; allow 3x margin
         assert abs(a["approx_users"] - e["n_users"]) <= max(3, 0.15 * e["n_users"])
         assert a["p50_value"] == pytest.approx(e["p50"], rel=0.25)
+
+
+def test_epoch_shuffle_is_exact_permutation(docs):
+    n = docs.count()
+    out = sampling.epoch_shuffle(docs, epoch=0)
+    positions = sorted(r["epoch_position"] for r in out.collect())
+    assert positions == list(range(n))  # dense, total, no gaps or dupes
+
+
+def test_epoch_shuffle_epochs_differ_but_are_deterministic(docs):
+    e0 = {r["doc_id"]: r["epoch_position"] for r in sampling.epoch_shuffle(docs, epoch=0).collect()}
+    e0_again = {r["doc_id"]: r["epoch_position"] for r in sampling.epoch_shuffle(docs, epoch=0).collect()}
+    e1 = {r["doc_id"]: r["epoch_position"] for r in sampling.epoch_shuffle(docs, epoch=1).collect()}
+    assert e0 == e0_again  # reproducible within an epoch
+    moved = sum(1 for d in e0 if e0[d] != e1[d])
+    assert moved > len(e0) * 0.9  # epochs genuinely reshuffle
+
+
+def test_epoch_shuffle_no_single_partition_window_on_data(docs):
+    """The corpus-side window must partition by the hash-prefix bucket;
+    the only single-partition stage allowed is the 256-row offsets
+    aggregate (that frame is bounded by construction, not by data)."""
+    plan = (
+        sampling.epoch_shuffle(docs, epoch=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the big-side window runs per-bucket
+    assert "partitionspec" not in plan.lower() or "_bucket" in plan
+    import re
+    windows = re.findall(r"Window \[.*?\]", plan)
+    assert any("_bucket" in w for w in windows), windows

@@ -96,3 +96,79 @@ def test_pack_sequences_truncation_flag(spark):
     # the oversized doc sits alone in its pack
     assert rows[2]["pos_in_pack"] == 0
     assert rows[1]["pack_id"] != rows[2]["pack_id"] or rows[3]["pack_id"] != rows[2]["pack_id"]
+
+
+def test_chunk_windows_coverage_and_overlap(spark):
+    """Every token position is covered; consecutive chunks overlap by
+    max_tokens - stride; chunk sizes cap at max_tokens."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(250))),  # 250 toks -> 5 chunks
+         (2, "short doc only"),                        # 3 toks  -> 1 chunk
+         (3, "   ")],                                  # blank   -> 0 chunks
+        "doc_id long, text string",
+    )
+    rows = curation.chunk_windows(df, max_tokens=64, stride=48).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc  # blank doc yields no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 3
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_index"])
+    assert len(chunks) == 5  # 1 + ceil((250-64)/48)
+    covered = set()
+    for c in chunks:
+        assert c["chunk_start_token"] == c["chunk_index"] * 48
+        assert c["n_chunk_tokens"] <= 64
+        toks = c["chunk_text"].split(" ")
+        assert len(toks) == c["n_chunk_tokens"]
+        assert toks[0] == f"t{c['chunk_start_token']}"  # slice is aligned
+        covered |= set(range(c["chunk_start_token"],
+                             c["chunk_start_token"] + c["n_chunk_tokens"]))
+    assert covered == set(range(250))  # full coverage, no gaps
+
+
+def test_chunk_windows_rejects_bad_params(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        curation.chunk_windows(df, max_tokens=32, stride=64)  # stride > window
+    with pytest.raises(ValueError):
+        curation.chunk_windows(df, max_tokens=0, stride=0)
+
+
+def test_decontaminate_bloom_no_false_negatives(spark, sf_smoke):
+    """bloom_hit must be a SUPERSET of the exact decontaminate hits
+    (one-sided error), and on this corpus the false-positive overhead
+    must stay small (m=2^20 bits vs a few thousand eval grams)."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+    exact_ids = {
+        r["train_id"]
+        for r in curation.decontaminate(corpus, eval_set, ngram=5).collect()
+    }
+    bloom = curation.decontaminate_bloom(corpus, eval_set, ngram=5).collect()
+    flagged = {r["doc_id"] for r in bloom if r["bloom_hit"]}
+    assert exact_ids <= flagged  # zero false negatives
+    n_corpus = corpus.count()
+    # FPR envelope: with n eval grams, k=4, m=2^20 the per-gram FPR is
+    # well under 1%; allow generous slack for multi-gram documents.
+    assert len(flagged - exact_ids) <= max(5, n_corpus // 10)
+
+
+def test_decontaminate_bloom_plan_is_shuffle_free(spark):
+    """The corpus side must stay join-free and shuffle-free — the whole
+    point of the bloom path at 100 TB (the only exchange allowed is
+    ensure_parallelism's one-time spread of a single-split input)."""
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    out = curation.decontaminate_bloom(corpus, eval_set, ngram=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # membership is an expression, not a join
