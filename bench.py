@@ -38,6 +38,8 @@ HEADLINE = [
     "events_tumbling_window",
     "doc_dedup_exact",
     "doc_incremental_dedup",
+    "doc_curation_pipeline",
+    "doc_chunk_windows",
     "doc_token_stats",
     "doc_minhash_near_dups",
     "emb_cosine_topk_lsh",

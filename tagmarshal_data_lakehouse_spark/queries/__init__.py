@@ -207,14 +207,15 @@ _FLAGSHIP_INTERLEAVE = (
 #   - telemetry_*: the reference-parity telemetry library's first driver
 #     rows ever (events->fact bridge, telemetry_bridge.py);
 #   - doc_incremental_dedup / emb_semantic_dedup / multimodal_resize /
-#     doc_decontaminate_bloom / doc_chunk_windows / doc_epoch_shuffle:
-#     new round-4 operators (delta-vs-corpus dedup, SemDeDup, thumbnail
-#     resize, bloom decontamination prefilter, token-window chunking,
-#     epoch shuffle order) — first rows;
-#   - 11 relational queries whose last green row is round 2 (stale-
-#     rotation slice 1 of 2; the remaining 34 — including the three
-#     join_* entries bumped by the new operators — lead the tail and
-#     rotate into round 5's window).
+#     doc_decontaminate_bloom / doc_chunk_windows / doc_epoch_shuffle /
+#     doc_curation_pipeline: new round-4 operators (delta-vs-corpus
+#     dedup, SemDeDup, thumbnail resize, bloom decontamination
+#     prefilter, token-window chunking, epoch shuffle order, the
+#     composed curation pipeline) — first rows;
+#   - 10 relational queries whose last green row is round 2 (stale-
+#     rotation slice 1 of 2; the remaining 35 — including the four
+#     entries bumped by the new operators — lead the tail and rotate
+#     into round 5's window).
 _SWEEP_PRIORITY = (
     "emb_quantize_int8",
     "scalar_datetime",
@@ -231,6 +232,7 @@ _SWEEP_PRIORITY = (
     "doc_decontaminate_bloom",
     "doc_chunk_windows",
     "doc_epoch_shuffle",
+    "doc_curation_pipeline",
     "tpch_q4",
     "tpch_q5",
     "tpch_q7",
@@ -253,7 +255,6 @@ _SWEEP_PRIORITY = (
     "agg_having",
     "agg_global",
     "agg_weighted_score",
-    "distinct_projection",
 )
 
 

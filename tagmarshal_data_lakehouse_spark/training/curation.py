@@ -18,9 +18,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import ensure_parallelism, with_token_grams
+from .dedup import ensure_parallelism, with_dedup_verdict, with_token_grams
 from .sampling import hash_bucket
-from .text import token_count
+from .text import language_id, quality_features, token_count
 
 
 def decontaminate(
@@ -198,6 +198,56 @@ def chunk_windows(
         start.cast("bigint").alias("chunk_start_token"),
         F.size(chunk_toks).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(chunk_toks, " ").alias("chunk_text"),
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 50.0,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """The composed curation pipeline: exact dedup -> quality gate ->
+    language-ID -> split assignment, as ONE lazily-built plan.
+
+    Emits a full audit frame — one row per INPUT document with its
+    dedup verdict, quality score, detected language, split label, the
+    first applicable `drop_reason` ('duplicate' beats 'low_quality'),
+    and the final `kept` flag — which is what a production pipeline
+    writes: the kept set IS the training corpus, the dropped rows are
+    the provenance record an audit asks for.
+
+    Composition cost = the cost of the most expensive stage: quality
+    features, language-ID and the split are row-local expressions
+    stacked on the scan, and the dedup verdict rides the operator's one
+    content-digest shuffle (`with_dedup_verdict` — no join-back by id).
+    The whole pipeline is one exchange at any corpus size.
+    """
+    feats = quality_features(ensure_parallelism(df), text_col=text_col)
+    feats = feats.withColumn("lang_detected", language_id(F.col(text_col)))
+    verdicts = with_dedup_verdict(feats, id_col=id_col, text_col=text_col)
+    bucket = hash_bucket(F.col(id_col), 100)
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    drop_reason = F.when(F.col("is_duplicate"), F.lit("duplicate")).when(
+        F.col("quality_score") < min_quality, F.lit("low_quality")
+    )
+    return verdicts.select(
+        F.col(id_col),
+        F.col("content_md5"),
+        F.col("cluster_size"),
+        F.col("is_canonical"),
+        F.col("lang_detected"),
+        F.col("n_tokens"),
+        F.col("quality_score"),
+        split.alias("split"),
+        drop_reason.alias("drop_reason"),
+        drop_reason.isNull().alias("kept"),
     )
 
 

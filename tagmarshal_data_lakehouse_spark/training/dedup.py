@@ -99,6 +99,26 @@ def _norm_sql(text_col: str) -> str:
     return f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
 
 
+def with_dedup_verdict(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Annotate rows IN PLACE with the exact-dedup verdict columns
+    (content_md5, cluster_size, is_canonical, is_duplicate) — lowest id
+    wins the canonical election.
+
+    Keeping every input column lets composed pipelines (curate_corpus)
+    attach the verdict with the operator's single digest shuffle instead
+    of a second join-back-by-id shuffle.
+    """
+    digest = F.md5(normalize_text(F.col(text_col)))
+    w = W.partitionBy("content_md5")
+    w_rank = w.orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("content_md5", digest)
+        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("is_canonical", F.row_number().over(w_rank) == 1)
+        .withColumn("is_duplicate", (F.col("cluster_size") > 1) & ~F.col("is_canonical"))
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact (normalized) dedup via content digest.
 
@@ -107,14 +127,8 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     contract dedup of W1 (etl.py:572-586) — here keyed by content, not
     business key.  Single shuffle on the digest.
     """
-    digest = F.md5(normalize_text(F.col(text_col)))
-    w = W.partitionBy("content_md5")
-    w_rank = w.orderBy(F.col(id_col).asc())
-    return (
-        df.select(F.col(id_col), digest.alias("content_md5"))
-        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
-        .withColumn("is_canonical", F.row_number().over(w_rank) == 1)
-        .withColumn("is_duplicate", (F.col("cluster_size") > 1) & ~F.col("is_canonical"))
+    return with_dedup_verdict(df.select(F.col(id_col), F.col(text_col)), id_col, text_col).drop(
+        text_col
     )
 
 

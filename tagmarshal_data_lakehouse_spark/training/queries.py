@@ -727,6 +727,67 @@ q_doc_epoch_shuffle = Query(
 )
 
 
+q_doc_curation_pipeline = Query(
+    name="doc_curation_pipeline",
+    build=lambda spark, sf_dir: curation.curate_corpus(_docs(spark, sf_dir)),
+    # The composed pipeline's oracle is the composition of its stages'
+    # (already individually proven) oracles: quality/lang CTE stacked
+    # under the dedup window, split + verdict on top.
+    oracle=f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   md5({_NORM}) AS content_md5,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                             ELSE len({_TOKENS}) END AS INT) AS n_tokens,
+                   length({_NORM}) AS n_norm_chars,
+                   {_hits(_EN)} AS en_hits, {_hits(_DE)} AS de_hits,
+                   {_hits(_ES)} AS es_hits, {_hits(_FR)} AS fr_hits,
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS INT) AS n_punct
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, content_md5, n_tokens,
+                   CASE WHEN GREATEST(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+                        WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                        WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                        WHEN es_hits >= fr_hits THEN 'es'
+                        ELSE 'fr' END AS lang_detected,
+                   ROUND(
+                     4.0e1 * CAST(n_bytes >= 100 AND n_bytes <= 100000 AS INT)
+                     + 3.0e1 * CAST(ROUND(n_norm_chars / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) >= 2.0
+                               AND ROUND(n_norm_chars / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) <= 12.0 AS INT)
+                     + 2.0e1 * CAST(ROUND(en_hits / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) <= 0.6 AS INT)
+                     + 1.0e1 * CAST(ROUND(n_punct / NULLIF(CAST(n_bytes AS DOUBLE), 0.0), 6) <= 0.2 AS INT), 1) AS quality_score
+            FROM feat
+        ), verdict AS (
+            SELECT *,
+                   CAST(COUNT(*) OVER (PARTITION BY content_md5) AS BIGINT) AS cluster_size,
+                   ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) = 1 AS is_canonical,
+                   {sampling.oracle_bucket('doc_id', 100)} AS bucket
+            FROM scored
+        ), labeled AS (
+            SELECT doc_id, content_md5, cluster_size, is_canonical,
+                   lang_detected, n_tokens, quality_score,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CASE WHEN cluster_size > 1 AND NOT is_canonical THEN 'duplicate'
+                        WHEN quality_score < 50 THEN 'low_quality' END AS drop_reason
+            FROM verdict
+        )
+        SELECT doc_id, content_md5, cluster_size, is_canonical, lang_detected,
+               n_tokens, quality_score, split, drop_reason,
+               drop_reason IS NULL AS kept
+        FROM labeled
+    """,
+    doc="The composed curation pipeline (dedup -> quality gate -> "
+    "language-ID -> split) as one plan: full per-document audit frame "
+    "with drop_reason/kept verdicts. One content-digest exchange total — "
+    "every other stage is row-local expressions on the scan "
+    "(curation.py:curate_corpus).",
+)
+
+
 q_doc_repetition = Query(
     name="doc_repetition",
     build=lambda spark, sf_dir: curation.repetition_stats(_docs(spark, sf_dir), n=3),
@@ -1194,4 +1255,5 @@ QUERIES = [
     q_doc_decontaminate_bloom,
     q_doc_chunk_windows,
     q_doc_epoch_shuffle,
+    q_doc_curation_pipeline,
 ]

@@ -331,3 +331,26 @@ def test_epoch_shuffle_two_bounded_shuffles(spark, sf_smoke, reg):
     strategies = plans.join_strategies(df)
     assert strategies and all("Broadcast" in s for s in strategies)
     assert plans.count_exchanges(df) <= 4
+
+
+def test_curation_pipeline_single_exchange(spark, sf_smoke, reg):
+    """The composed curate_corpus plan must cost what its most expensive
+    stage costs: quality/lang/split are expression-stacked on the scan
+    and the dedup verdict rides the one content-digest window shuffle —
+    no join-back by id, no second wide stage (plus at most the
+    ensure_parallelism spread of a small input)."""
+    df = reg["doc_curation_pipeline"].build(spark, sf_smoke)
+    assert plans.join_strategies(df) == []
+    assert plans.count_exchanges(df) <= 2  # spread + digest window
+
+
+def test_exact_dedup_prunes_text_below_window(spark, sf_smoke, reg):
+    """exact_duplicates routes through with_dedup_verdict, which keeps
+    all input columns; Catalyst must still prune the text column out of
+    the digest shuffle (it is only consumed by the pre-shuffle digest
+    projection)."""
+    df = reg["doc_dedup_exact"].build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    import re
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)[^\n]*", plan)
+    assert exchanges and all("text" not in e for e in exchanges)

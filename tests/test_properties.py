@@ -123,3 +123,44 @@ def test_incremental_dedup_matches_pure_python(spark, batch_rows, corpus_texts):
         for r in tdedup.incremental_dedup(batch, corpus).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=300),  # token counts per doc
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=2, max_value=64),   # max_tokens
+    st.integers(min_value=1, max_value=64),   # stride (clamped below)
+)
+@settings(max_examples=15, deadline=None)
+def test_chunk_windows_invariants(spark, token_counts, max_tokens, stride):
+    """For arbitrary doc lengths and window params: chunk count matches
+    the closed form, every token is covered exactly by the union of
+    chunks, and no chunk exceeds the window."""
+    from tagmarshal_data_lakehouse_spark.training import curation
+
+    stride = min(stride, max_tokens)
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)) if n else "")
+        for i, n in enumerate(token_counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.chunk_windows(df, max_tokens=max_tokens, stride=stride).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    import math
+
+    for i, n in enumerate(token_counts):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_index"])
+        expected = 0 if n == 0 else 1 + math.ceil(max(n - max_tokens, 0) / stride)
+        assert len(chunks) == expected, (n, max_tokens, stride)
+        covered = set()
+        for c in chunks:
+            assert 1 <= c["n_chunk_tokens"] <= max_tokens
+            covered |= set(
+                range(c["chunk_start_token"], c["chunk_start_token"] + c["n_chunk_tokens"])
+            )
+        assert covered == set(range(n))

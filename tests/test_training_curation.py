@@ -172,3 +172,19 @@ def test_decontaminate_bloom_plan_is_shuffle_free(spark):
     out = curation.decontaminate_bloom(corpus, eval_set, ngram=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # membership is an expression, not a join
+
+
+def test_curate_corpus_verdicts(spark):
+    """Duplicate beats low_quality in drop_reason; canonical of a dup
+    cluster survives if quality passes; kept == drop_reason is NULL."""
+    good = "the quick brown fox jumps over the lazy dog and that is fine " * 4
+    df = spark.createDataFrame(
+        [(1, good), (2, good), (3, "x"), (4, good + "unique tail here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in curation.curate_corpus(df).collect()}
+    assert rows[1]["is_canonical"] and rows[1]["kept"]
+    assert rows[2]["drop_reason"] == "duplicate" and not rows[2]["kept"]
+    assert rows[3]["drop_reason"] == "low_quality" and not rows[3]["kept"]
+    assert rows[4]["kept"] and rows[4]["cluster_size"] == 1
+    assert all(r["split"] in ("train", "val", "test") for r in rows.values())
