@@ -202,8 +202,10 @@ _FLAGSHIP_INTERLEAVE = (
 #   - scalar_datetime: text edited (tz fix) AFTER its round-2 green row;
 #   - doc_dedup_clusters / doc_pack_sequences: newly gained DuckDB
 #     oracles (recursive-CTE twins) — first hash rows;
-#   - tpch_q4..q22: the 12 extended TPC-H queries that sat at positions
-#     51-62 and have NEVER had a driver row;
+#   - tpch_q2..q22: the 12 extended TPC-H queries that sat at positions
+#     51-62 and have NEVER had a driver row, plus the 6 round-4 shape
+#     adaptations (q2 q11 q12 q16 q20 q21) that complete the 22-query
+#     suite (q1 = agg_pricing_summary);
 #   - telemetry_*: the reference-parity telemetry library's first driver
 #     rows ever (events->fact bridge, telemetry_bridge.py);
 #   - doc_incremental_dedup / emb_semantic_dedup / multimodal_resize /
@@ -212,10 +214,10 @@ _FLAGSHIP_INTERLEAVE = (
 #     dedup, SemDeDup, thumbnail resize, bloom decontamination
 #     prefilter, token-window chunking, epoch shuffle order, the
 #     composed curation pipeline) — first rows;
-#   - 10 relational queries whose last green row is round 2 (stale-
-#     rotation slice 1 of 2; the remaining 35 — including the four
-#     entries bumped by the new operators — lead the tail and rotate
-#     into round 5's window).
+#   - 4 relational queries whose last green row is round 2 (stale-
+#     rotation slice 1 of 2; the remaining 41 — including the ten
+#     entries bumped by the new operators and TPC-H completions — lead
+#     the tail and rotate into round 5's window).
 _SWEEP_PRIORITY = (
     "emb_quantize_int8",
     "scalar_datetime",
@@ -233,28 +235,28 @@ _SWEEP_PRIORITY = (
     "doc_chunk_windows",
     "doc_epoch_shuffle",
     "doc_curation_pipeline",
+    "tpch_q2",
     "tpch_q4",
     "tpch_q5",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
     "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
+    "tpch_q16",
     "tpch_q17",
     "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
     "tpch_q22",
     "agg_conditional",
     "agg_filter_clause",
     "agg_minmax_duration",
     "agg_percentile",
-    "agg_stddev",
-    "agg_bool_array",
-    "agg_mode_deterministic",
-    "agg_having",
-    "agg_global",
-    "agg_weighted_score",
 )
 
 

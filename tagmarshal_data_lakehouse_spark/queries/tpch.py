@@ -18,7 +18,25 @@ schema, adapting predicates to the generator's actual value domains
 - Q22 — adapted: ``c_nationkey`` stands in for the phone country code,
   keeping the anti-join + uncorrelated scalar subquery shape.
 - Q2, Q11, Q16, Q20 need partsupp; Q12, Q21 need commit/receipt/shipmode
-  — unimplementable on this schema and intentionally absent.
+  — their *literal* texts are unimplementable on this schema, but since
+  round 4 their operator SHAPES run as adaptations (the shapes are the
+  point: correlated MIN, HAVING-vs-global-scalar, two-group conditional
+  agg, NOT IN anti-join + distinct count, nested IN with correlated
+  HAVING, and the EXISTS/NOT-EXISTS waiting-supplier combo):
+  - Q2  — min *unit price* (l_extendedprice/l_quantity) stands in for
+    min ps_supplycost; same correlated-MIN-over-join shape.
+  - Q11 — per-part revenue share from the nation's lineitems stands in
+    for stock value; same groupBy + HAVING > scalar-subquery shape.
+  - Q12 — l_linestatus stands in for l_shipmode, late = shipped >60
+    days after order date; same two-group conditional agg shape.
+  - Q16 — suppliers with negative acctbal stand in for complaint
+    suppliers; same NOT IN anti-join + COUNT(DISTINCT) shape.
+  - Q20 — a supplier's 1996 shipped quantity > 25% of the part's total
+    stands in for availqty > half-of-shipments; same nested-IN +
+    correlated-scalar-HAVING shape.
+  - Q21 — late = shipped >90 days after order date, precomputed in a
+    shared CTE so both EXISTS correlations stay equality-only; same
+    multi-supplier waiting shape.
 
 Every query is *shared-text*: the same ANSI SQL string runs on Spark and
 on the DuckDB oracle, so Catalyst plans the whole query (scalar-subquery
@@ -38,6 +56,32 @@ from __future__ import annotations
 
 from . import Query
 from .relational import _shared, davg, dsum
+
+q2 = _shared(
+    "tpch_q2",
+    """
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size <= 10 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+  AND l_extendedprice / l_quantity = (
+      SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+      FROM lineitem l2
+      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+      WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    "TPC-H Q2 (adapted: min unit price over lineitem as supply cost — "
+    "no partsupp): correlated MIN subquery decorrelated to an "
+    "aggregate+join; unit price is one IEEE division of identical "
+    "doubles on both engines, so the equality is bit-stable.",
+)
 
 q3 = _shared(
     "tpch_q3",
@@ -204,6 +248,56 @@ LIMIT 20
     "top-20 by lost revenue.",
 )
 
+q11 = _shared(
+    "tpch_q11",
+    f"""
+WITH partval AS (
+  SELECT l_partkey,
+         {dsum('l_extendedprice * (1 - l_discount)', 6)} AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM partval
+WHERE part_value > (
+  SELECT {dsum('l_extendedprice * (1 - l_discount)', 6)} * 2.0e-3
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1')
+ORDER BY part_value DESC, l_partkey
+""",
+    "TPC-H Q11 (adapted: per-part revenue from one nation's lineitems "
+    "as stock value — no partsupp): group values filtered against an "
+    "uncorrelated global-share scalar subquery; the threshold re-derives "
+    "from the base table with the same decimal-exact sum, never by "
+    "re-summing the group doubles.",
+)
+
+q12 = _shared(
+    "tpch_q12",
+    """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    "TPC-H Q12 (adapted: l_linestatus as ship mode, late = shipped >60 "
+    "days after order date — no shipmode/commit/receipt columns): the "
+    "two-group conditional aggregation over a date-filtered join.",
+)
+
 q13 = _shared(
     "tpch_q13",
     """
@@ -254,6 +348,26 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     "TPC-H Q15 top supplier: CTE reused by both the join and the "
     "uncorrelated MAX subquery (exact equality is safe — both sides "
     "compute the identical decimal-exact double).",
+)
+
+q16 = _shared(
+    "tpch_q16",
+    """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0.0e0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    "TPC-H Q16 (adapted: negative-balance suppliers as the complaint "
+    "exclusion list — no s_comment; lineitem as the part-supplier "
+    "relation): NOT IN anti-join (null-free key) + COUNT(DISTINCT) per "
+    "part attribute group.",
 )
 
 q17 = _shared(
@@ -310,6 +424,72 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
     "brand/size/quantity predicates across the join.",
 )
 
+q20 = _shared(
+    "tpch_q20",
+    f"""
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l1.l_suppkey
+    FROM lineitem l1
+    JOIN part ON l1.l_partkey = p_partkey
+    WHERE p_type = 'ECONOMY'
+      AND l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l1.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l1.l_suppkey, l1.l_partkey
+    HAVING {dsum('l1.l_quantity')} >
+           2.5e-1 * (SELECT {dsum('l3.l_quantity')}
+                     FROM lineitem l3
+                     WHERE l3.l_partkey = l1.l_partkey
+                       AND l3.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l3.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+ORDER BY s_suppkey
+""",
+    "TPC-H Q20 (adapted: a supplier's shipped 1996 quantity > 25% of "
+    "the part's total shipments stands in for availqty > half-of-"
+    "shipments — no partsupp): nested IN semi-join whose HAVING compares "
+    "a group aggregate against a correlated scalar subquery (correlation "
+    "on the grouping column, so both engines decorrelate it to an "
+    "aggregate join).",
+)
+
+q21 = _shared(
+    "tpch_q21",
+    """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN flagged l1 ON l1.l_suppkey = s_suppkey
+WHERE n_name = 'NATION_1'
+  AND l1.is_late
+  AND EXISTS (SELECT 1 FROM flagged l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM flagged l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    "TPC-H Q21 waiting-supplier (adapted: late = shipped >90 days after "
+    "order date — no commit/receipt dates): the lateness flag is "
+    "precomputed ONCE in a shared CTE so both the EXISTS (another "
+    "supplier in the order) and NOT EXISTS (no OTHER late supplier) "
+    "correlations stay equality-only — clean semi/anti hash joins on "
+    "both engines, no non-equi correlation.",
+)
+
 q22 = _shared(
     "tpch_q22",
     f"""
@@ -335,5 +515,6 @@ GROUP BY cntrycode
 )
 
 QUERIES: list[Query] = [
-    q3, q4, q5, q6, q7, q8, q9, q10, q13, q14, q15, q17, q18, q19, q22,
+    q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16,
+    q17, q18, q19, q20, q21, q22,
 ]

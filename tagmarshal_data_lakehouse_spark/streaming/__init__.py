@@ -9,6 +9,7 @@ event-time analytics over the events stream.
 
 from .ingest import stream_silver  # noqa: F401
 from .events import (  # noqa: F401
+    stream_curate,
     stream_dedup_against_corpus,
     stream_funnel_progress,
     stream_dedup_within_watermark,

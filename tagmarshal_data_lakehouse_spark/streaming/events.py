@@ -308,3 +308,70 @@ def stream_dedup_against_corpus(
         )
         .join(digests, "content_md5", "left_anti")
     )
+
+
+def stream_curate(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 50.0,
+    ngram: int = 5,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """The continuous form of `curation.curate_corpus`: documents arriving
+    on a stream pass the full curation gate per micro-batch.
+
+    Stage by stage, and why each survives streaming:
+
+    - corpus dedup — stream-static LEFT ANTI join on the content digest
+      (`stream_dedup_against_corpus` shape): stateless, corpus re-planned
+      per batch, broadcast below threshold;
+    - quality scoring + language-ID — the SAME stateless expression trees
+      the batch operator uses (`text.quality_features` / `language_id`):
+      no state, no watermark, identical scores batch vs stream;
+    - eval decontamination — the Bloom bitset path
+      (`curation.eval_bloom_bits` folded once at plan build,
+      `bloom_membership` row-local per doc): the only decontamination
+      form with zero per-batch join cost.  The exact-join form stays a
+      batch backstop for flagged survivors.
+
+    Emits the audit verdict (drop_reason: 'low_quality' |
+    'eval_contaminated' | NULL; corpus duplicates never emerge from the
+    anti join).  Within-batch repeats are left to a downstream
+    `dropDuplicatesWithinWatermark` on `content_md5`, same as the plain
+    streaming dedup.
+    """
+    from ..training import curation
+    from ..training.dedup import normalize_text, with_token_grams
+    from ..training.text import language_id, quality_features
+
+    words = curation.eval_bloom_bits(eval_set, text_col, ngram, num_bits, num_hashes)
+    hit = curation.bloom_membership(words, num_bits, num_hashes)
+
+    digests = corpus.select(
+        F.md5(normalize_text(F.col(text_col))).alias("content_md5")
+    ).distinct()
+    fresh = (
+        docs_stream.withColumn("content_md5", F.md5(normalize_text(F.col(text_col))))
+        .join(digests, "content_md5", "left_anti")
+    )
+    scored = quality_features(fresh, text_col=text_col).withColumn(
+        "lang_detected", language_id(F.col(text_col))
+    )
+    grams = with_token_grams(scored, text_col=text_col, n=ngram, out="_grams")
+    contaminated = F.size(F.filter(F.col("_grams"), hit)) > 0
+    drop_reason = F.when(F.col("quality_score") < min_quality, F.lit("low_quality")).when(
+        contaminated, F.lit("eval_contaminated")
+    )
+    return grams.select(
+        F.col(id_col),
+        F.col("content_md5"),
+        F.col("lang_detected"),
+        F.col("n_tokens"),
+        F.col("quality_score"),
+        drop_reason.alias("drop_reason"),
+        drop_reason.isNull().alias("kept"),
+    )

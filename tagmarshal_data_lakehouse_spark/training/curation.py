@@ -88,14 +88,37 @@ def decontaminate_bloom(
     broadcast dim); for filters beyond ~2^24 bits switch the literal to
     a broadcast single-row join.
     """
+    words = eval_bloom_bits(eval_set, text_col, ngram, num_bits, num_hashes)
+    grams = with_token_grams(
+        ensure_parallelism(corpus), text_col=text_col, n=ngram, out="grams"
+    )
+    n_hits = F.size(
+        F.filter(F.col("grams"), bloom_membership(words, num_bits, num_hashes))
+    )
+    return grams.select(
+        F.col(id_col),
+        F.size("grams").cast("bigint").alias("n_grams"),
+        n_hits.cast("bigint").alias("n_bloom_hits"),
+        (n_hits > 0).alias("bloom_hit"),
+    )
+
+
+def eval_bloom_bits(
+    eval_set: DataFrame,
+    text_col: str = "text",
+    ngram: int = 5,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> list[int]:
+    """Fold the eval set's token n-grams into a Bloom bitset, returned as
+    the signed-64 word list a LongType array literal accepts.
+
+    One pass over the (small by construction) eval set: distinct grams ->
+    all k xxhash64-seeded bit positions, collected to the driver
+    (<= k * |eval grams| longs, duplicates collapse).
+    """
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
-    n_words = num_bits // 64
-    seeds = list(range(num_hashes))
-
-    # Eval side: one pass, distinct grams -> all k bit positions,
-    # collected to the driver (eval sets are small by construction; the
-    # collect is <= k * |eval grams| longs, and duplicates collapse).
     eval_positions = (
         with_token_grams(eval_set, text_col=text_col, n=ngram, out="grams")
         .select(F.explode("grams").alias("g"))
@@ -105,7 +128,7 @@ def decontaminate_bloom(
                 F.array(
                     *[
                         F.pmod(F.xxhash64(F.col("g"), F.lit(s)), F.lit(num_bits))
-                        for s in seeds
+                        for s in range(num_hashes)
                     ]
                 )
             ).alias("p")
@@ -113,31 +136,29 @@ def decontaminate_bloom(
         .distinct()
         .collect()
     )
-    words = [0] * n_words
+    words = [0] * (num_bits // 64)
     for row in eval_positions:
         words[row.p // 64] |= 1 << (row.p % 64)
     # LongType is signed; fold the high bit back into two's complement.
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_membership(words: list[int], num_bits: int, num_hashes: int):
+    """Row-local might-contain predicate over the bitset: a lambda for
+    higher-order functions (`F.filter`/`F.exists` over a grams array).
+    Stateless expression — usable identically on batch and streaming
+    DataFrames."""
     words_lit = F.lit(words)
 
     def might_contain(g: Column) -> Column:
         checks = []
-        for s in seeds:
+        for s in range(num_hashes):
             p = F.pmod(F.xxhash64(g, F.lit(s)), F.lit(num_bits))
             word = F.get(words_lit, (p / 64).cast("int"))
             checks.append(F.bit_get(word, (p % 64).cast("long")) == 1)
         return functools.reduce(operator.and_, checks)
 
-    grams = with_token_grams(
-        ensure_parallelism(corpus), text_col=text_col, n=ngram, out="grams"
-    )
-    n_hits = F.size(F.filter(F.col("grams"), might_contain))
-    return grams.select(
-        F.col(id_col),
-        F.size("grams").cast("bigint").alias("n_grams"),
-        n_hits.cast("bigint").alias("n_bloom_hits"),
-        (n_hits > 0).alias("bloom_hit"),
-    )
+    return might_contain
 
 
 def chunk_windows(

@@ -256,7 +256,9 @@ def test_tpch_subqueries_decorrelate_to_joins(spark, sf_smoke, reg):
     # per-row subquery re-execution would be quadratic at scale. The
     # physical plan therefore may not contain any nested-loop join or
     # uncorrelated-loop artifact; all joins must be hash-based.
-    for name in ("tpch_q4", "tpch_q17", "tpch_q22"):
+    # q2: correlated MIN; q20: correlated scalar in HAVING inside IN;
+    # q21: EXISTS + NOT EXISTS over the shared lateness CTE.
+    for name in ("tpch_q2", "tpch_q4", "tpch_q17", "tpch_q20", "tpch_q21", "tpch_q22"):
         df = reg[name].build(spark, sf_smoke)
         strategies = plans.join_strategies(df)
         assert strategies and all("NestedLoop" not in s for s in strategies), (

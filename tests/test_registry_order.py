@@ -94,6 +94,8 @@ def test_priority_block_carries_the_must_verify_entries():
     never_swept = {
         "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
         "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q22",
+        # round-4 shape adaptations completing the 22-query suite
+        "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20", "tpch_q21",
     }
     assert never_swept <= head
     # New round-4 operators: first driver rows must come this round.

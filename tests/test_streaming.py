@@ -413,3 +413,68 @@ def test_stream_dedup_against_corpus(spark, tmp_path):
         q.stop()
     assert {r["doc_id"] for r in rows} == {11, 12}
     assert all(r["content_md5"] is not None for r in rows)
+
+
+def test_stream_curate_full_gate(spark, tmp_path):
+    """The continuous curation gate: corpus duplicates never emerge from
+    the anti join; low-quality and eval-leaking docs emerge flagged with
+    the right drop_reason; clean docs emerge kept. Scores must equal the
+    batch operator's on the same rows (same expression trees)."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for all of the animals in the quiet forest to wander around "
+    ) * 2
+    leaky = (
+        "completely original opening words here yet containing the exact "
+        "held out evaluation benchmark answer sequence inside the body "
+        "padded to a reasonable document length for the quality gate to pass "
+        "with more of the usual filler text that it needs to stay long enough"
+    )
+    corpus = spark.createDataFrame([(1, good)], "doc_id long, text string")
+    eval_set = spark.createDataFrame(
+        [(100, "the exact held out evaluation benchmark answer sequence")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "THE  quick brown fox jumps over the lazy dog and it is a "
+                 "fine day for all of the animals in the quiet forest to "
+                 "wander around the quick brown fox jumps over the lazy dog "
+                 "and it is a fine day for all of the animals in the quiet "
+                 "forest to wander around"),  # normalizes to corpus dup
+            (11, "x"),                        # low quality
+            (12, leaky),                      # bloom hit -> eval_contaminated
+            (13, good + " with a genuinely novel tail sentence to keep"),
+        ],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "curate_src"
+    os.makedirs(src)
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    out = streaming.stream_curate(stream, corpus, eval_set)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scurate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_cur"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r["doc_id"]: r for r in spark.table("scurate_out").collect()}
+    finally:
+        q.stop()
+    assert 10 not in rows  # corpus duplicate anti-joined away
+    assert rows[11]["drop_reason"] == "low_quality" and not rows[11]["kept"]
+    assert rows[12]["drop_reason"] == "eval_contaminated" and not rows[12]["kept"]
+    assert rows[13]["kept"] and rows[13]["drop_reason"] is None
+    # stream scores == batch scores (same stateless expression trees)
+    from tagmarshal_data_lakehouse_spark.training.text import quality_features
+
+    batch_scores = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_features(batch).select("doc_id", "quality_score").collect()
+    }
+    for did, r in rows.items():
+        assert r["quality_score"] == batch_scores[did]
