@@ -230,3 +230,59 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    on: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    anti: bool = False,
+) -> DataFrame:
+    """Approximate semi (or anti) join of a huge frame against a small
+    key set, with ZERO data movement on the big side.
+
+    The standard big-side prefilter at 100 TB: fold the key set into a
+    Bloom bitset once (driver-side collect of bit positions — the key
+    frame is small by contract), then filter the big side with a
+    row-local might-contain expression.  One-sided error:
+
+    - semi (`anti=False`): keeps every true match plus ~FPR false
+      positives — chain the exact join on the survivors; the filter has
+      already discarded the overwhelming non-matching mass shuffle-free.
+    - anti (`anti=True`): drops every true match plus ~FPR false
+      positives — use only where over-dropping a few-in-a-million rows
+      is acceptable (dedup-style pipelines), never for audit-exact
+      anti-join semantics.
+
+    Implemented on the same bitset helpers as the corpus decontamination
+    operator (training.curation.eval_bloom_bits / bloom_membership), so
+    the membership expression is identical batch vs streaming.
+    """
+    from ..training.curation import bloom_membership
+
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    positions = (
+        keys.select(F.col(on).cast("string").alias("_k"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("_k"), F.lit(s)), F.lit(num_bits))
+                        for s in range(num_hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for row in positions:
+        words[row.p // 64] |= 1 << (row.p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    hit = bloom_membership(words, num_bits, num_hashes)(F.col(on).cast("string"))
+    return big.filter(~hit if anti else hit)

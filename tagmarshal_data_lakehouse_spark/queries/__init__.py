@@ -214,8 +214,9 @@ _FLAGSHIP_INTERLEAVE = (
 #     dedup, SemDeDup, thumbnail resize, bloom decontamination
 #     prefilter, token-window chunking, epoch shuffle order, the
 #     composed curation pipeline) — first rows;
-#   - 4 relational queries whose last green row is round 2 (stale-
-#     rotation slice 1 of 2; the remaining 41 — including the ten
+#   - emb_ivfpq_topk: round-4 IVF-PQ composite ANN — first row;
+#   - 3 relational queries whose last green row is round 2 (stale-
+#     rotation slice 1 of 2; the remaining 42 — including the eleven
 #     entries bumped by the new operators and TPC-H completions — lead
 #     the tail and rotate into round 5's window).
 _SWEEP_PRIORITY = (
@@ -235,6 +236,7 @@ _SWEEP_PRIORITY = (
     "doc_chunk_windows",
     "doc_epoch_shuffle",
     "doc_curation_pipeline",
+    "emb_ivfpq_topk",
     "tpch_q2",
     "tpch_q4",
     "tpch_q5",
@@ -256,7 +258,6 @@ _SWEEP_PRIORITY = (
     "agg_conditional",
     "agg_filter_clause",
     "agg_minmax_duration",
-    "agg_percentile",
 )
 
 

@@ -33,6 +33,8 @@ minimality, and recall against the exact baseline on clustered data.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -188,4 +190,122 @@ def pq_topk(
         scored.withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= k)
         .select("query_id", "candidate_id", "adc_dist", F.col("nn_rank").cast("int").alias("nn_rank"))
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_centroids: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite ANN (the Faiss IVFPQ shape): IVF cuts the
+    candidate COUNT, PQ cuts the candidate BYTES — together the at-scale
+    search cost per query is (n_probe/n_cells of the corpus) x (m code
+    lookups), versus the full corpus x d-float folds of the exact path.
+
+    Stages, each reusing the already-proven building block:
+
+    1. coarse quantizer — MLlib KMeans (fixed seed), centroids live on
+       the driver (`similarity.ivf_topk` contract);
+    2. candidates — ONE scan attaches the cell id (Arrow-batched UDF,
+       centroids by value) AND the m-int product code (`encode`'s
+       row-local argmin projections) — no shuffle;
+    3. queries — probe their n_probe nearest cells and carry their
+       (m x k) ADC table; the probe list with tables broadcasts;
+    4. scoring — cell-equi broadcast join (never a cross product) + m
+       `element_at` lookups per pair, windowed top-k, ties by id.
+
+    Codes quantize RAW vectors (IVF-Flat-PQ); residual encoding
+    (vec - cell centroid before PQ) is the recall refinement to add if
+    cells are wide — same plumbing, different training input.  With
+    n_probe = n_cells the result is EXACTLY `pq_topk`'s full-scan ADC
+    ranking (pytest pins this), so recall loss is attributable to
+    probing alone.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from .similarity import MAX_BROADCAST_QUERIES, _guard_query_bound
+
+    _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "ivfpq_topk")
+
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    train = vecs.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    centers = np.stack(
+        [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
+    )
+    centers_n = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+
+    def _probe_udf(n: int):
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def probe(vec_series: pd.Series) -> pd.Series:
+            mat = np.stack(vec_series.to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ centers_n.T
+            top = np.argsort(-sims, axis=1)[:, :n]
+            return pd.Series(list(top.astype(np.int32)))
+
+        return probe
+
+    books = train_codebooks(embeddings, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    sub = len(books[0][0])
+    cands = (
+        encode(vecs, books, id_col, vec_col)
+        .withColumn("cell", _probe_udf(1)(F.col(vec_col)).getItem(0))
+        .select(F.col(id_col).alias("candidate_id"), F.col("pq_code"), "cell")
+    )
+
+    qrows = (
+        vecs.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    table_rows = []
+    for row in qrows:
+        qvec = row["qvec"]
+        qn = np.asarray(list(map(float, qvec)))
+        qn = qn / max(float(np.linalg.norm(qn)), 1e-12)
+        probes = np.argsort(-(qn @ centers_n.T))[:n_probe]
+        tables = [
+            [
+                float(sum((a - b) * (a - b) for a, b in zip(qvec[j * sub : (j + 1) * sub], c)))
+                for c in book
+            ]
+            for j, book in enumerate(books)
+        ]
+        for cell in probes:
+            table_rows.append((row["query_id"], int(cell), tables))
+    qtables = spark.createDataFrame(
+        table_rows, "query_id long, cell int, adc_table array<array<double>>"
+    )
+
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("adc_table"), j + 1),
+            F.element_at(F.col("pq_code"), j + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        cands.join(F.broadcast(qtables), "cell")
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .withColumn("adc_dist", F.round(adc, 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("candidate_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select(
+            "query_id", "candidate_id", "adc_dist", F.col("nn_rank").cast("int").alias("nn_rank")
+        )
     )

@@ -375,6 +375,20 @@ q_emb_pq_topk = Query(
     "companion to the IVF and LSH candidate-generation paths.",
 )
 
+q_emb_ivfpq_topk = Query(
+    name="emb_ivfpq_topk",
+    build=lambda spark, sf_dir: pq.ivfpq_topk(
+        _embs(spark, sf_dir), n_queries=20, k=3, n_cells=16, n_probe=4
+    ),
+    oracle=None,  # quantized-approximate by design; semantics pytest-pinned
+    doc="IVF-PQ composite ANN (Faiss IVFPQ shape): KMeans coarse cells "
+    "cut candidate COUNT (probe n_probe of n_cells), product codes cut "
+    "candidate BYTES (m lookups per pair, no float folds) — cell-equi "
+    "broadcast join, never a cross product. With n_probe=n_cells the "
+    "result equals pq_topk's full-scan ADC ranking (pytest-pinned), so "
+    "probing is the only recall knob (pq.py:ivfpq_topk).",
+)
+
 q_emb_kmeans = Query(
     name="emb_kmeans",
     build=lambda spark, sf_dir: clustering.kmeans_assignments(
@@ -1230,6 +1244,7 @@ QUERIES = [
     q_emb_cosine_near_dups_lsh,
     q_emb_ivf_topk,
     q_emb_pq_topk,
+    q_emb_ivfpq_topk,
     q_emb_kmeans,
     q_doc_train_split,
     q_doc_stratified_sample,

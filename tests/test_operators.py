@@ -51,3 +51,27 @@ def test_two_phase_distinct_matches_count_distinct(spark):
         for r in two_phase_distinct(fact, ["k"], "v").collect()
     }
     assert naive == two
+
+
+def test_bloom_semi_join_superset_and_shuffle_free(spark):
+    """Semi form keeps every true match (no false negatives) with few
+    false positives; anti form drops every true match. The big side's
+    plan must contain no join and no exchange — the whole point."""
+    from tagmarshal_data_lakehouse_spark.operators import bloom_semi_join
+
+    big = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+    keys = spark.createDataFrame([(i * 13,) for i in range(50)], "k long")
+    true_keys = {i * 13 for i in range(50) if i * 13 < 5000}
+
+    semi = bloom_semi_join(big, keys, on="k")
+    got = {r["k"] for r in semi.collect()}
+    assert true_keys <= got                      # zero false negatives
+    assert len(got - true_keys) <= 50            # FPR tiny at 2^20 bits
+
+    anti = bloom_semi_join(big, keys, on="k", anti=True)
+    anti_got = {r["k"] for r in anti.collect()}
+    assert not (true_keys & anti_got)            # every true match dropped
+    assert len(anti_got) >= 5000 - len(true_keys) - 50
+
+    plan = semi._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan

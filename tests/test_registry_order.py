@@ -102,7 +102,7 @@ def test_priority_block_carries_the_must_verify_entries():
     new_ops = {
         "doc_incremental_dedup", "emb_semantic_dedup", "multimodal_resize",
         "doc_decontaminate_bloom", "doc_chunk_windows", "doc_epoch_shuffle",
-        "doc_curation_pipeline",
+        "doc_curation_pipeline", "emb_ivfpq_topk",
     }
     assert new_ops <= head
 

@@ -83,3 +83,36 @@ def test_pq_agrees_with_exact_on_clustered_data(spark):
     adc_group = {r["query_id"]: r["candidate_id"] % 3 for r in adc}
     exact_group = {r["query_id"]: r["candidate_id"] % 3 for r in exact}
     assert adc_group == exact_group
+
+
+def test_ivfpq_full_probe_equals_full_scan_adc(embs):
+    """With n_probe = n_cells the probe stage covers every cell, so the
+    IVFPQ result must EQUAL pq_topk's full-scan ADC ranking (same
+    codebooks, same tables, same tie-break) — recall loss is then
+    attributable to probing alone."""
+    full = {
+        (r["query_id"], r["nn_rank"]): r["candidate_id"]
+        for r in pq.pq_topk(embs, n_queries=8, k=3).collect()
+    }
+    ivf_full = {
+        (r["query_id"], r["nn_rank"]): r["candidate_id"]
+        for r in pq.ivfpq_topk(embs, n_queries=8, k=3, n_cells=8, n_probe=8).collect()
+    }
+    assert full == ivf_full
+
+
+def test_ivfpq_probing_recall_and_plan(embs):
+    """Probing fewer cells keeps useful recall against the full-scan ADC
+    ranking, and the plan stays broadcast-joined on the cell key — no
+    cross product, no nested loop (the full-scan pq_topk IS a broadcast
+    nested loop by design; the IVF composition must not be)."""
+    full = pq.pq_topk(embs, n_queries=8, k=3)
+    approx = pq.ivfpq_topk(embs, n_queries=8, k=3, n_cells=8, n_probe=3)
+    full_set = {(r["query_id"], r["candidate_id"]) for r in full.collect()}
+    approx_set = {(r["query_id"], r["candidate_id"]) for r in approx.collect()}
+    assert len(approx_set & full_set) >= int(0.4 * len(full_set))
+
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
