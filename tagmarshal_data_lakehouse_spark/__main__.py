@@ -14,6 +14,7 @@ as one module CLI:
     python -m tagmarshal_data_lakehouse_spark gold
     python -m tagmarshal_data_lakehouse_spark status
     python -m tagmarshal_data_lakehouse_spark query <name> [--sf-dir DIR]
+    python -m tagmarshal_data_lakehouse_spark curate --out <dir> [--sf-dir DIR]
 
 `--warehouse` (or TM_WAREHOUSE) points every verb at the same lakehouse
 root; `--bronze-root` (or TM_BRONZE_ROOT) is the landing zone.
@@ -187,6 +188,44 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the composed curation pipeline over a documents table and
+    WRITE the results: the audit frame (every document with its
+    drop_reason/kept verdict, partitioned by split) and the kept corpus
+    (the training set a loader consumes, joined back to the full rows).
+    """
+    from pyspark.sql import functions as F
+
+    from .training.curation import curate_corpus
+
+    spark, _ = _spark_and_lake(args)
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    verdicts = curate_corpus(docs, min_quality=args.min_quality)
+    audit_path = f"{args.out}/curation_audit"
+    corpus_path = f"{args.out}/curated_corpus"
+    verdicts.write.mode("overwrite").partitionBy("split").parquet(audit_path)
+    audit = spark.read.parquet(audit_path)  # reuse the written frame, not the plan
+    kept = audit.filter(F.col("kept")).select("doc_id", "split", "quality_score")
+    (
+        docs.join(kept, "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(corpus_path)
+    )
+    n_in = docs.count()
+    n_kept = spark.read.parquet(corpus_path).count()
+    by_reason = {
+        r["drop_reason"]: r["n"]
+        for r in audit.filter(~F.col("kept"))
+        .groupBy("drop_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(f"curated {n_in} -> kept {n_kept} ({corpus_path}); dropped {by_reason}")
+    print(f"audit: {audit_path} (partitioned by split)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tagmarshal_data_lakehouse_spark")
     p.add_argument(
@@ -247,6 +286,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     q.add_argument("--rows", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    cu = sub.add_parser(
+        "curate", help="run the curation pipeline; write kept corpus + audit frame"
+    )
+    cu.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    cu.add_argument("--out", required=True, help="output root for curated_corpus/ and curation_audit/")
+    cu.add_argument("--min-quality", type=float, default=50.0)
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

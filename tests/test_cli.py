@@ -86,3 +86,22 @@ def test_cli_backfill_and_query(spark, tmp_path, capsys):
     assert "n_tokens" in capsys.readouterr().out
 
     assert main(base + ["query", "nope"]) == 2
+
+
+def test_cli_curate_writes_corpus_and_audit(spark, tmp_path, capsys):
+    out = str(tmp_path / "curated")
+    wh = str(tmp_path / "wh")
+    assert main([
+        "--warehouse", wh,
+        "curate", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+    ]) == 0
+    printed = capsys.readouterr().out
+    assert "kept" in printed and "audit" in printed
+    audit = spark.read.parquet(f"{out}/curation_audit")
+    corpus = spark.read.parquet(f"{out}/curated_corpus")
+    n_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert audit.count() == n_docs                      # every input audited
+    assert corpus.count() == audit.filter("kept").count()
+    assert set(corpus.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test",
+    }
