@@ -260,29 +260,10 @@ def bloom_semi_join(
     operator (training.curation.eval_bloom_bits / bloom_membership), so
     the membership expression is identical batch vs streaming.
     """
-    from ..training.curation import bloom_membership
+    from ..training.curation import bloom_bits, bloom_membership
 
-    if num_bits % 64:
-        raise ValueError("num_bits must be a multiple of 64")
-    positions = (
-        keys.select(F.col(on).cast("string").alias("_k"))
-        .distinct()
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(F.xxhash64(F.col("_k"), F.lit(s)), F.lit(num_bits))
-                        for s in range(num_hashes)
-                    ]
-                )
-            ).alias("p")
-        )
-        .distinct()
-        .collect()
+    words = bloom_bits(
+        keys.select(F.col(on).cast("string").alias("_k")), "_k", num_bits, num_hashes
     )
-    words = [0] * (num_bits // 64)
-    for row in positions:
-        words[row.p // 64] |= 1 << (row.p % 64)
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     hit = bloom_membership(words, num_bits, num_hashes)(F.col(on).cast("string"))
     return big.filter(~hit if anti else hit)

@@ -257,6 +257,7 @@ q_telemetry_global_overview = Query(
                  / COUNT(battery_percentage))
                 AS VARCHAR) AS DECIMAL(38,20)), 1) AS DOUBLE) AS global_avg_battery
         FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
     """,
     doc="Reference parity, the dashboard's global overview strip "
     "(dashboard/utils/queries.py global stats: courses/rounds/events/"

@@ -276,7 +276,6 @@ def stream_dedup_within_watermark(
 def stream_dedup_against_corpus(
     docs_stream: DataFrame,
     corpus: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Streaming delta-vs-corpus dedup: the continuous-ingest form of
@@ -363,9 +362,12 @@ def stream_curate(
     )
     grams = with_token_grams(scored, text_col=text_col, n=ngram, out="_grams")
     contaminated = F.size(F.filter(F.col("_grams"), hit)) > 0
-    drop_reason = F.when(F.col("quality_score") < min_quality, F.lit("low_quality")).when(
-        contaminated, F.lit("eval_contaminated")
-    )
+    # NULL score (blank/null text) must fail the gate, same as the
+    # batch operator — coalesce, never a bare NULL-valued comparison.
+    drop_reason = F.when(
+        F.coalesce(F.col("quality_score"), F.lit(-1.0)) < min_quality,
+        F.lit("low_quality"),
+    ).when(contaminated, F.lit("eval_contaminated"))
     return grams.select(
         F.col(id_col),
         F.col("content_md5"),

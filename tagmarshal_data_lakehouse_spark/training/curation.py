@@ -103,31 +103,30 @@ def decontaminate_bloom(
     )
 
 
-def eval_bloom_bits(
-    eval_set: DataFrame,
-    text_col: str = "text",
-    ngram: int = 5,
+def bloom_bits(
+    strings: DataFrame,
+    col: str,
     num_bits: int = 1 << 20,
     num_hashes: int = 4,
 ) -> list[int]:
-    """Fold the eval set's token n-grams into a Bloom bitset, returned as
-    the signed-64 word list a LongType array literal accepts.
+    """Fold a (small by contract) string column into a Bloom bitset,
+    returned as the signed-64 word list a LongType array literal accepts.
 
-    One pass over the (small by construction) eval set: distinct grams ->
-    all k xxhash64-seeded bit positions, collected to the driver
-    (<= k * |eval grams| longs, duplicates collapse).
+    One pass: distinct values -> all k xxhash64-seeded bit positions,
+    collected to the driver (<= k * |values| longs, duplicates collapse).
+    Shared core of `eval_bloom_bits` (gram sets) and
+    `operators.bloom_semi_join` (arbitrary key sets).
     """
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
-    eval_positions = (
-        with_token_grams(eval_set, text_col=text_col, n=ngram, out="grams")
-        .select(F.explode("grams").alias("g"))
+    positions = (
+        strings.select(F.col(col).alias("_k"))
         .distinct()
         .select(
             F.explode(
                 F.array(
                     *[
-                        F.pmod(F.xxhash64(F.col("g"), F.lit(s)), F.lit(num_bits))
+                        F.pmod(F.xxhash64(F.col("_k"), F.lit(s)), F.lit(num_bits))
                         for s in range(num_hashes)
                     ]
                 )
@@ -137,10 +136,25 @@ def eval_bloom_bits(
         .collect()
     )
     words = [0] * (num_bits // 64)
-    for row in eval_positions:
+    for row in positions:
         words[row.p // 64] |= 1 << (row.p % 64)
     # LongType is signed; fold the high bit back into two's complement.
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def eval_bloom_bits(
+    eval_set: DataFrame,
+    text_col: str = "text",
+    ngram: int = 5,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> list[int]:
+    """Fold the eval set's token n-grams into a Bloom bitset (the
+    decontamination instance of `bloom_bits`)."""
+    grams = with_token_grams(eval_set, text_col=text_col, n=ngram, out="grams").select(
+        F.explode("grams").alias("g")
+    )
+    return bloom_bits(grams, "g", num_bits, num_hashes)
 
 
 def bloom_membership(words: list[int], num_bits: int, num_hashes: int):
@@ -255,8 +269,12 @@ def curate_corpus(
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+    # NULL quality_score (blank/null text: every ratio divides by a
+    # NULLIF(0)) must FAIL the gate — a bare `score < min_quality` is
+    # NULL-valued there, skips the WHEN, and fails open.
     drop_reason = F.when(F.col("is_duplicate"), F.lit("duplicate")).when(
-        F.col("quality_score") < min_quality, F.lit("low_quality")
+        F.coalesce(F.col("quality_score"), F.lit(-1.0)) < min_quality,
+        F.lit("low_quality"),
     )
     return verdicts.select(
         F.col(id_col),

@@ -126,6 +126,45 @@ def encode(
     return coded.drop(*[f"__sub{j}" for j in range(m)])
 
 
+def _adc_table(qvec, books: list[list[list[float]]]) -> list[list[float]]:
+    """One query's (m x k) ADC table: table[j][c] = ||q_sub_j - book_j[c]||^2.
+
+    Shared by pq_topk and ivfpq_topk — the full-probe-equals-full-scan
+    pytest pin depends on both paths building byte-identical tables.
+    """
+    sub = len(books[0][0])
+    return [
+        [
+            float(sum((a - b) * (a - b) for a, b in zip(qvec[j * sub : (j + 1) * sub], c)))
+            for c in book
+        ]
+        for j, book in enumerate(books)
+    ]
+
+
+def _adc_sum(m: int) -> F.Column:
+    """The ADC distance expression: m table lookups through the code."""
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("adc_table"), j + 1),
+            F.element_at(F.col("pq_code"), j + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def _topk_by_adc(scored: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("candidate_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select(
+            "query_id", "candidate_id", "adc_dist", F.col("nn_rank").cast("int").alias("nn_rank")
+        )
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     n_queries: int = 20,
@@ -145,52 +184,27 @@ def pq_topk(
     are ~d/8 bytes) and compute (m << d).
     """
     books = train_codebooks(embeddings, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col)
-    sub = len(books[0][0])
     coded = encode(embeddings, books, id_col, vec_col).select(
         F.col(id_col).alias("candidate_id"), F.col("pq_code")
     )
 
-    # per-query ADC tables: table[j][c] = ||q_sub_j - codebook_j[c]||^2,
-    # built driver-side from the tiny query set (at 100 TB the query set
-    # is bounded by construction; the candidate corpus is not)
+    # per-query ADC tables, built driver-side from the tiny query set
+    # (at 100 TB the query set is bounded by construction; the candidate
+    # corpus is not)
     qrows = (
         embeddings.filter(F.col(id_col) < n_queries)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
         .collect()
     )
-    spark = embeddings.sparkSession
-    table_rows = []
-    for row in qrows:
-        qvec = row["qvec"]
-        tables = [
-            [
-                float(sum((a - b) * (a - b) for a, b in zip(qvec[j * sub : (j + 1) * sub], c)))
-                for c in book
-            ]
-            for j, book in enumerate(books)
-        ]
-        table_rows.append((row["query_id"], tables))
-    qtables = spark.createDataFrame(
-        table_rows, "query_id long, adc_table array<array<double>>"
+    qtables = embeddings.sparkSession.createDataFrame(
+        [(row["query_id"], _adc_table(row["qvec"], books)) for row in qrows],
+        "query_id long, adc_table array<array<double>>",
     )
-
-    adc = None
-    for j in range(m):
-        term = F.element_at(
-            F.element_at(F.col("adc_table"), j + 1),
-            F.element_at(F.col("pq_code"), j + 1) + 1,
-        )
-        adc = term if adc is None else adc + term
     scored = (
         coded.join(F.broadcast(qtables), F.col("query_id") != F.col("candidate_id"))
-        .withColumn("adc_dist", F.round(adc, 6))
+        .withColumn("adc_dist", F.round(_adc_sum(m), 6))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("candidate_id").asc())
-    return (
-        scored.withColumn("nn_rank", F.row_number().over(w))
-        .filter(F.col("nn_rank") <= k)
-        .select("query_id", "candidate_id", "adc_dist", F.col("nn_rank").cast("int").alias("nn_rank"))
-    )
+    return _topk_by_adc(scored, k)
 
 
 def ivfpq_topk(
@@ -257,7 +271,6 @@ def ivfpq_topk(
         return probe
 
     books = train_codebooks(embeddings, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col)
-    sub = len(books[0][0])
     cands = (
         encode(vecs, books, id_col, vec_col)
         .withColumn("cell", _probe_udf(1)(F.col(vec_col)).getItem(0))
@@ -269,43 +282,21 @@ def ivfpq_topk(
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
         .collect()
     )
-    spark = embeddings.sparkSession
     table_rows = []
     for row in qrows:
         qvec = row["qvec"]
         qn = np.asarray(list(map(float, qvec)))
         qn = qn / max(float(np.linalg.norm(qn)), 1e-12)
         probes = np.argsort(-(qn @ centers_n.T))[:n_probe]
-        tables = [
-            [
-                float(sum((a - b) * (a - b) for a, b in zip(qvec[j * sub : (j + 1) * sub], c)))
-                for c in book
-            ]
-            for j, book in enumerate(books)
-        ]
+        tables = _adc_table(qvec, books)  # shared with pq_topk — see pin
         for cell in probes:
             table_rows.append((row["query_id"], int(cell), tables))
-    qtables = spark.createDataFrame(
+    qtables = embeddings.sparkSession.createDataFrame(
         table_rows, "query_id long, cell int, adc_table array<array<double>>"
     )
-
-    adc = None
-    for j in range(m):
-        term = F.element_at(
-            F.element_at(F.col("adc_table"), j + 1),
-            F.element_at(F.col("pq_code"), j + 1) + 1,
-        )
-        adc = term if adc is None else adc + term
     scored = (
         cands.join(F.broadcast(qtables), "cell")
         .filter(F.col("query_id") != F.col("candidate_id"))
-        .withColumn("adc_dist", F.round(adc, 6))
+        .withColumn("adc_dist", F.round(_adc_sum(m), 6))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("candidate_id").asc())
-    return (
-        scored.withColumn("nn_rank", F.row_number().over(w))
-        .filter(F.col("nn_rank") <= k)
-        .select(
-            "query_id", "candidate_id", "adc_dist", F.col("nn_rank").cast("int").alias("nn_rank")
-        )
-    )
+    return _topk_by_adc(scored, k)

@@ -786,7 +786,8 @@ q_doc_curation_pipeline = Query(
                         WHEN bucket < 90 THEN 'val'
                         ELSE 'test' END AS split,
                    CASE WHEN cluster_size > 1 AND NOT is_canonical THEN 'duplicate'
-                        WHEN quality_score < 50 THEN 'low_quality' END AS drop_reason
+                        WHEN COALESCE(quality_score, -1.0e0) < 50 THEN 'low_quality'
+                   END AS drop_reason
             FROM verdict
         )
         SELECT doc_id, content_md5, cluster_size, is_canonical, lang_detected,

@@ -188,3 +188,24 @@ def test_curate_corpus_verdicts(spark):
     assert rows[3]["drop_reason"] == "low_quality" and not rows[3]["kept"]
     assert rows[4]["kept"] and rows[4]["cluster_size"] == 1
     assert all(r["split"] in ("train", "val", "test") for r in rows.values())
+
+
+def test_curate_corpus_drops_blank_and_null_text(spark):
+    """Fail-closed quality gate: blank/whitespace/null text produces a
+    NULL quality_score (every ratio divides by NULLIF(0)); those docs
+    must be DROPPED as low_quality, never passed through on a NULL
+    comparison."""
+    good = "the quick brown fox jumps over the lazy dog and that is fine " * 4
+    df = spark.createDataFrame(
+        [(1, good), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in curation.curate_corpus(df).collect()}
+    assert rows[1]["kept"]
+    # docs 2 and 3 normalize to the same empty string -> one dup cluster:
+    # the non-canonical member drops as 'duplicate' (precedence), the
+    # canonical one and the NULL-text doc drop on the NULL-score gate.
+    assert rows[3]["drop_reason"] == "duplicate"
+    assert rows[2]["drop_reason"] == "low_quality"
+    assert rows[4]["drop_reason"] == "low_quality"
+    assert not any(rows[d]["kept"] for d in (2, 3, 4))
