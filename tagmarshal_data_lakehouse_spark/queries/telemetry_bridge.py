@@ -20,6 +20,12 @@ cross-engine exact:
   bit-identical doubles — no half-boundary ROUND risk;
 - `FLOOR` (not CAST) converts the double: Spark's double->bigint CAST
   truncates while DuckDB's rounds, so CAST would diverge; FLOOR agrees.
+- pace / battery / hole_number / longitude / latitude carry
+  deterministic NULL stripes (event_id mod a distinct prime each), so
+  the library's NULL-preserving semantics — the reference pipeline's
+  defining rule — are exercised for real: FILTER clauses, IS NOT NULL
+  predicates, and AVG's null-skipping all see non-trivial inputs, and
+  both engines derive the identical stripe.
 
 Queries chosen are fact-only (no gold DAG to inline) and free of
 approximate aggregates (the driver hashes every output column, and
@@ -57,12 +63,24 @@ _SPARK_BRIDGE = """
             FALSE                                                       AS is_nine_hole,
             'd' || CAST(user_id % 7 AS STRING)                          AS device,
             CAST(user_id % 18 + 1 AS INT)                               AS start_hole,
-            CAST(event_id % 18 + 1 AS INT)                              AS hole_number,
+            CASE WHEN event_id % 37 = 0 THEN CAST(NULL AS INT)
+                 ELSE CAST(event_id % 18 + 1 AS INT) END                AS hole_number,
             CAST(event_id % 54 + 1 AS INT)                              AS section_number,
             CAST(CASE WHEN event_id % 18 < 9 THEN 1 ELSE 2 END AS INT)  AS nine_number,
-            CAST(CAST(FLOOR(value * 100) AS BIGINT) % 50 + 1 AS DOUBLE) AS pace,
-            CAST(CAST(FLOOR(value * 10) AS BIGINT) % 101 AS DOUBLE)     AS battery_percentage,
-            CAST(event_id AS INT)                                       AS location_index
+            CASE WHEN event_id % 29 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(CAST(FLOOR(value * 100) AS BIGINT) % 50 + 1 AS DOUBLE)
+            END                                                         AS pace,
+            CASE WHEN event_id % 31 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(CAST(FLOOR(value * 10) AS BIGINT) % 101 AS DOUBLE)
+            END                                                         AS battery_percentage,
+            CAST(event_id AS INT)                                       AS location_index,
+            event_id % 23 = 0                                           AS is_timestamp_missing,
+            CASE WHEN event_id % 11 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(CAST(FLOOR(value * 1000) AS BIGINT) % 3600 AS DOUBLE)
+            END                                                         AS longitude,
+            CASE WHEN event_id % 13 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(CAST(FLOOR(value * 1000) AS BIGINT) % 1800 AS DOUBLE)
+            END                                                         AS latitude
         FROM events
     )
     SELECT base.*,
@@ -265,10 +283,93 @@ q_telemetry_global_overview = Query(
     "events->telemetry bridge.",
 )
 
+q_telemetry_events_by_hour = Query(
+    name="telemetry_events_by_hour",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "ex_events_by_hour"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            HOUR(fix_timestamp) AS hour_of_day,
+            COUNT(*) AS fixes,
+            COUNT(DISTINCT round_id) AS rounds
+        FROM fact_telemetry_event
+        WHERE fix_timestamp IS NOT NULL
+        GROUP BY HOUR(fix_timestamp)
+        ORDER BY hour_of_day
+    """,
+    doc="Reference parity, hourly fix/round distribution "
+    "(examples/common_queries.sql; the text "
+    "run_telemetry_query('ex_events_by_hour') serves) over the "
+    "events->telemetry bridge — exact counts per hour.",
+)
+
+q_telemetry_null_correlation = Query(
+    name="telemetry_null_correlation",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "expl_np_null_correlation"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            is_timestamp_missing,
+            COUNT(*) AS row_count,
+            COUNT(*) FILTER (WHERE longitude IS NULL) AS null_longitude_count,
+            COUNT(*) FILTER (WHERE latitude IS NULL) AS null_latitude_count,
+            COUNT(*) FILTER (WHERE pace IS NULL) AS null_pace_count,
+            COUNT(*) FILTER (WHERE battery_percentage IS NULL) AS null_battery_count,
+            COUNT(*) FILTER (WHERE hole_number IS NULL) AS null_hole_count
+        FROM fact_telemetry_event
+        GROUP BY is_timestamp_missing
+        ORDER BY is_timestamp_missing
+    """,
+    doc="Reference parity, NULL-correlation audit "
+    "(exploration/null_patterns.sql; the text "
+    "run_telemetry_query('expl_np_null_correlation') serves) over the "
+    "bridge's deterministic NULL stripes — the NULL-preserving "
+    "semantics check (no 'helpful' filtering anywhere on the path).",
+)
+
+
+def _missing_pct_as_double(df: DataFrame) -> DataFrame:
+    """Registry-shape shim: the library text's ROUND(100.0 * x / y, 2)
+    is DECIMAL-typed on Spark (decimal literal arithmetic) while
+    DuckDB's lands as its own decimal; both are EXACT 2-dp values of the
+    same rational, so a double cast on both sides is the identical
+    IEEE value — only the transport type changes."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "missing_percentage", F.col("missing_percentage").cast("double")
+    )
+
+
+q_telemetry_missing_ts_overview = Query(
+    name="telemetry_missing_ts_overview",
+    build=lambda spark, sf_dir: _missing_pct_as_double(
+        _bridged(spark, sf_dir, "expl_np_missing_ts_overview")
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            COUNT(*) AS total_rows,
+            COUNT(*) FILTER (WHERE is_timestamp_missing = true) AS missing_timestamp_count,
+            COUNT(*) FILTER (WHERE is_timestamp_missing = false) AS valid_timestamp_count,
+            CAST(ROUND(100.0 * COUNT(*) FILTER (WHERE is_timestamp_missing = true)
+                       / COUNT(*), 2) AS DOUBLE) AS missing_percentage
+        FROM fact_telemetry_event
+    """,
+    doc="Reference parity, missing-timestamp overview "
+    "(exploration/null_patterns.sql; the text "
+    "run_telemetry_query('expl_np_missing_ts_overview') serves) — "
+    "FILTER-clause counts + an exact-decimal percentage, shipped as "
+    "double on both engines.",
+)
+
 QUERIES = [
     q_telemetry_start_hole_distribution,
     q_telemetry_avg_pace_by_hole,
     q_telemetry_pace_comparison_hole,
     q_telemetry_round_duration,
     q_telemetry_global_overview,
+    q_telemetry_events_by_hour,
+    q_telemetry_null_correlation,
+    q_telemetry_missing_ts_overview,
 ]
