@@ -167,7 +167,7 @@ def _register_tables(
 
 # The correctness harness sweeps the registry in insertion order under a
 # budget (rounds 2 and 3 each covered exactly the first 50 entries), so
-# ordering is a coverage decision, not cosmetics. With 130 registry
+# ordering is a coverage decision, not cosmetics. With 133 registry
 # entries and a ~50-entry budget, full driver coverage is a ROTATION:
 # each round the head carries (a) the flagship family stripes, (b) every
 # query that is red, was edited after its last green row, or gained a new
@@ -207,7 +207,7 @@ _FLAGSHIP_INTERLEAVE = (
 #     adaptations (q2 q11 q12 q16 q20 q21) that complete the 22-query
 #     suite (q1 = agg_pricing_summary);
 #   - telemetry_*: the reference-parity telemetry library's first driver
-#     rows ever (events->fact bridge, telemetry_bridge.py; 8 texts since
+#     rows ever (events->fact bridge, telemetry_bridge.py; 11 texts since
 #     round 4 — the NULL-stripe bridge widening re-verifies all of them);
 #   - doc_incremental_dedup / emb_semantic_dedup / multimodal_resize /
 #     doc_decontaminate_bloom / doc_chunk_windows / doc_epoch_shuffle /

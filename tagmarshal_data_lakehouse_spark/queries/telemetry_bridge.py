@@ -59,6 +59,7 @@ _SPARK_BRIDGE = """
             'course_' || CAST(user_id % 3 AS STRING)                    AS course_id,
             ts                                                          AS fix_timestamp,
             CAST(ts AS DATE)                                            AS event_date,
+            CAST(CAST(ts AS DATE) AS STRING)                            AS ingest_date,
             FALSE                                                       AS is_location_padding,
             FALSE                                                       AS is_nine_hole,
             'd' || CAST(user_id % 7 AS STRING)                          AS device,
@@ -363,6 +364,76 @@ q_telemetry_missing_ts_overview = Query(
     "double on both engines.",
 )
 
+q_telemetry_missing_ts_by_ingest = Query(
+    name="telemetry_missing_ts_by_ingest",
+    build=lambda spark, sf_dir: _missing_pct_as_double(
+        _bridged(spark, sf_dir, "expl_np_missing_ts_by_ingest")
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            ingest_date,
+            COUNT(*) AS total_rows,
+            COUNT(*) FILTER (WHERE is_timestamp_missing = true) AS missing_count,
+            CAST(ROUND(100.0 * COUNT(*) FILTER (WHERE is_timestamp_missing = true)
+                       / COUNT(*), 2) AS DOUBLE) AS missing_percentage
+        FROM fact_telemetry_event
+        GROUP BY ingest_date
+        ORDER BY ingest_date DESC
+    """,
+    doc="Reference parity, missing-timestamp counts per ingest partition "
+    "(exploration/null_patterns.sql; the text "
+    "run_telemetry_query('expl_np_missing_ts_by_ingest') serves).",
+)
+
+q_telemetry_missing_ts_by_location = Query(
+    name="telemetry_missing_ts_by_location",
+    build=lambda spark, sf_dir: _missing_pct_as_double(
+        _bridged(spark, sf_dir, "expl_np_missing_ts_by_location_index")
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            location_index,
+            COUNT(*) AS total_rows,
+            COUNT(*) FILTER (WHERE is_timestamp_missing = true) AS missing_count,
+            CAST(ROUND(100.0 * COUNT(*) FILTER (WHERE is_timestamp_missing = true)
+                       / COUNT(*), 2) AS DOUBLE) AS missing_percentage
+        FROM fact_telemetry_event
+        GROUP BY location_index
+        HAVING COUNT(*) FILTER (WHERE is_timestamp_missing = true) > 0
+        ORDER BY location_index
+    """,
+    doc="Reference parity, missing-timestamp hot spots by location index "
+    "(exploration/null_patterns.sql; HAVING over a FILTER aggregate).",
+)
+
+q_telemetry_missing_ts_trend = Query(
+    name="telemetry_missing_ts_trend",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _missing_pct_as_double(_bridged(spark, sf_dir, "expl_np_missing_ts_trend")),
+        "ingest_month",
+    ),
+    # The library text's TRUNC(date, 'MM') is Spark dialect; the driver's
+    # macro-less DuckDB spells it date_trunc('month', ...) — same month
+    # boundary, tz-free (the registry's TRUNC-not-DATE_TRUNC rationale).
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            CAST(date_trunc('month', CAST(ingest_date AS DATE)) AS TIMESTAMP)
+                AS ingest_month,
+            COUNT(*) AS total_rows,
+            COUNT(*) FILTER (WHERE is_timestamp_missing = true) AS missing_count,
+            CAST(ROUND(100.0 * COUNT(*) FILTER (WHERE is_timestamp_missing = true)
+                       / COUNT(*), 2) AS DOUBLE) AS missing_percentage
+        FROM fact_telemetry_event
+        GROUP BY date_trunc('month', CAST(ingest_date AS DATE))
+        ORDER BY ingest_month DESC
+    """,
+    doc="Reference parity, monthly missing-timestamp trend "
+    "(exploration/null_patterns.sql; month-truncated ingest partitions).",
+)
+
 QUERIES = [
     q_telemetry_start_hole_distribution,
     q_telemetry_avg_pace_by_hole,
@@ -372,4 +443,7 @@ QUERIES = [
     q_telemetry_events_by_hour,
     q_telemetry_null_correlation,
     q_telemetry_missing_ts_overview,
+    q_telemetry_missing_ts_by_ingest,
+    q_telemetry_missing_ts_by_location,
+    q_telemetry_missing_ts_trend,
 ]

@@ -107,10 +107,26 @@ def test_priority_block_carries_the_must_verify_entries():
     assert new_ops <= head
 
 
+# Added after the round-4 head filled its 50 slots (every head entry is
+# itself a first-row must-verify): pytest-oracle-green at sf0.001 AND
+# sim-verified at sf0.01; their first driver row leads round 5's window.
+_NEW_DEFERRED_TO_NEXT_ROUND = frozenset(
+    {
+        "telemetry_missing_ts_by_ingest",
+        "telemetry_missing_ts_by_location",
+        "telemetry_missing_ts_trend",
+    }
+)
+
+
 def test_nothing_goes_two_rounds_without_a_driver_row():
     names = list(registry())
     beyond = names[SWEEP_BUDGET:]
-    stale = [n for n in beyond if n not in _GREEN_LAST_ROUND]
+    stale = [
+        n
+        for n in beyond
+        if n not in _GREEN_LAST_ROUND and n not in _NEW_DEFERRED_TO_NEXT_ROUND
+    ]
     # Everything outside this round's window was green last round, except
     # the explicitly deferred slice-2 of the relational rotation (their
     # last green is round 2; they MUST lead the tail so round 5's window
