@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import Query, load_views
-from . import clustering, curation, dedup, multimodal, pq, sampling, similarity, text
+from . import bpe, clustering, curation, dedup, multimodal, pq, sampling, similarity, text
 from .simhash import simhash_near_duplicates
 
 # DuckDB spelling of normalize_text (regexp_replace needs the 'g' flag;
@@ -387,6 +387,22 @@ q_emb_ivfpq_topk = Query(
     "broadcast join, never a cross product. With n_probe=n_cells the "
     "result equals pq_topk's full-scan ADC ranking (pytest-pinned), so "
     "probing is the only recall knob (pq.py:ivfpq_topk).",
+)
+
+q_doc_bpe_merges = Query(
+    name="doc_bpe_merges",
+    build=lambda spark, sf_dir: bpe.bpe_train_merges(_docs(spark, sf_dir), n_merges=12),
+    # No oracle: the merge loop is an iterative argmax (each step
+    # depends on the previous merge's rewrite) — not SQL-expressible.
+    # Semantics pinned in pytest instead: merge list EXACTLY equals a
+    # pure-Python reference BPE on the same word-frequency dict, and is
+    # partitioning-independent (tests/test_training_bpe.py).
+    oracle=None,
+    doc="BPE merge training (Sennrich 2016): one corpus-scale word-"
+    "frequency aggregate, then the merge loop over the small word table "
+    "— weighted overlapping pair counts, deterministic argmax, row-local "
+    "left-to-right merge folds, localCheckpoint-truncated lineage "
+    "(training/bpe.py).",
 )
 
 q_emb_kmeans = Query(
@@ -1259,6 +1275,7 @@ QUERIES = [
     q_doc_dup_rate_by_source,
     q_doc_token_histogram,
     q_doc_bigram_freqs,
+    q_doc_bpe_merges,
     q_emb_quantize_int8,
     q_doc_clean_corpus_stats,
     q_multimodal_features,
