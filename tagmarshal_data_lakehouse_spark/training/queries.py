@@ -389,6 +389,44 @@ q_emb_ivfpq_topk = Query(
     "probing is the only recall knob (pq.py:ivfpq_topk).",
 )
 
+q_doc_token_rarity = Query(
+    name="doc_token_rarity",
+    build=lambda spark, sf_dir: text.token_rarity(_docs(spark, sf_dir)),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+        ), toks2 AS (
+            SELECT doc_id, t FROM toks WHERE length(t) > 0
+        ), counts AS (
+            SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks2 GROUP BY doc_id, t
+        ), vocab AS (
+            SELECT t, SUM(c) AS freq FROM counts GROUP BY t
+        ), per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c * freq) AS BIGINT) AS wsum,
+                   CAST(SUM(CASE WHEN freq <= 2 THEN c ELSE 0 END) AS BIGINT) AS nrare,
+                   CAST(MIN(freq) AS BIGINT) AS rarest_token_freq
+            FROM counts JOIN vocab USING (t)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               ROUND(CAST(p.wsum AS DOUBLE) / CAST(p.n_tokens AS DOUBLE), 6)
+                   AS mean_token_freq,
+               ROUND(CAST(p.nrare AS DOUBLE) / CAST(p.n_tokens AS DOUBLE), 6)
+                   AS rare_fraction,
+               p.rarest_token_freq
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Corpus-frequency rarity profile (mean token frequency, rare-"
+    "token fraction, rarest-token frequency) — the natural-text vs junk "
+    "quality signal; pure integer arithmetic end to end, so exact on "
+    "every engine and partitioning (text.py:token_rarity).",
+)
+
+
 q_doc_bpe_merges = Query(
     name="doc_bpe_merges",
     build=lambda spark, sf_dir: bpe.bpe_train_merges(_docs(spark, sf_dir), n_merges=12),
@@ -1275,6 +1313,7 @@ QUERIES = [
     q_doc_dup_rate_by_source,
     q_doc_token_histogram,
     q_doc_bigram_freqs,
+    q_doc_token_rarity,
     q_doc_bpe_merges,
     q_emb_quantize_int8,
     q_doc_clean_corpus_stats,

@@ -115,6 +115,64 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_rarity(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-frequency rarity profile per document — the quality signal
+    that separates natural text (common-word heavy) from junk
+    (identifiers, hashes, OCR noise: corpus-rare tokens).
+
+    Two aggregation levels over ONE tokenization pass: per-(doc, token)
+    counts, the corpus vocabulary from re-aggregating those counts, then
+    a token-keyed equi-join back (the standard inverted-index shape —
+    shuffles on the token key, never widens beyond the vocabulary).
+
+    Every output is integer arithmetic or a single exact division of
+    integers, so the operator is bit-reproducible across engines and
+    partitionings — no float sums anywhere (this is why the metric is
+    mean corpus frequency rather than a log-probability: ln() is not
+    guaranteed identically rounded across engines' libm).
+
+    Output per input document (blank docs keep a row, counts 0/NULL):
+    n_tokens, mean_token_freq (frequency-weighted), rare_fraction
+    (share of tokens with corpus frequency <= 2), rarest_token_freq.
+    """
+    from .dedup import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+        .filter(F.length("t") > 0)
+    )
+    counts = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    vocab = counts.groupBy("t").agg(F.sum("c").alias("freq"))
+    per_doc = (
+        counts.join(vocab, "t")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("freq")).cast("bigint").alias("_wsum"),
+            F.sum(F.when(F.col("freq") <= 2, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("_nrare"),
+            F.min("freq").cast("bigint").alias("rarest_token_freq"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.round(F.col("_wsum").cast("double") / F.col("n_tokens").cast("double"), 6).alias(
+                "mean_token_freq"
+            ),
+            F.round(F.col("_nrare").cast("double") / F.col("n_tokens").cast("double"), 6).alias(
+                "rare_fraction"
+            ),
+            F.col("rarest_token_freq"),
+        )
+    )
+
+
 def fingerprint(col: Column, prefix_len: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of normalized text
     (hex prefix). Cross-engine stable (md5 is md5 everywhere), unlike

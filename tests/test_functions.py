@@ -88,3 +88,25 @@ def test_text_ratio_helpers(spark):
 def test_table_format_reports_parquet_without_delta():
     # the test container ships no delta-spark, so managed writes are parquet
     assert table_format() == "parquet"
+
+
+def test_token_rarity_crafted_frequencies(spark):
+    """Known corpus: 'common' appears 6x, 'mid' 2x, uniques 1x each."""
+    from tagmarshal_data_lakehouse_spark.training.text import token_rarity
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common mid unique1"),
+            (2, "common common common mid unique2"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_rarity(df).collect()}
+    # doc 1 tokens: common(freq 6) x3, mid(freq 2) x1, unique1(freq 1) x1
+    assert rows[1]["n_tokens"] == 5
+    assert rows[1]["mean_token_freq"] == round((3 * 6 + 1 * 2 + 1 * 1) / 5, 6)
+    assert rows[1]["rare_fraction"] == round(2 / 5, 6)  # mid + unique1
+    assert rows[1]["rarest_token_freq"] == 1
+    # blank doc keeps its row with zeroed/NULL profile
+    assert rows[3]["n_tokens"] == 0 and rows[3]["mean_token_freq"] is None
