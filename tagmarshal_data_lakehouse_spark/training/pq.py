@@ -218,6 +218,7 @@ def ivfpq_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ composite ANN (the Faiss IVFPQ shape): IVF cuts the
     candidate COUNT, PQ cuts the candidate BYTES — together the at-scale
@@ -236,12 +237,18 @@ def ivfpq_topk(
     4. scoring — cell-equi broadcast join (never a cross product) + m
        `element_at` lookups per pair, windowed top-k, ties by id.
 
-    Codes quantize RAW vectors (IVF-Flat-PQ); residual encoding
-    (vec - cell centroid before PQ) is the recall refinement to add if
-    cells are wide — same plumbing, different training input.  With
-    n_probe = n_cells the result is EXACTLY `pq_topk`'s full-scan ADC
-    ranking (pytest pins this), so recall loss is attributable to
-    probing alone.
+    With `residual=False` (default) codes quantize RAW vectors
+    (IVF-Flat-PQ), and with n_probe = n_cells the result is EXACTLY
+    `pq_topk`'s full-scan ADC ranking (pytest pins this) — recall loss
+    is attributable to probing alone.  With `residual=True` codes
+    quantize (vec - cell centroid) — true Faiss-IVFPQ residual encoding,
+    the recall refinement for wide cells: the quantizer spends its k^m
+    codewords on the WITHIN-cell geometry instead of re-describing cell
+    positions.  The residual is a row-local zip_with against a
+    plan-embedded centroid table, and the query-side ADC tables are
+    built per PROBED CELL from (qvec - centroid) — the per-(query, cell)
+    broadcast rows the raw path already uses, just with cell-dependent
+    tables.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -270,12 +277,30 @@ def ivfpq_topk(
 
         return probe
 
-    books = train_codebooks(embeddings, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col)
-    cands = (
-        encode(vecs, books, id_col, vec_col)
-        .withColumn("cell", _probe_udf(1)(F.col(vec_col)).getItem(0))
-        .select(F.col(id_col).alias("candidate_id"), F.col("pq_code"), "cell")
-    )
+    with_cell = vecs.withColumn("cell", _probe_udf(1)(F.col(vec_col)).getItem(0))
+    if residual:
+        # residual = vec - centers[cell], row-local against the centroid
+        # table embedded in the plan (n_cells x d doubles — tiny).
+        centers_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in centers]
+        )
+        with_cell = with_cell.withColumn(
+            "_res",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.element_at(centers_lit, F.col("cell") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+        books = train_codebooks(with_cell, m=m, k=n_centroids, id_col=id_col, vec_col="_res")
+        cands = encode(with_cell, books, id_col, "_res").select(
+            F.col(id_col).alias("candidate_id"), F.col("pq_code"), "cell"
+        )
+    else:
+        books = train_codebooks(embeddings, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col)
+        cands = encode(with_cell, books, id_col, vec_col).select(
+            F.col(id_col).alias("candidate_id"), F.col("pq_code"), "cell"
+        )
 
     qrows = (
         vecs.filter(F.col(id_col) < n_queries)
@@ -288,9 +313,15 @@ def ivfpq_topk(
         qn = np.asarray(list(map(float, qvec)))
         qn = qn / max(float(np.linalg.norm(qn)), 1e-12)
         probes = np.argsort(-(qn @ centers_n.T))[:n_probe]
-        tables = _adc_table(qvec, books)  # shared with pq_topk — see pin
-        for cell in probes:
-            table_rows.append((row["query_id"], int(cell), tables))
+        if residual:
+            # cell-dependent tables from the query's residual per probe
+            for cell in probes:
+                q_res = [float(a) - float(b) for a, b in zip(qvec, centers[int(cell)])]
+                table_rows.append((row["query_id"], int(cell), _adc_table(q_res, books)))
+        else:
+            tables = _adc_table(qvec, books)  # shared with pq_topk — see pin
+            for cell in probes:
+                table_rows.append((row["query_id"], int(cell), tables))
     qtables = embeddings.sparkSession.createDataFrame(
         table_rows, "query_id long, cell int, adc_table array<array<double>>"
     )

@@ -116,3 +116,39 @@ def test_ivfpq_probing_recall_and_plan(embs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_residual_mode_recall_and_determinism(spark):
+    """Residual encoding (true Faiss IVFPQ): on clustered data the
+    codewords describe within-cell geometry, so group recall must be
+    near-perfect; the run is deterministic; and the plan keeps the
+    cell-equi broadcast join (no cross product)."""
+    def jitter(seed):
+        x = (1103515245 * seed + 12345) % 2**31
+        return (x / 2**31 - 0.5) * 0.2
+
+    anchors = [
+        [10.0 if i == j else 0.0 for i in range(16)] for j in range(4)
+    ]
+    rows = []
+    for i in range(80):
+        a = anchors[i % 4]
+        rows.append((i, [v + jitter(i * 17 + d) for d, v in enumerate(a)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = pq.ivfpq_topk(
+        df, n_queries=8, k=3, n_cells=4, n_probe=2, m=4, n_centroids=8, residual=True
+    )
+    got = out.collect()
+    hits = sum(1 for r in got if r["candidate_id"] % 4 == r["query_id"] % 4)
+    assert hits / len(got) >= 0.9
+
+    again = pq.ivfpq_topk(
+        df, n_queries=8, k=3, n_cells=4, n_probe=2, m=4, n_centroids=8, residual=True
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
