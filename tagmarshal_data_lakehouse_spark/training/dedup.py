@@ -630,3 +630,50 @@ def dedup_clusters(
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
         .withColumn("keep", F.col("is_canonical"))
     )
+
+
+def dedup_eval_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    num_perm: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Precision/recall of the MinHash-LSH scale path against the exact
+    n-gram-Jaccard baseline, at matched gram size and threshold — the
+    measurement a pipeline runs (on a sample) before trusting LSH
+    parameters at full scale.
+
+    One distributed pass: the two pair sets meet in a full-outer join on
+    the normalized pair key, and a single aggregate emits the confusion
+    counts plus precision/recall/F1.  Recall deficits localize to LSH
+    band misses; precision deficits to the exact path's boilerplate-gram
+    cap suppressing pairs the verify step legitimately found.
+    """
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold
+    ).select("id_a", "id_b", F.lit(True).alias("_e"))
+    approx = minhash_near_duplicates(
+        df, id_col, text_col, num_perm=num_perm, bands=bands, ngram=n, threshold=threshold
+    ).select("id_a", "id_b", F.lit(True).alias("_a"))
+    joined = approx.join(exact, ["id_a", "id_b"], "full_outer")
+    tp = F.count_if(F.col("_a").isNotNull() & F.col("_e").isNotNull())
+    n_approx = F.count_if(F.col("_a").isNotNull())
+    n_exact = F.count_if(F.col("_e").isNotNull())
+    agg = joined.agg(
+        tp.cast("bigint").alias("true_positive_pairs"),
+        n_approx.cast("bigint").alias("lsh_pairs"),
+        n_exact.cast("bigint").alias("exact_pairs"),
+    )
+    p = F.col("true_positive_pairs") / F.nullif(F.col("lsh_pairs"), F.lit(0))
+    r = F.col("true_positive_pairs") / F.nullif(F.col("exact_pairs"), F.lit(0))
+    return agg.select(
+        "true_positive_pairs",
+        "lsh_pairs",
+        "exact_pairs",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(2 * p * r / F.nullif(p + r, F.lit(0.0)), 6).alias("f1"),
+    )

@@ -389,6 +389,23 @@ q_emb_ivfpq_topk = Query(
     "probing is the only recall knob (pq.py:ivfpq_topk).",
 )
 
+q_doc_dedup_eval = Query(
+    name="doc_dedup_eval",
+    build=lambda spark, sf_dir: dedup.dedup_eval_report(
+        _docs(spark, sf_dir), n=3, threshold=0.15
+    ),
+    # No oracle: the LSH side uses engine xxhash64 signatures. Semantics
+    # pinned in pytest: confusion counts are consistent (tp <= both
+    # sides), and recall is high on planted near-duplicates.
+    oracle=None,
+    doc="Dedup-parameter evaluation: precision/recall/F1 of the "
+    "MinHash-LSH scale path against the exact n-gram-Jaccard baseline "
+    "at matched threshold — one full-outer pair join + one aggregate "
+    "(dedup.py:dedup_eval_report). The measurement that qualifies LSH "
+    "parameters on a sample before a full-corpus run.",
+)
+
+
 q_doc_token_rarity = Query(
     name="doc_token_rarity",
     build=lambda spark, sf_dir: text.token_rarity(_docs(spark, sf_dir)),
@@ -1315,6 +1332,7 @@ QUERIES = [
     q_doc_bigram_freqs,
     q_doc_token_rarity,
     q_doc_bpe_merges,
+    q_doc_dedup_eval,
     q_emb_quantize_int8,
     q_doc_clean_corpus_stats,
     q_multimodal_features,

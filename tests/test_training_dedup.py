@@ -224,3 +224,18 @@ def test_incremental_dedup_verdicts(spark):
     assert rows[13]["keep"]
     # every batch doc gets exactly one verdict row
     assert set(rows) == {10, 11, 12, 13}
+
+
+def test_dedup_eval_report_confusion_counts(spark):
+    """Planted near-dups: high recall, consistent confusion counts."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, base + f" variant {i}") for i in range(6)]          # near-dups
+    rows += [(100 + i, f"totally unrelated document number {i} about "
+              f"astronomy telescopes galaxies and star formation theory") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dedup.dedup_eval_report(df, n=3, threshold=0.3).collect()[0]
+    assert r["true_positive_pairs"] <= min(r["lsh_pairs"], r["exact_pairs"])
+    assert r["exact_pairs"] >= 10  # the planted 6-clique (15 pairs, capped ok)
+    assert r["recall"] is not None and r["recall"] >= 0.5
+    if r["lsh_pairs"]:
+        assert 0.0 <= r["precision"] <= 1.0
