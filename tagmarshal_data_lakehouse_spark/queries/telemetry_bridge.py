@@ -20,12 +20,16 @@ cross-engine exact:
   bit-identical doubles — no half-boundary ROUND risk;
 - `FLOOR` (not CAST) converts the double: Spark's double->bigint CAST
   truncates while DuckDB's rounds, so CAST would diverge; FLOOR agrees.
-- pace / battery / hole_number / longitude / latitude carry
-  deterministic NULL stripes (event_id mod a distinct prime each), so
-  the library's NULL-preserving semantics — the reference pipeline's
-  defining rule — are exercised for real: FILTER clauses, IS NOT NULL
-  predicates, and AVG's null-skipping all see non-trivial inputs, and
-  both engines derive the identical stripe.
+- pace / battery / hole_number / longitude / latitude / fix_timestamp
+  carry deterministic NULL stripes (event_id mod a distinct prime
+  each), so the library's NULL-preserving semantics — the reference
+  pipeline's defining rule — are exercised for real: FILTER clauses,
+  IS NOT NULL predicates, and AVG's null-skipping all see non-trivial
+  inputs, and both engines derive the identical stripe.  The
+  `is_timestamp_missing` flag is CONSISTENT with its column: flagged
+  rows really have fix_timestamp NULL (round_id / event_date still
+  derive from the raw event time, the reference's keep-and-flag rule —
+  no data loss).
 
 Queries chosen are fact-only (no gold DAG to inline) and free of
 approximate aggregates (the driver hashes every output column, and
@@ -57,7 +61,7 @@ _SPARK_BRIDGE = """
                 || CAST(CAST(ts AS DATE) AS STRING) || '_'
                 || CAST(HOUR(ts) AS STRING)                             AS round_id,
             'course_' || CAST(user_id % 3 AS STRING)                    AS course_id,
-            ts                                                          AS fix_timestamp,
+            IF(event_id % 23 = 0, NULL, ts)                             AS fix_timestamp,
             CAST(ts AS DATE)                                            AS event_date,
             CAST(CAST(ts AS DATE) AS STRING)                            AS ingest_date,
             FALSE                                                       AS is_location_padding,
@@ -111,17 +115,22 @@ def _bridged(spark: SparkSession, sf_dir: str, name: str, **params) -> DataFrame
     return spark.sql(telemetry.TELEMETRY_QUERIES[name])
 
 
-def _dates_as_ntz(df: DataFrame, *cols: str) -> DataFrame:
-    """Registry-shape shim (same convention as the events queries):
-    DATE output columns are cast to TIMESTAMP_NTZ because Spark's
-    toPandas ships dates as python objects while DuckDB's ships
-    datetime64 — the harness would compare them unequal. The library
-    text itself is unchanged; only the registry entry re-types."""
+def _cast_cols(df: DataFrame, dtype: str, *cols: str) -> DataFrame:
+    """Registry-shape shim: re-type output columns so both engines ship
+    the same pandas transport type. The library text itself is never
+    changed — only the registry entry re-types its result."""
     from pyspark.sql import functions as F
 
     for c in cols:
-        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+        df = df.withColumn(c, F.col(c).cast(dtype))
     return df
+
+
+def _dates_as_ntz(df: DataFrame, *cols: str) -> DataFrame:
+    """DATE columns -> TIMESTAMP_NTZ (same convention as the events
+    queries): Spark's toPandas ships dates as python objects while
+    DuckDB's ships datetime64 — the harness would compare them unequal."""
+    return _cast_cols(df, "timestamp_ntz", *cols)
 
 
 q_telemetry_start_hole_distribution = Query(
@@ -330,16 +339,12 @@ q_telemetry_null_correlation = Query(
 
 
 def _missing_pct_as_double(df: DataFrame) -> DataFrame:
-    """Registry-shape shim: the library text's ROUND(100.0 * x / y, 2)
-    is DECIMAL-typed on Spark (decimal literal arithmetic) while
-    DuckDB's lands as its own decimal; both are EXACT 2-dp values of the
-    same rational, so a double cast on both sides is the identical
-    IEEE value — only the transport type changes."""
-    from pyspark.sql import functions as F
-
-    return df.withColumn(
-        "missing_percentage", F.col("missing_percentage").cast("double")
-    )
+    """The library text's ROUND(100.0 * x / y, 2) is DECIMAL-typed on
+    Spark (decimal literal arithmetic) while DuckDB's lands as its own
+    decimal; both are EXACT 2-dp values of the same rational, so a
+    double cast on both sides is the identical IEEE value — only the
+    transport type changes."""
+    return _cast_cols(df, "double", "missing_percentage")
 
 
 q_telemetry_missing_ts_overview = Query(

@@ -22,9 +22,11 @@ counts include overlapping occurrences (zip(units, units[1:])), merges
 apply greedily left-to-right — pinned equal to a pure-Python BPE
 implementation in tests/test_training_bpe.py on arbitrary corpora.
 
-Expressions are built with Column lambdas (F.aggregate / F.transform),
-never interpolated SQL strings, so corpus text containing quotes can
-never break or inject into the plan.
+CORPUS-DERIVED values (the merge pair literals, which are arbitrary
+text fragments) enter the plan only through Column lambdas and F.lit —
+never string interpolation — so corpus text containing quotes cannot
+break or inject into the plan.  The two F.expr sites interpolate only
+fixed column identifiers chosen by this module.
 """
 
 from __future__ import annotations

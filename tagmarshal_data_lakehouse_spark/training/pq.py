@@ -292,6 +292,11 @@ def ivfpq_topk(
                 lambda a, b: a - b,
             ),
         )
+        # persist: train_codebooks reads this frame twice (dim probe +
+        # sample collect) and encode scans it again — without the cache
+        # each pass re-runs the pandas-UDF cell assignment over the
+        # whole table (3x the operator's most expensive scan).
+        with_cell = with_cell.persist()
         books = train_codebooks(with_cell, m=m, k=n_centroids, id_col=id_col, vec_col="_res")
         cands = encode(with_cell, books, id_col, "_res").select(
             F.col(id_col).alias("candidate_id"), F.col("pq_code"), "cell"

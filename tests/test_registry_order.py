@@ -2,7 +2,7 @@
 
 The driver's correctness sweep walks ``registry()`` in insertion order
 under a budget (rounds 2 and 3 each stopped at exactly 50 entries), so
-ordering is a coverage guarantee. With 116 entries and a 50-slot budget,
+ordering is a coverage guarantee. With 136 entries and a 50-slot budget,
 full driver coverage is a ROTATION; this module pins the invariants the
 rotation must keep every round:
 
