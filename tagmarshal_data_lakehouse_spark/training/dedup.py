@@ -453,6 +453,95 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold).crossJoin(F.broadcast(audit))
 
 
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Sparse LEXICAL cosine similarity: term-frequency vectors over the
+    df-capped vocabulary, pair similarity via an inverted-index join.
+
+    The bag-of-words counterpart of the dense-embedding cosine family
+    (`training/similarity.py`) and the set-based n-gram Jaccard above:
+    TF vectors weight repeated terms, so templated documents that share
+    vocabulary but differ in emphasis separate where Jaccard saturates.
+    Every intermediate is an INTEGER (term counts, Σtf², Σtf_a·tf_b), so
+    the final cosine is one correctly-rounded IEEE expression over exact
+    inputs — bit-reproducible across engines and partitionings, unlike a
+    float-accumulated dot product.
+
+    Scale shape (the inverted-index discipline of `ngram_jaccard_pairs`):
+    per-document term counts are computed ROW-LOCALLY (array fold — no
+    (doc, term) pre-shuffle), the posting self-join shuffles on the term
+    string, and `max_doc_freq` drops boilerplate/stopword terms BEFORE
+    the join, bounding the worst per-term pair fan-out at O(cap²). The
+    cap doubles as stopword pruning: ubiquitous terms carry no cosine
+    signal but dominate join cost. Norms are over the KEPT vocabulary
+    (the vector space is defined post-cap), and the cap is not silent —
+    every row carries `n_dropped_terms` / `suppressed_pairs_est` audit
+    scalars, mirroring the n-gram path.
+
+    Columns: id_a, id_b, dot, cosine (round 6), n_dropped_terms,
+    suppressed_pairs_est. Pairs with no kept term in common never appear
+    (their cosine is 0 by definition).
+    """
+    from .text import tokens
+
+    toked = ensure_parallelism(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    # Row-local TF: distinct terms then a counted filter per term.
+    # O(unique·len) per row, embarrassingly parallel, zero shuffle —
+    # beats an explode + groupBy(doc, term) pre-aggregation, which would
+    # add a full (doc, term) exchange before the term join below.
+    tf_arr = F.transform(
+        F.array_distinct(F.col("toks")),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(F.col("toks"), lambda x: x == t)).cast("bigint").alias("tf"),
+        ),
+    )
+    postings = (
+        toked.withColumn("tf_arr", tf_arr)
+        .select(F.col(id_col), F.explode("tf_arr").alias("e"))
+        .select(F.col(id_col), F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
+    )
+    term_df = postings.groupBy("term").agg(F.count("*").alias("term_df"))
+    overcap = term_df.filter(F.col("term_df") > max_doc_freq)
+    audit = overcap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dropped_terms"),
+        F.coalesce(
+            F.sum((F.col("term_df") * (F.col("term_df") - 1) / 2).cast("bigint")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("suppressed_pairs_est"),
+    )
+    # Over-cap set is tiny by construction -> broadcast anti-join keeps
+    # the big posting side shuffle-free here (its one shuffle is the
+    # term-keyed pair join below).
+    kept = postings.join(F.broadcast(overcap.select("term")), "term", "left_anti")
+    norms = kept.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("norm_sq"))
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), on="term")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    cosine = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("norm_a").cast("double")) * F.sqrt(F.col("norm_b").cast("double"))),
+        6,
+    )
+    out = (
+        pairs.join(norms.select(F.col(id_col).alias("id_a"), F.col("norm_sq").alias("norm_a")), "id_a")
+        .join(norms.select(F.col(id_col).alias("id_b"), F.col("norm_sq").alias("norm_b")), "id_b")
+        .withColumn("cosine", cosine)
+        .select("id_a", "id_b", F.col("dot").cast("bigint").alias("dot"), "cosine")
+    )
+    return out.filter(F.col("cosine") >= threshold).crossJoin(F.broadcast(audit))
+
+
 def span_dedup_stats(
     df: DataFrame,
     id_col: str = "doc_id",

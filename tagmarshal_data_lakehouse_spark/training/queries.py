@@ -195,6 +195,57 @@ q_doc_ngram_jaccard = Query(
     "(|A∩B| by pair-count aggregation — no set products materialized).",
 )
 
+q_doc_tf_cosine_pairs = Query(
+    name="doc_tf_cosine_pairs",
+    build=lambda spark, sf_dir: dedup.tf_cosine_pairs(
+        _docs(spark, sf_dir), threshold=0.3, max_doc_freq=100
+    ),
+    # Integer TF vectors end-to-end: dot and Σtf² are BIGINT sums, the
+    # cosine one correctly-rounded IEEE expression over exact inputs —
+    # hash-identical across engines by construction.
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS tokens FROM documents
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+            GROUP BY doc_id, term
+        ), term_df AS (
+            SELECT term, COUNT(*) AS term_df FROM tf GROUP BY term
+        ), audit AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped_terms,
+                   CAST(COALESCE(SUM(CAST(term_df * (term_df - 1) / 2 AS BIGINT)), 0)
+                        AS BIGINT) AS suppressed_pairs_est
+            FROM term_df WHERE term_df > 100
+        ), kept AS (
+            SELECT tf.* FROM tf
+            WHERE term NOT IN (SELECT term FROM term_df WHERE term_df > 100)
+        ), norms AS (
+            SELECT doc_id, SUM(tf * tf) AS norm_sq FROM kept GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
+            FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+               ROUND(CAST(dot AS DOUBLE)
+                     / (SQRT(CAST(na.norm_sq AS DOUBLE)) * SQRT(CAST(nb.norm_sq AS DOUBLE))),
+                     6) AS cosine,
+               n_dropped_terms, suppressed_pairs_est
+        FROM pairs
+        JOIN norms na ON na.doc_id = id_a
+        JOIN norms nb ON nb.doc_id = id_b
+        CROSS JOIN audit
+        WHERE ROUND(CAST(dot AS DOUBLE)
+                    / (SQRT(CAST(na.norm_sq AS DOUBLE)) * SQRT(CAST(nb.norm_sq AS DOUBLE))),
+                    6) >= 0.3
+    """,
+    doc="Sparse lexical TF-cosine near-dup pairs via a df-capped "
+    "inverted-index join — the bag-of-words counterpart of the dense "
+    "embedding cosine family; integer dot/norms make the score "
+    "bit-reproducible.",
+)
+
 q_doc_minhash_near_dups = Query(
     name="doc_minhash_near_dups",
     build=lambda spark, sf_dir: dedup.minhash_near_duplicates(
@@ -1307,6 +1358,7 @@ QUERIES = [
     q_doc_quality,
     q_doc_lang_id,
     q_doc_ngram_jaccard,
+    q_doc_tf_cosine_pairs,
     q_doc_minhash_near_dups,
     q_doc_simhash_near_dups,
     q_emb_label_stats,

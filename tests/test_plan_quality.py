@@ -241,6 +241,23 @@ def test_span_dedup_row_local_generation(spark, sf_smoke, reg):
     assert strategies and all("NestedLoop" not in s for s in strategies)
 
 
+def test_tf_cosine_inverted_index_never_goes_quadratic(spark, sf_smoke, reg):
+    """TF-cosine pair generation is an inverted-index hash join on the
+    term (never a doc×doc nested loop), the over-cap term drop is a
+    broadcast anti-join on the big posting side, and term-frequency
+    computation is row-local (no (doc, term) pre-aggregation exchange
+    before the term join)."""
+    df = reg["doc_tf_cosine_pairs"].build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    strategies = plans.join_strategies(df)
+    # the single permitted nested loop is the broadcast cross join of the
+    # ONE-ROW audit-scalar frame onto the output (same shape as the
+    # n-gram path) — every data-bearing join must be hash-based
+    assert sum("NestedLoop" in s for s in strategies) <= 1, strategies
+    assert sum(s == "BroadcastHashJoin" for s in strategies) >= 1, strategies
+
+
 def test_cross_source_dups_hash_join_on_digest(spark, sf_smoke, reg):
     """The contamination matrix self-join is digest-equality keyed — a
     hash-based join, never a nested loop over the corpus."""

@@ -118,6 +118,7 @@ _NEW_DEFERRED_TO_NEXT_ROUND = frozenset(
         "doc_bpe_merges",  # rows-only; python-reference-pinned in pytest
         "doc_token_rarity",  # oracle-green at sf0.001 + sf0.01 (sim)
         "doc_dedup_eval",  # rows-only; confusion-count pytest pins
+        "doc_tf_cosine_pairs",  # oracle-green at sf0.001 + sf0.01 (sim)
     }
 )
 

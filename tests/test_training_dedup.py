@@ -239,3 +239,54 @@ def test_dedup_eval_report_confusion_counts(spark):
     assert r["recall"] is not None and r["recall"] >= 0.5
     if r["lsh_pairs"]:
         assert 0.0 <= r["precision"] <= 1.0
+
+
+def test_tf_cosine_pairs_matches_brute_force(spark):
+    """TF-cosine against a hand-computed brute-force reference on a
+    corpus small enough to enumerate (cap high => no term dropped)."""
+    import itertools
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "apple banana banana cherry"),
+        (3, "dog cat mouse"),
+        (4, "apple apple apple apple"),
+        (5, "dog cat mouse dog cat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["cosine"])
+        for r in dedup.tf_cosine_pairs(docs, threshold=0.0, max_doc_freq=100).collect()
+    }
+    tf = {i: Counter(t.split()) for i, t in rows}
+    for a, b in itertools.combinations(sorted(tf), 2):
+        dot = sum(tf[a][w] * tf[b][w] for w in tf[a])
+        if dot == 0:
+            assert (a, b) not in got  # no shared term -> never materialized
+            continue
+        na = math.sqrt(sum(v * v for v in tf[a].values()))
+        nb = math.sqrt(sum(v * v for v in tf[b].values()))
+        exp = round(dot / (na * nb), 6)
+        assert got[(a, b)][0] == dot, (a, b)
+        assert abs(got[(a, b)][1] - exp) < 1e-9, (a, b)
+    # TF weighting separates what Jaccard cannot: doc4 is pure 'apple'
+    # so cos(1,4) reflects doc1's apple share, not full overlap
+    assert 0 < got[(1, 4)][1] < 1
+
+
+def test_tf_cosine_cap_prunes_stopword_terms(spark):
+    """Over-cap terms leave the vector space entirely: pairs that share
+    ONLY a ubiquitous term disappear, and norms are over kept terms."""
+    rows = [(i, f"the unique{i} word{i}") for i in range(6)]
+    rows += [(100, "zebra quartz onyx"), (101, "zebra quartz jade")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.tf_cosine_pairs(docs, threshold=0.01, max_doc_freq=4).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in ids
+    assert all(a >= 100 for a, _ in ids), ids  # 'the'-only pairs gone
+    row = next(r for r in pairs if (r["id_a"], r["id_b"]) == (100, 101))
+    # 3-term vs 3-term unit-tf vectors sharing 2 kept terms: 2/3
+    assert abs(row["cosine"] - round(2 / 3, 6)) < 1e-9
+    assert row["n_dropped_terms"] == 1  # only 'the' is over-cap
