@@ -127,6 +127,34 @@ def test_bucketed_join_is_shuffle_free(spark, sf_smoke):
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
 
 
+def test_partitioned_fact_join_uses_dynamic_partition_pruning(spark, sf_smoke, tmp_path):
+    """A selective dim filter must prune FACT PARTITIONS at runtime
+    (DPP): the fact scan's PartitionFilters carry a dynamicpruning
+    subquery fed by the broadcast dim, so a 100 TB fact partitioned on
+    the join key reads only the partitions the dim filter selects —
+    static pushdown alone cannot do this (the qualifying keys are only
+    known after the dim filter runs)."""
+    from tagmarshal_data_lakehouse_spark.storage import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    fact = spark.range(0, 2000).select(
+        (F.col("id") % 20).alias("course_id"), F.col("id").alias("v")
+    )
+    lake.write_partitioned("fact", fact, ["course_id"])
+    dim = spark.createDataFrame(
+        [(i, "links" if i < 3 else "parkland") for i in range(20)],
+        "course_id long, course_type string",
+    )
+    j = (
+        lake.read("fact")
+        .join(dim.filter(F.col("course_type") == "links"), "course_id")
+        .groupBy("course_id")
+        .agg(F.sum("v").alias("v_sum"))
+    )
+    plan = plans.physical_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_time_rollup_is_single_scan_expand(spark, sf_smoke, reg):
     # GROUPING SETS must expand inside one aggregation pipeline — the
     # fact is scanned once for every resolution, not once per resolution

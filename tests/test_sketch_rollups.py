@@ -97,3 +97,87 @@ def test_approx_topk_counts_exact_below_tracking_bound(spark, sf_smoke, events):
         # the reported MULTISET of counts must equal the true top-5
         # counts (ties may swap which user is reported, never the count)
         assert reported == true_sorted[:5], (etype, reported, true_sorted[:5])
+
+
+# -- incremental materialized rollup (rollup.SketchRollup) ----------------
+
+
+def test_incremental_rollup_matches_single_pass(spark, sf_smoke, events, tmp_path):
+    """Three-batch incremental refresh must equal the one-shot rollup:
+    counters exactly, sketch estimates exactly (HLL union is lossless)."""
+    from tagmarshal_data_lakehouse_spark.rollup import HOUR_BUCKET_NTZ, SketchRollup
+    from tagmarshal_data_lakehouse_spark.storage import Lakehouse
+
+    roll = SketchRollup(Lakehouse(spark, str(tmp_path / "wh")))
+    for i in range(3):
+        assert roll.refresh(events.filter(F.col("event_id") % 3 == i), f"b{i}")
+
+    got = {
+        (r["event_type"], r["bucket_hour"]): r
+        for r in roll.with_estimates().collect()
+    }
+    direct = {
+        (r["event_type"], r["bucket_hour"]): r
+        for r in events.withColumn("bucket_hour", HOUR_BUCKET_NTZ)
+        .groupBy("event_type", "bucket_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("value_sum"),
+            F.expr(
+                "CAST(HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(user_id, 14)) AS BIGINT)"
+            ).alias("approx_users"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for k, d in direct.items():
+        assert got[k]["n_events"] == d["n_events"], k
+        assert got[k]["value_sum"] == d["value_sum"], k  # decimal-exact merge
+        # lossless mergeability: 3-way union == direct sketch, exactly
+        assert got[k]["approx_users"] == d["approx_users"], k
+
+
+def test_incremental_rollup_replay_is_noop(spark, sf_smoke, events, tmp_path):
+    """At-least-once delivery: re-refreshing an applied batch_id must not
+    double-count."""
+    from tagmarshal_data_lakehouse_spark.rollup import SketchRollup
+    from tagmarshal_data_lakehouse_spark.storage import Lakehouse
+
+    roll = SketchRollup(Lakehouse(spark, str(tmp_path / "wh")))
+    batch = events.filter(F.col("event_id") % 3 == 0)
+    assert roll.refresh(batch, "b0")
+    before = sorted(
+        roll.read().select("event_type", "bucket_hour", "n_events").collect()
+    )
+    assert not roll.refresh(batch, "b0")  # replay refused
+    after = sorted(
+        roll.read().select("event_type", "bucket_hour", "n_events").collect()
+    )
+    assert before == after
+
+
+def test_incremental_rollup_coarser_grain_no_rescan(spark, sf_smoke, events, tmp_path):
+    """Day/type re-aggregation comes from stored sketches: by_event_type
+    over incremental state equals the whole-table per-type estimate."""
+    from tagmarshal_data_lakehouse_spark.rollup import SketchRollup
+    from tagmarshal_data_lakehouse_spark.storage import Lakehouse
+
+    roll = SketchRollup(Lakehouse(spark, str(tmp_path / "wh")))
+    for i in range(2):
+        roll.refresh(events.filter(F.col("event_id") % 2 == i), f"b{i}")
+    got = {r["event_type"]: r for r in roll.by_event_type().collect()}
+    direct = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(user_id, 14)) AS BIGINT)"
+            ).alias("approx_users"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for t, d in direct.items():
+        assert got[t]["n_events"] == d["n_events"]
+        assert got[t]["approx_users"] == d["approx_users"]
