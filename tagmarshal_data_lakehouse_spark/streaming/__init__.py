@@ -15,5 +15,6 @@ from .events import (  # noqa: F401
     stream_dedup_within_watermark,
     stream_interval_join,
     stream_session_windows,
+    stream_sketch_rollup,
     stream_tumbling_counts,
 )

@@ -377,3 +377,38 @@ def stream_curate(
         drop_reason.alias("drop_reason"),
         drop_reason.isNull().alias("kept"),
     )
+
+
+def stream_sketch_rollup(
+    events_stream: DataFrame,
+    rollup,
+    checkpoint_dir: str,
+):
+    """Continuously maintain a `rollup.SketchRollup` from an events
+    stream: foreachBatch hands each micro-batch to `refresh` with the
+    micro-batch id as the idempotency key.
+
+    Exactly-once counter effect on top of at-least-once foreachBatch:
+    Structured Streaming replays a failed micro-batch under the SAME
+    batch_id, and `refresh` refuses applied ids — so additive counters
+    and sketch unions cannot double-apply, the same discipline
+    `stream_silver` gets from idempotent partition rewrites (which
+    additive state cannot use). The rollup's applied-id log persists
+    with the table, so the guarantee also holds across checkpoint
+    restarts, not just within one query lifetime.
+
+    Returns the started StreamingQuery; drive with processAllAvailable()
+    in tests or leave the default trigger running in production.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rollup.refresh(batch_df, f"stream-{batch_id}")
+
+    return (
+        events_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -478,3 +478,74 @@ def test_stream_curate_full_gate(spark, tmp_path):
     }
     for did, r in rows.items():
         assert r["quality_score"] == batch_scores[did]
+
+
+def test_stream_sketch_rollup_incremental_and_exactly_once(spark, tmp_path):
+    """Streaming rollup maintenance: micro-batches merge into the
+    materialized sketch rollup, and the final state equals the one-shot
+    batch rollup over all arrived events (counters exact, HLL estimates
+    exactly equal — union is lossless). A second stream over the same
+    source with a FRESH checkpoint replays batch ids the rollup already
+    applied — the applied-id log, not the checkpoint, refuses them."""
+    import datetime
+
+    from tagmarshal_data_lakehouse_spark.rollup import HOUR_BUCKET_NTZ, SketchRollup
+
+    rows = [
+        (i, datetime.datetime(2024, 5, 1, 10 + (i % 3), 0, 0), i % 7, "view" if i % 2 else "click", float(i))
+        for i in range(60)
+    ]
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    events = spark.createDataFrame(rows, schema)
+    src = tmp_path / "rollup_src"
+    os.makedirs(src)
+    events.coalesce(2).write.mode("overwrite").parquet(str(src))
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    roll = SketchRollup(lake)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(str(src))
+    )
+    q = streaming.stream_sketch_rollup(stream, roll, str(tmp_path / "ck_roll"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["event_type"], r["bucket_hour"]): r for r in roll.with_estimates().collect()
+    }
+    direct = {
+        (r["event_type"], r["bucket_hour"]): r
+        for r in events.withColumn("bucket_hour", HOUR_BUCKET_NTZ)
+        .groupBy("event_type", "bucket_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(user_id, 14)) AS BIGINT)"
+            ).alias("approx_users"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for k, d in direct.items():
+        assert got[k]["n_events"] == d["n_events"], k
+        assert got[k]["approx_users"] == d["approx_users"], k
+
+    # replay: new query, fresh checkpoint -> same batch ids re-delivered
+    stream2 = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = streaming.stream_sketch_rollup(stream2, roll, str(tmp_path / "ck_roll2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    replayed = {
+        (r["event_type"], r["bucket_hour"]): r["n_events"] for r in roll.read().collect()
+    }
+    assert replayed == {k: d["n_events"] for k, d in direct.items()}  # no double-count
