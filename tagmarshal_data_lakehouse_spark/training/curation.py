@@ -368,6 +368,36 @@ def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     )
 
 
+def pii_redact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redaction transform for the documents `pii_scan` routes here:
+    emails -> <EMAIL>, then URLs -> <URL>, then long digit runs ->
+    <NUM>, applied in that fixed order (the order is part of the
+    contract — an email inside a URL redacts as <EMAIL> first and the
+    surrounding URL then collapses to <URL>).
+
+    Counts are measured on the ORIGINAL text (same expressions as
+    pii_scan, so scan and redact always agree on what was found). Pure
+    codegen'd regexp projections — no shuffle, linear scan at any scale.
+    """
+    c = F.col(text_col)
+    n_emails = F.regexp_count(c, F.lit(_EMAIL_RE)).cast("bigint")
+    n_urls = F.regexp_count(c, F.lit(_URL_RE)).cast("bigint")
+    n_digits = F.regexp_count(c, F.lit(_DIGITS_RE)).cast("bigint")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ),
+        _DIGITS_RE,
+        "<NUM>",
+    )
+    return df.select(
+        F.col(id_col),
+        redacted.alias("text_redacted"),
+        (n_emails + n_urls + n_digits).alias("n_redactions"),
+        (F.length(c) - F.length(redacted)).cast("bigint").alias("chars_removed"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int = 512,

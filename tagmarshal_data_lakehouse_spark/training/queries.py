@@ -587,6 +587,114 @@ q_doc_hash_sample_k = Query(
     "rows per partition, never the data) (sampling.py:99-111).",
 )
 
+def _build_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # weight by length: 1 ticket per started 100 tokens, capped at 8 —
+    # long documents are favored proportionally, never unboundedly
+    w = (F.lit(1) + F.least(F.floor(text.token_count(F.col("text")) / 100), F.lit(7))).cast(
+        "int"
+    )
+    return sampling.weighted_sample_k(
+        docs.withColumn("w", w), k=100, weight_col="w", id_col="doc_id"
+    ).select("doc_id", "sample_weight", "sample_key")
+
+
+q_doc_weighted_sample = Query(
+    name="doc_weighted_sample",
+    build=_build_weighted_sample,
+    # Ticket-lottery weighted sampling is hash+string-min only (no
+    # pow/ln, which are not correctly-rounded and could flip marginal
+    # selections between engines) — md5 is md5 everywhere.
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                             ELSE len({_TOKENS}) END AS INT) AS n_tokens
+            FROM documents
+        ), weighted AS (
+            SELECT doc_id,
+                   CAST(1 + LEAST(CAST(FLOOR(n_tokens / 100) AS INT), 7) AS INT)
+                       AS sample_weight
+            FROM toks
+        )
+        SELECT doc_id, sample_weight,
+               list_min(list_transform(range(1, sample_weight + 1),
+                        i -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))))
+                   AS sample_key
+        FROM weighted
+        ORDER BY sample_key, doc_id
+        LIMIT 100
+    """,
+    doc="Exactly-k weighted sample without replacement via the integer "
+    "ticket-lottery key (min of w per-row md5 tickets; "
+    "P(a beats b) = w_a/(w_a+w_b)) — TakeOrderedAndProject bottom-k, "
+    "bit-reproducible where A-Res u^(1/w) keys are not.",
+)
+
+q_doc_source_drift = Query(
+    name="doc_source_drift",
+    build=lambda spark, sf_dir: text.source_drift(_docs(spark, sf_dir)),
+    # Integer numerator Σ|c_sb·N − c_b·N_s| (exact, order-independent),
+    # ONE double division at the end.
+    oracle=f"""
+        WITH counts AS (
+            SELECT source,
+                   CAST(FLOOR(CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                                        ELSE len({_TOKENS}) END AS INT) / 10) * 10
+                        AS BIGINT) AS token_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c_sb
+            FROM documents GROUP BY 1, 2
+        ), per_source AS (
+            SELECT source, CAST(SUM(c_sb) AS BIGINT) AS n_docs FROM counts GROUP BY source
+        ), per_bucket AS (
+            SELECT token_bucket, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM counts GROUP BY token_bucket
+        ), total AS (
+            SELECT CAST(SUM(c_sb) AS BIGINT) AS n_total FROM counts
+        ), dev AS (
+            SELECT g.source, g.n_docs, g.n_total,
+                   CAST(ABS(COALESCE(c.c_sb, 0) * g.n_total - g.c_b * g.n_docs) AS BIGINT)
+                       AS abs_dev
+            FROM (SELECT * FROM per_source CROSS JOIN per_bucket CROSS JOIN total) g
+            LEFT JOIN counts c
+              ON c.source = g.source AND c.token_bucket = g.token_bucket
+        )
+        SELECT source, n_docs,
+               ROUND(CAST(SUM(abs_dev) AS DOUBLE)
+                     / (CAST(n_docs AS DOUBLE) * CAST(n_total AS DOUBLE)), 6) AS drift_l1
+        FROM dev
+        GROUP BY source, n_docs, n_total
+    """,
+    doc="Per-source token-length-distribution drift vs the corpus (L1 "
+    "distance, integer-exact numerator) — the source-health monitor of "
+    "a continuous ingest; one map-side-combined fact aggregation.",
+)
+
+q_doc_pii_redact = Query(
+    name="doc_pii_redact",
+    build=lambda spark, sf_dir: curation.pii_redact(_docs(spark, sf_dir)),
+    oracle=r"""
+        WITH red AS (
+            SELECT doc_id, text,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^\s]+', '<URL>', 'g'),
+                       '[0-9]{7,}', '<NUM>', 'g') AS text_redacted
+            FROM documents
+        )
+        SELECT doc_id, text_redacted,
+               CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                + len(regexp_extract_all(text, 'https?://[^\s]+'))
+                + len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_redactions,
+               CAST(length(text) - length(text_redacted) AS BIGINT) AS chars_removed
+        FROM red
+    """,
+    doc="PII redaction transform (emails -> <EMAIL>, URLs -> <URL>, "
+    "digit runs -> <NUM>, fixed order); counts measured on the original "
+    "text so scan and redact always agree. Codegen'd projections, no "
+    "shuffle (curation.py pii_scan's acting counterpart).",
+)
+
 q_doc_mixture_weights = Query(
     name="doc_mixture_weights",
     build=lambda spark, sf_dir: sampling.mixture_weights(
@@ -1373,7 +1481,10 @@ QUERIES = [
     q_doc_train_split,
     q_doc_stratified_sample,
     q_doc_hash_sample_k,
+    q_doc_weighted_sample,
     q_doc_mixture_weights,
+    q_doc_source_drift,
+    q_doc_pii_redact,
     q_doc_dedup_clusters,
     q_doc_decontaminate,
     q_doc_repetition,

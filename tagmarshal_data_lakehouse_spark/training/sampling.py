@@ -110,6 +110,50 @@ def hash_sample_k(df: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Exactly-k WEIGHTED sample without replacement, deterministic and
+    engine-independent — the ticket-lottery model.
+
+    Each row holds `weight` integer tickets; ticket i is the md5 of
+    (id, i); the row's `sample_key` is its BEST (minimum) ticket, and the
+    k smallest keys win (ties impossible up to md5 collision; id breaks
+    them anyway). This is exactly uniform sampling of the ticket-expanded
+    corpus keeping each row's best ticket, so P(row a outranks row b) =
+    w_a / (w_a + w_b) — proportional-to-weight head-to-head odds.
+
+    Why tickets instead of the textbook A-Res key u^(1/w): that key needs
+    pow/ln, which are NOT correctly-rounded IEEE ops — two engines (or
+    two libm versions) can disagree in the last ulp and flip a marginal
+    selection. Ticket keys are hash + string-min only: bit-identical
+    everywhere, at the price of row-local work linear in the (capped)
+    integer weight.
+
+    Scale shape: ticket generation is a row-local array transform (no
+    explode — the min folds inside the row), and the global bottom-k is
+    ORDER BY + LIMIT, which Spark executes as TakeOrderedAndProject:
+    per-partition local top-k, driver merges k·n_partitions keys, never
+    the data. `max_weight` bounds the per-row work; weights are clamped
+    to [1, max_weight].
+    """
+    w = F.least(F.greatest(F.col(weight_col).cast("int"), F.lit(1)), F.lit(int(max_weight)))
+    tickets = F.transform(
+        F.sequence(F.lit(1), w),
+        lambda i: F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), i.cast("string"))),
+    )
+    return (
+        df.withColumn("sample_weight", w)
+        .withColumn("sample_key", F.array_min(tickets))
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )
+
+
 def epoch_shuffle(df: DataFrame, epoch: int = 0, id_col: str = "doc_id") -> DataFrame:
     """Deterministic global shuffle order for one training epoch: every
     row gets a dense position 0..n-1 in md5('e{epoch}:' || id) order.

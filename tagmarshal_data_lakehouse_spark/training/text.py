@@ -178,3 +178,63 @@ def fingerprint(col: Column, prefix_len: int = 16) -> Column:
     (hex prefix). Cross-engine stable (md5 is md5 everywhere), unlike
     murmur/xxhash whose seeds differ between engines."""
     return F.substring(F.md5(normalize_text(col)), 1, prefix_len)
+
+
+def source_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 10,
+) -> DataFrame:
+    """Per-source distribution-drift report: L1 distance between each
+    source's token-length histogram and the corpus-wide histogram — the
+    monitoring query a continuous ingest runs to catch a crawler or
+    upstream source whose content profile shifted.
+
+    Exactness discipline: the naive Σ_b |c_sb/N_s − c_b/N| sums doubles
+    in aggregation order (partition-dependent). Instead the numerator is
+    kept INTEGER — Σ_b |c_sb·N − c_b·N_s| over bigints is associative
+    and exact — and divided once by (N_s·N) at the end: one correctly-
+    rounded IEEE division, bit-identical on any engine/partitioning.
+    drift_l1 ranges [0, 2] (2 = disjoint support).
+
+    Scale shape: ONE fact scan into the (source, bucket) counts; every
+    later frame (bucket marginals, totals, the source×bucket grid that
+    restores zero-count buckets — dropping them would understate drift)
+    is an aggregate of that tiny result, so the whole report costs one
+    map-side-combined aggregation at any corpus size.
+    """
+    bucket = (F.floor(token_count(F.col(text_col)) / bucket_width) * bucket_width).cast("bigint")
+    counts = (
+        df.select(F.col(group_col).alias("source"), bucket.alias("token_bucket"))
+        .groupBy("source", "token_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_sb"))
+    )
+    per_source = counts.groupBy("source").agg(F.sum("c_sb").cast("bigint").alias("n_docs"))
+    per_bucket = counts.groupBy("token_bucket").agg(F.sum("c_sb").cast("bigint").alias("c_b"))
+    total = counts.agg(F.sum("c_sb").cast("bigint").alias("n_total"))
+    grid = per_source.crossJoin(per_bucket).crossJoin(F.broadcast(total))
+    dev = (
+        grid.join(counts, ["source", "token_bucket"], "left")
+        .withColumn("c_sb", F.coalesce("c_sb", F.lit(0)))
+        .withColumn(
+            "abs_dev",
+            F.abs(F.col("c_sb") * F.col("n_total") - F.col("c_b") * F.col("n_docs")).cast(
+                "bigint"
+            ),
+        )
+    )
+    return (
+        dev.groupBy("source", "n_docs", "n_total")
+        .agg(F.sum("abs_dev").cast("bigint").alias("int_dev"))
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("int_dev").cast("double")
+                / (F.col("n_docs").cast("double") * F.col("n_total").cast("double")),
+                6,
+            ).alias("drift_l1"),
+        )
+    )

@@ -119,6 +119,9 @@ _NEW_DEFERRED_TO_NEXT_ROUND = frozenset(
         "doc_token_rarity",  # oracle-green at sf0.001 + sf0.01 (sim)
         "doc_dedup_eval",  # rows-only; confusion-count pytest pins
         "doc_tf_cosine_pairs",  # oracle-green at sf0.001 + sf0.01 (sim)
+        "doc_weighted_sample",  # oracle-green at sf0.001 + sf0.01 (sim)
+        "doc_source_drift",  # oracle-green at sf0.001 + sf0.01 (sim)
+        "doc_pii_redact",  # oracle-green at sf0.001 + sf0.01 (sim)
     }
 )
 

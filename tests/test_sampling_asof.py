@@ -155,3 +155,49 @@ def test_epoch_shuffle_no_single_partition_window_on_data(docs):
     import re
     windows = re.findall(r"Window \[.*?\]", plan)
     assert any("_bucket" in w for w in windows), windows
+
+
+def test_weighted_sample_proportional_and_clamped(spark):
+    """Ticket-lottery weighted sample: 8x-weighted rows dominate the
+    sample roughly in ticket proportion; weights are clamped to
+    [1, max_weight]; nested property holds (keys are k-independent)."""
+    rows = [(i, 8) for i in range(200)] + [(i, 1) for i in range(200, 400)]
+    rows += [(1000, 0), (1001, 10_000)]  # clamp low / clamp high
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = sampling.weighted_sample_k(df, k=100, weight_col="w", max_weight=64)
+    got = out.collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r["doc_id"] < 200)
+    # tickets: 200*8 + 200*1 + 1 + 64 -> heavy share ~88%; loose bound
+    assert heavy > 60
+    by_id = {r["doc_id"]: r["sample_weight"] for r in out.select("doc_id", "sample_weight").collect()}
+    all_w = {
+        r["doc_id"]: r["sample_weight"]
+        for r in sampling.weighted_sample_k(df, k=500, weight_col="w", max_weight=64).collect()
+    }
+    assert all_w[1000] == 1 and all_w[1001] == 64  # clamped
+    # nested: smaller sample is a prefix of the larger
+    assert set(by_id) <= set(all_w)
+
+
+def test_source_drift_zero_for_identical_and_two_for_disjoint(spark):
+    """L1 drift is 0 when a source matches the corpus profile it alone
+    defines... use two sources: identical histograms -> both drift 0;
+    disjoint length buckets -> drift approaches 2."""
+    from tagmarshal_data_lakehouse_spark.training.text import source_drift
+
+    short = "one two three"                      # bucket 0
+    long = " ".join(["w"] * 25)                  # bucket 20
+    # identical profile: each source has 2 short + 2 long
+    rows = [(i, "a", short) for i in range(2)] + [(10 + i, "a", long) for i in range(2)]
+    rows += [(20 + i, "b", short) for i in range(2)] + [(30 + i, "b", long) for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    drift = {r["source"]: r["drift_l1"] for r in source_drift(df).collect()}
+    assert drift == {"a": 0.0, "b": 0.0}
+
+    # disjoint: source a all short, source b all long
+    rows2 = [(i, "a", short) for i in range(4)] + [(10 + i, "b", long) for i in range(4)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, source string, text string")
+    d2 = {r["source"]: r["drift_l1"] for r in source_drift(df2).collect()}
+    # each source: |1 - 0.5| + |0 - 0.5| = 1.0 vs the 50/50 corpus
+    assert d2 == {"a": 1.0, "b": 1.0}

@@ -209,3 +209,26 @@ def test_curate_corpus_drops_blank_and_null_text(spark):
     assert rows[2]["drop_reason"] == "low_quality"
     assert rows[4]["drop_reason"] == "low_quality"
     assert not any(rows[d]["kept"] for d in (2, 3, 4))
+
+
+def test_pii_redact_transforms_and_counts(spark):
+    """Redaction replaces every scan hit, counts match the scan, and
+    clean text passes through byte-identical."""
+    rows = [
+        (1, "mail me at a.b+c@ex-ample.org or visit https://x.io/p?q=1 ref 12345678"),
+        (2, "totally clean prose with short 123 numbers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.pii_redact(df).collect()}
+    assert out[1]["n_redactions"] == 3
+    assert "<EMAIL>" in out[1]["text_redacted"]
+    assert "<URL>" in out[1]["text_redacted"]
+    assert "<NUM>" in out[1]["text_redacted"]
+    assert "a.b+c@" not in out[1]["text_redacted"]
+    assert out[2]["n_redactions"] == 0
+    assert out[2]["text_redacted"] == rows[1][1]
+    assert out[2]["chars_removed"] == 0
+    scan = {r["doc_id"]: r for r in curation.pii_scan(df).collect()}
+    assert out[1]["n_redactions"] == (
+        scan[1]["n_emails"] + scan[1]["n_urls"] + scan[1]["n_long_digit_runs"]
+    )
