@@ -226,6 +226,35 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Render named telemetry-library queries through the cached serving
+    layer (serving.QueryServer) against the lakehouse's silver/dim/gold
+    tables — the dashboard's data path without the dashboard."""
+    from .queries import telemetry
+    from .serving import QueryServer
+
+    spark, lake = _spark_and_lake(args)
+    fact = lake.read("silver.fact_telemetry_event")
+    topo = lake.read("dim_facility_topology") if lake.exists("dim_facility_topology") else None
+    profile = lake.read("dim_course_profile") if lake.exists("dim_course_profile") else None
+    sections = (
+        lake.read("dim_sections_per_hole") if lake.exists("dim_sections_per_hole") else None
+    )
+    telemetry.register_views(spark, fact, topo, profile, sections, build_gold=True)
+    srv = QueryServer(spark, ttl_seconds=args.ttl)
+    names = args.names or sorted(telemetry.TELEMETRY_QUERIES)
+    for name in names:
+        if name not in telemetry.TELEMETRY_QUERIES:
+            print(f"skipping {name!r}: parameterized or unknown", file=sys.stderr)
+            continue
+        frame = srv.execute(name)
+        print(f"== {name} ({len(frame)} rows)")
+        print(frame.head(args.rows).to_string(index=False))
+    s = srv.stats
+    print(f"# cache: {s.hits} hits / {s.misses} misses / ttl {args.ttl}s")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tagmarshal_data_lakehouse_spark")
     p.add_argument(
@@ -294,6 +323,15 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--out", required=True, help="output root for curated_corpus/ and curation_audit/")
     cu.add_argument("--min-quality", type=float, default=50.0)
     cu.set_defaults(fn=cmd_curate)
+
+    sv = sub.add_parser(
+        "serve",
+        help="run telemetry-library queries through the cached serving layer",
+    )
+    sv.add_argument("names", nargs="*", help="fixed query names (default: all)")
+    sv.add_argument("--ttl", type=float, default=300.0, help="cache TTL seconds")
+    sv.add_argument("--rows", type=int, default=20, help="rows to print per query")
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

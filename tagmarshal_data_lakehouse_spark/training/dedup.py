@@ -459,6 +459,7 @@ def tf_cosine_pairs(
     text_col: str = "text",
     threshold: float = 0.3,
     max_doc_freq: int = 100,
+    max_doc_frac: float | None = None,
 ) -> DataFrame:
     """Sparse LEXICAL cosine similarity: term-frequency vectors over the
     df-capped vocabulary, pair similarity via an inverted-index join.
@@ -483,9 +484,22 @@ def tf_cosine_pairs(
     every row carries `n_dropped_terms` / `suppressed_pairs_est` audit
     scalars, mirroring the n-gram path.
 
+    `max_doc_frac` is the scale-robust form of the cap: an ABSOLUTE
+    count does not survive corpus growth — double the corpus and every
+    term's df doubles while the cap stands still, until the whole
+    vocabulary is over-cap and every cosine collapses (observed
+    empirically in tools/scale_probe.py: 4x amplification under a fixed
+    cap emptied the kept vocabulary and output 0 pairs). With a
+    fraction, the threshold is max(max_doc_freq, max_doc_frac·N),
+    derived IN THE PLAN from a one-row corpus count (broadcast — no
+    driver action), so the same parameters mean the same thing at any
+    corpus size. The absolute `max_doc_freq` then acts as a small-corpus
+    floor.
+
     Columns: id_a, id_b, dot, cosine (round 6), n_dropped_terms,
     suppressed_pairs_est. Pairs with no kept term in common never appear
-    (their cosine is 0 by definition).
+    (their cosine is 0 by definition; documents whose kept vocabulary is
+    empty have no postings and likewise never pair).
     """
     from .text import tokens
 
@@ -507,7 +521,16 @@ def tf_cosine_pairs(
         .select(F.col(id_col), F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
     )
     term_df = postings.groupBy("term").agg(F.count("*").alias("term_df"))
-    overcap = term_df.filter(F.col("term_df") > max_doc_freq)
+    if max_doc_frac is not None:
+        # threshold = max(floor, frac·N), derived in-plan: the one-row
+        # doc count broadcasts onto the (term, df) aggregate.
+        n_docs = toked.agg(F.count(F.lit(1)).alias("_n_docs"))
+        cap = F.greatest(F.lit(int(max_doc_freq)), (F.lit(float(max_doc_frac)) * F.col("_n_docs")).cast("bigint"))
+        overcap = (
+            term_df.crossJoin(F.broadcast(n_docs)).filter(F.col("term_df") > cap).drop("_n_docs")
+        )
+    else:
+        overcap = term_df.filter(F.col("term_df") > max_doc_freq)
     audit = overcap.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dropped_terms"),
         F.coalesce(

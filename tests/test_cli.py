@@ -105,3 +105,24 @@ def test_cli_curate_writes_corpus_and_audit(spark, tmp_path, capsys):
     assert set(corpus.select("split").distinct().toPandas()["split"]) <= {
         "train", "val", "test",
     }
+
+
+def test_cli_serve_runs_cached_queries(spark, tmp_path, capsys):
+    raw = tmp_path / "raw.json"
+    fixtures_gen.write_plain_json(str(raw))
+    wh = str(tmp_path / "wh")
+    base = ["--warehouse", wh, "--bronze-root", str(tmp_path / "bronze")]
+    assert main(base + [
+        "bronze-upload", "--course-id", "americanfalls",
+        "--path", str(raw), "--ingest-date", "2024-01-16",
+    ]) == 0
+    assert main(base + [
+        "silver", "--course-id", "americanfalls", "--ingest-date", "2024-01-16",
+    ]) == 0
+    assert main(base + ["topology"]) == 0
+    capsys.readouterr()
+    # same query twice in one invocation list -> the second is a cache hit
+    assert main(base + ["serve", "global_overview", "global_overview"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("== global_overview") == 2
+    assert "1 hits / 1 misses" in out

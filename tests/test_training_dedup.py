@@ -290,3 +290,63 @@ def test_tf_cosine_cap_prunes_stopword_terms(spark):
     # 3-term vs 3-term unit-tf vectors sharing 2 kept terms: 2/3
     assert abs(row["cosine"] - round(2 / 3, 6)) < 1e-9
     assert row["n_dropped_terms"] == 1  # only 'the' is over-cap
+
+
+def test_tf_cosine_fractional_cap_survives_corpus_growth(spark):
+    """The scale contract of max_doc_frac: amplifying the corpus AxN
+    must not empty the kept vocabulary (the absolute cap's failure mode
+    — every term's df grows with the corpus while the cap stands still).
+    Pairs found at 1x must still be found, with identical cosine, at 4x."""
+    rows = [
+        (i, f"shared vocabulary theme alpha beta pair{i // 2} unique{i}")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    amplified = docs
+    for rep in range(1, 4):
+        amplified = amplified.unionByName(
+            spark.createDataFrame(
+                [(i + 100 * rep, t.replace(f"pair{i // 2}", f"pair{i // 2}r{rep}") + f" rep{rep}")
+                 for i, t in rows],
+                "doc_id long, text string",
+            )
+        )
+
+    def pairs(df):
+        return {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in dedup.tf_cosine_pairs(
+                df, threshold=0.1, max_doc_freq=2, max_doc_frac=0.5
+            ).collect()
+        }
+
+    base = pairs(docs)          # cap = max(2, 0.5*10) = 5: 'shared...' kept (df 10? no - dropped), uniques kept
+    grown = pairs(amplified)    # cap = max(2, 0.5*40) = 20 scales with N
+    assert base, "fixture must produce pairs at 1x"
+    assert grown, "fractional cap emptied the vocabulary under growth"
+    # every 1x pair survives amplification with the same score: the
+    # within-replica-0 pair set is invariant because df/N is invariant
+    for k, v in base.items():
+        assert k in grown and abs(grown[k] - v) < 1e-9, k
+
+
+def test_tf_cosine_absolute_cap_collapses_under_growth(spark):
+    """Document the failure mode the fractional cap exists for: the SAME
+    absolute cap that finds pairs at 1x finds nothing after 4x
+    amplification (kept vocabulary empties)."""
+    rows = [
+        (i, f"shared vocabulary theme alpha beta gamma delta epsilon") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    amplified = docs
+    for rep in range(1, 4):
+        amplified = amplified.unionByName(
+            spark.createDataFrame(
+                [(i + 100 * rep, t) for i, t in rows], "doc_id long, text string"
+            )
+        )
+    cap = 20  # above 1x df (10), below 4x df (40)
+    at_1x = dedup.tf_cosine_pairs(docs, threshold=0.1, max_doc_freq=cap).count()
+    at_4x = dedup.tf_cosine_pairs(amplified, threshold=0.1, max_doc_freq=cap).count()
+    assert at_1x > 0
+    assert at_4x == 0  # the documented collapse

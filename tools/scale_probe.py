@@ -1,0 +1,157 @@
+"""Empirical scaling probe: how does each flagship operator's wall-clock
+grow when the input grows AxN?
+
+The plan contracts (tests/test_plan_quality.py) pin the *shape* of every
+scale claim (no cartesian products, bounded shuffles, broadcast dims);
+this tool measures the *consequence*: near-linear wall-clock growth
+under data amplification. Inputs are the driver's own testdata tables,
+amplified by unioning shifted copies (ids offset per replica; document
+text perturbed per replica so content stays unique and dedup operators
+do real work — a pure copy would collapse to the 1x distinct set).
+
+Run:  PYTHONPATH=/root/repo python tools/scale_probe.py [sf_dir] [reps...]
+Prints one JSON line per (operator, amplification) and a fitted scaling
+exponent per operator (t ~ N^p: p=1 linear, p=2 quadratic). local[32]
+numbers are noisy below ~1s — treat exponents as a smoke signal, not a
+benchmark; the per-operator guard is the exponent staying well under 2.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def amplify_docs(spark, sf_dir: str, reps: int):
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = base.count()
+    # perturbation token is unique PER ROW (df=1): a per-replica marker
+    # (df = N/reps) crosses any fractional df cap as reps grows and
+    # glues unrelated same-replica docs together, polluting similarity
+    # measurements with artifact pairs (observed: 195M pairs at 16x)
+    parts = [
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * n)).withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" rv"), F.col("doc_id").cast("string"))
+            if i
+            else F.col("text"),
+        )
+        for i in range(reps)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def amplify_events(spark, sf_dir: str, reps: int):
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = 10_000
+    parts = [
+        base.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000)).withColumn(
+            "user_id", F.col("user_id") + F.lit(i * n_users)
+        )
+        for i in range(reps)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps_list = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .appName("scale-probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tagmarshal_data_lakehouse_spark.training import dedup, sampling, text
+
+    def sessionize(ev):
+        from tagmarshal_data_lakehouse_spark.queries.events_ops import SPARK_HOUR_BUCKET  # noqa: F401
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        secs = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP_NTZ))")
+        gap = secs - F.lag(secs).over(w)
+        new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        return (
+            ev.withColumn("session_id", sid)
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    operators = {
+        "exact_dedup": lambda docs, ev: dedup.exact_duplicates(docs),
+        "minhash_lsh": lambda docs, ev: dedup.minhash_near_duplicates(docs),
+        # fractional df cap: the absolute form empties the vocabulary
+        # under amplification (every term's df grows with the corpus
+        # while a fixed cap stands still) — measured here first
+        "tf_cosine": lambda docs, ev: dedup.tf_cosine_pairs(
+            docs, max_doc_freq=50, max_doc_frac=0.08
+        ),
+        "token_quality": lambda docs, ev: text.quality_features(docs),
+        "epoch_shuffle": lambda docs, ev: sampling.epoch_shuffle(docs),
+        "sessionize": lambda docs, ev: sessionize(ev),
+        "hourly_agg": lambda docs, ev: ev.groupBy(
+            F.expr("MAKE_TIMESTAMP_NTZ(YEAR(ts), MONTH(ts), DAY(ts), HOUR(ts), 0, 0)")
+        ).agg(F.count(F.lit(1)).alias("n")),
+    }
+
+    results: dict[str, list[tuple[int, float]]] = {k: [] for k in operators}
+    for reps in reps_list:
+        docs = amplify_docs(spark, sf_dir, reps).persist()
+        ev = amplify_events(spark, sf_dir, reps).persist()
+        n_docs, n_ev = docs.count(), ev.count()  # materialize the amplified inputs
+        for name, op in operators.items():
+            t0 = time.monotonic()
+            cnt = op(docs, ev).count()
+            dt = round(time.monotonic() - t0, 3)
+            results[name].append((reps, dt))
+            print(
+                json.dumps(
+                    {
+                        "op": name,
+                        "reps": reps,
+                        "rows_docs": n_docs,
+                        "rows_events": n_ev,
+                        "out_rows": cnt,
+                        "sec": dt,
+                    }
+                ),
+                flush=True,
+            )
+        docs.unpersist()
+        ev.unpersist()
+
+    summary = {}
+    for name, pts in results.items():
+        if len(pts) >= 2:
+            (r0, t0), (r1, t1) = pts[0], pts[-1]
+            p = math.log(max(t1, 1e-3) / max(t0, 1e-3)) / math.log(r1 / r0)
+            summary[name] = round(p, 2)
+    print(json.dumps({"scaling_exponents": summary, "ideal": 1.0, "sf_dir": sf_dir}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
