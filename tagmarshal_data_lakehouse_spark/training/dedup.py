@@ -384,6 +384,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     max_doc_freq: int = 100,
+    max_doc_frac: float | None = None,
 ) -> DataFrame:
     """Token n-gram Jaccard similarity for ALL pairs sharing >=1 n-gram.
 
@@ -406,6 +407,13 @@ def ngram_jaccard_pairs(
     `suppressed_pairs_est` (sum of gram_df-choose-2 — the self-join rows
     the cap suppressed), so a capped run cannot read as exhaustive; the
     per-gram breakdown is `ngram_dropped_gram_metrics` (same parameters).
+
+    `max_doc_frac` is the scale-robust cap form (see tf_cosine_pairs and
+    SCALE.md): an absolute count stands still while every gram's df
+    grows with the corpus, eventually dropping the whole gram vocabulary
+    and silently zeroing the output. With a fraction the threshold is
+    max(max_doc_freq, max_doc_frac·N), derived in-plan from a broadcast
+    one-row corpus count — same parameters, same meaning, any size.
     """
     grams = with_token_grams(ensure_parallelism(df), text_col=text_col, n=n, out="grams").select(
         F.col(id_col), "grams"
@@ -416,7 +424,17 @@ def ngram_jaccard_pairs(
     # by >max_doc_freq docs), so it broadcasts; the anti-join stays
     # shuffle-free on the big side.
     gram_df = inv.groupBy("gram").agg(F.count("*").alias("gram_df"))
-    overcap = gram_df.filter(F.col("gram_df") > max_doc_freq)
+    if max_doc_frac is not None:
+        n_docs = grams.agg(F.count(F.lit(1)).alias("_n_docs"))
+        cap = F.greatest(
+            F.lit(int(max_doc_freq)),
+            (F.lit(float(max_doc_frac)) * F.col("_n_docs")).cast("bigint"),
+        )
+        overcap = (
+            gram_df.crossJoin(F.broadcast(n_docs)).filter(F.col("gram_df") > cap).drop("_n_docs")
+        )
+    else:
+        overcap = gram_df.filter(F.col("gram_df") > max_doc_freq)
     # One-row audit over the SAME gram-df aggregate (Catalyst's
     # ReuseExchange dedupes the shuffle) — broadcast-cross-joined onto
     # every pair row below.

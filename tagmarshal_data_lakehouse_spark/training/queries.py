@@ -246,6 +246,41 @@ q_doc_tf_cosine_pairs = Query(
     "bit-reproducible.",
 )
 
+q_doc_corpus_keywords = Query(
+    name="doc_corpus_keywords",
+    build=lambda spark, sf_dir: text.corpus_keywords(_docs(spark, sf_dir), top_k=100),
+    # Same expression SHAPE both sides: tf · (N / df) — parenthesization
+    # is part of the bit-identity contract (a·(b/c) != (a·b)/c in
+    # floating point).
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS tokens FROM documents
+        ), postings AS (
+            SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks
+        ), occurrences AS (
+            SELECT unnest(tokens) AS term FROM toks
+        ), n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks
+        ), stats AS (
+            SELECT d.term, d.term_df, o.tf_total
+            FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS term_df
+                  FROM postings GROUP BY term) d
+            JOIN (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf_total
+                  FROM occurrences GROUP BY term) o USING (term)
+            WHERE d.term_df >= 2
+        )
+        SELECT term, term_df, tf_total,
+               ROUND(CAST(tf_total AS DOUBLE)
+                     * (CAST(n_docs AS DOUBLE) / CAST(term_df AS DOUBLE)), 6) AS score
+        FROM stats CROSS JOIN n
+        ORDER BY score DESC, term
+        LIMIT 100
+    """,
+    doc="Corpus keyword extraction: linear-idf score tf_total·(N/df) "
+    "(log-free by design — log is not correctly-rounded and flips ranks "
+    "between engines); one term-keyed aggregation + top-k.",
+)
+
 q_doc_minhash_near_dups = Query(
     name="doc_minhash_near_dups",
     build=lambda spark, sf_dir: dedup.minhash_near_duplicates(
@@ -1467,6 +1502,7 @@ QUERIES = [
     q_doc_lang_id,
     q_doc_ngram_jaccard,
     q_doc_tf_cosine_pairs,
+    q_doc_corpus_keywords,
     q_doc_minhash_near_dups,
     q_doc_simhash_near_dups,
     q_emb_label_stats,

@@ -238,3 +238,52 @@ def source_drift(
             ).alias("drift_l1"),
         )
     )
+
+
+def corpus_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-level keyword extraction: terms ranked by a linear-idf
+    score tf_total · (N / df) — high total usage concentrated in few
+    documents.
+
+    Linear idf (N/df) instead of the textbook log(N/df) is a
+    deliberate exactness trade: log is not a correctly-rounded IEEE op,
+    so two engines can disagree in the last ulp and flip adjacent ranks;
+    N/df keeps every input integer and the score one multiply + one
+    divide over exact values — bit-identical ranking everywhere. The
+    rarest terms are tempered by `min_df` (hapax noise never ranks).
+
+    Scale shape: one explode + one (term) aggregation — map-side
+    combined, shuffle carries one row per distinct term; top-k is
+    TakeOrderedAndProject (never a global sort of the vocabulary).
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    postings = toks.select(
+        F.col(id_col), F.explode(F.array_distinct("toks")).alias("term")
+    )
+    occurrences = toks.select(F.explode("toks").alias("term"))
+    # one-row corpus count, broadcast into the plan (no driver action)
+    n_docs = toks.agg(F.count(F.lit(1)).cast("bigint").alias("_n_docs"))
+    term_df = postings.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("term_df"))
+    tf_total = occurrences.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf_total")
+    )
+    score = F.round(
+        F.col("tf_total").cast("double")
+        * (F.col("_n_docs").cast("double") / F.col("term_df").cast("double")),
+        6,
+    )
+    return (
+        term_df.join(tf_total, "term")
+        .filter(F.col("term_df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .drop("_n_docs")
+        .orderBy(F.col("score").desc(), F.col("term"))
+        .limit(top_k)
+    )

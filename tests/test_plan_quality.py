@@ -401,3 +401,72 @@ def test_exact_dedup_prunes_text_below_window(spark, sf_smoke, reg):
     import re
     exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)[^\n]*", plan)
     assert exchanges and all("text" not in e for e in exchanges)
+
+
+# -- scale_lint: the automated would-this-survive-100x plan audit --------
+
+
+def test_scale_lint_flags_synthetic_hazards(spark):
+    from pyspark.sql.window import Window
+
+    a = spark.range(1000).select(F.col("id").alias("x"), (F.col("id") % 7).alias("g"))
+    b = spark.range(1000).select(F.col("id").alias("y"))
+    # raw-input global window: one task swallows the corpus
+    rn = a.withColumn("rn", F.row_number().over(Window.orderBy("x")))
+    assert [f["rule"] for f in plans.scale_lint(rn)] == ["single_partition_window"]
+    # non-equi join lowers to a nested loop
+    assert "nested_loop_join" in {f["rule"] for f in plans.scale_lint(a.join(b, a.x < b.y))}
+    # row-at-a-time Python UDF
+    ud = F.udf(lambda v: v + 1, "long")
+    assert "python_row_udf" in {f["rule"] for f in plans.scale_lint(a.select(ud("x")))}
+
+
+def test_scale_lint_exempts_bounded_idioms(spark):
+    from pyspark.sql.window import Window
+
+    a = spark.range(1000).select(F.col("id").alias("x"), (F.col("id") % 7).alias("g"))
+    # window over an aggregate: frame is bounded by group cardinality
+    agg = a.groupBy("g").agg(F.sum("x").alias("s"))
+    assert plans.scale_lint(agg.withColumn("rt", F.sum("s").over(Window.orderBy("g")))) == []
+    # partitioned window: parallel
+    assert (
+        plans.scale_lint(a.withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("x"))))
+        == []
+    )
+    # the one-row audit-scalar broadcast cross join (ngram/tf_cosine idiom)
+    audit = a.agg(F.count(F.lit(1)).alias("n"))
+    assert plans.scale_lint(a.crossJoin(F.broadcast(audit))) == []
+    # global ORDER BY ... LIMIT lowers to TakeOrderedAndProject
+    assert plans.scale_lint(a.orderBy("x").limit(5)) == []
+
+
+# Queries whose lint findings are DESIGN, not defect — each pinned by its
+# own plan-contract test above: the broadcast range join IS a BNLJ by
+# contract; the exact cosine baseline is the guarded quadratic sibling
+# of three ANN paths; PQ's ADC build broadcasts codebook tables.
+_LINT_ALLOWLIST = {
+    "join_range_broadcast": {"nested_loop_join"},
+    "emb_cosine_near_dups": {"nested_loop_join"},
+    "emb_cosine_topk": {"nested_loop_join"},
+    "emb_pq_topk": {"nested_loop_join"},
+    "emb_ivfpq_topk": {"nested_loop_join"},
+}
+
+
+def test_registry_is_scale_lint_clean(spark, sf_smoke, reg):
+    """Every registry query's plan passes the automated scale audit,
+    modulo the documented intentional designs — a standing gate so a
+    future query with a cartesian, a raw-input global window, or a row
+    UDF cannot land silently."""
+    problems = {}
+    for name, q in reg.items():
+        try:
+            findings = plans.scale_lint(q.build(spark, sf_smoke))
+        except Exception as exc:  # noqa: BLE001 — surface as a failure row
+            problems[name] = [f"build-error: {exc}"[:120]]
+            continue
+        rules = {f["rule"] for f in findings}
+        unexpected = rules - _LINT_ALLOWLIST.get(name, set())
+        if unexpected:
+            problems[name] = sorted(unexpected)
+    assert not problems, problems

@@ -86,3 +86,22 @@ def test_one_scan_per_table(spark, built):
     sql, ordered = quality._compile_table_sql("fact_telemetry_event", checks)
     assert sql.count("FROM fact_telemetry_event") == 1
     assert len(ordered) == len(checks)
+
+
+def test_corpus_keywords_concentration_beats_dispersion(spark):
+    """A term heavily used in few docs must outrank an equally-frequent
+    term spread across all docs; hapax terms never rank."""
+    from tagmarshal_data_lakehouse_spark.training.text import corpus_keywords
+
+    rows = []
+    for i in range(10):
+        common = "filler alpha beta"          # df=10
+        rows.append((i, f"{common} {'quantum ' * 5}" if i < 2 else f"{common} plain words here"))
+    rows.append((99, "hapaxword only once"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus_keywords(docs, top_k=10, min_df=2).collect()
+    scores = {r["term"]: (r["score"], r["term_df"], r["tf_total"]) for r in out}
+    assert "hapaxword" not in scores
+    # quantum: tf=10, df=2, N=11 -> 10*(11/2)=55; filler: tf=10, df=10 -> 11
+    assert scores["quantum"][0] > scores["filler"][0]
+    assert out[0]["term"] == "quantum"

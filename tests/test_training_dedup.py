@@ -350,3 +350,37 @@ def test_tf_cosine_absolute_cap_collapses_under_growth(spark):
     at_4x = dedup.tf_cosine_pairs(amplified, threshold=0.1, max_doc_freq=cap).count()
     assert at_1x > 0
     assert at_4x == 0  # the documented collapse
+
+
+def test_ngram_fractional_cap_scales_with_corpus(spark):
+    """Same scale contract as tf_cosine's fractional cap, on the n-gram
+    path: pairs found at 1x survive 4x amplification with identical
+    jaccard under max_doc_frac, where the absolute cap would drop them."""
+    rows = [(2 * k, f"alpha beta gamma delta pair{k} one two three")
+            for k in range(5)]
+    rows += [(2 * k + 1, f"alpha beta gamma delta pair{k} one two four")
+             for k in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    amplified = docs
+    for rep in range(1, 4):
+        amplified = amplified.unionByName(
+            spark.createDataFrame(
+                [(i + 100 * rep, t.replace(f"pair{i % 10 // 2}", f"p{i % 10 // 2}r{rep}"))
+                 for i, t in rows],
+                "doc_id long, text string",
+            )
+        )
+
+    def pairs(df):
+        return {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                df, n=2, threshold=0.1, max_doc_freq=2, max_doc_frac=0.45
+            ).collect()
+        }
+
+    base = pairs(docs)
+    grown = pairs(amplified)
+    assert base, "fixture must pair at 1x"
+    for k, v in base.items():
+        assert k in grown and abs(grown[k] - v) < 1e-9, k
