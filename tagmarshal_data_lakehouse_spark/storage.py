@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,12 +43,39 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Snapshot-copy a table directory: parquet data files HARDLINK
+    (write-once — a later dynamic-partition overwrite unlinks them from
+    the live dir but never mutates the inode), while metadata files
+    (`_engine_schema.json`, `_SUCCESS`, …) are COPIED — `_save_schema`
+    rewrites its file IN PLACE, and a hardlinked copy would silently
+    follow every future schema change instead of freezing this one."""
+    for walk_root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(walk_root, src)
+        out_dir = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out_dir, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(walk_root, f), os.path.join(out_dir, f)
+            if f.startswith(("_", ".")):
+                shutil.copy2(s, d)
+            else:
+                os.link(s, d)
+
+
 class Lakehouse:
     """A warehouse root holding named partitioned Parquet tables."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, versioned: bool = False):
         self.spark = spark
         self.root = root
+        # Opt-in snapshot versioning (the Iceberg/Delta time-travel role
+        # the reference gets from its Iceberg catalog): every mutating
+        # operation first hardlinks the current table state into
+        # .snapshots/<table>/v{N} — O(files) metadata work, zero data
+        # copied, and parquet files are immutable once written so the
+        # links stay valid through appends, dynamic partition overwrites
+        # and shadow swaps alike. See read_version/history/restore.
+        self.versioned = versioned
         os.makedirs(root, exist_ok=True)
 
     def path(self, table: str) -> str:
@@ -85,6 +113,86 @@ class Lakehouse:
                 )
         with open(self._schema_file(table), "w") as fh:
             fh.write(new.json())
+
+    # -- snapshot versioning (time travel) ---------------------------------
+
+    def _snap_root(self, table: str) -> str:
+        return os.path.join(self.root, ".snapshots", table.replace(".", "/"))
+
+    def _snap_log_file(self, table: str) -> str:
+        return os.path.join(self._snap_root(table), "_log.json")
+
+    def _snap_log(self, table: str) -> list[dict]:
+        p = self._snap_log_file(table)
+        if os.path.isfile(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return []
+
+    def _snapshot(self, table: str, op: str) -> int | None:
+        """Record the CURRENT table state as the next version (hardlink
+        copy — no row data moves; parquet files are write-once so links
+        survive every later mutation). No-op when versioning is off or
+        the table does not exist yet."""
+        if not self.versioned or not self.exists(table):
+            return None
+        log = self._snap_log(table)
+        v = (log[-1]["version"] + 1) if log else 1
+        src, dst = self.path(table), os.path.join(self._snap_root(table), f"v{v}")
+        _link_tree(src, dst)
+        log.append({"version": v, "ts": time.time(), "op": op})
+        with open(self._snap_log_file(table), "w") as fh:
+            json.dump(log, fh)
+        return v
+
+    def history(self, table: str) -> DataFrame:
+        """Version history: one row per retained snapshot plus the live
+        state (version = last snapshot + 1, op = 'current')."""
+        log = list(self._snap_log(table))
+        snap_root = self._snap_root(table)
+        retained = {
+            int(d[1:]) for d in (os.listdir(snap_root) if os.path.isdir(snap_root) else [])
+            if d.startswith("v")
+        }
+        rows = [
+            (int(e["version"]), float(e["ts"]), str(e["op"]), e["version"] in retained)
+            for e in log
+        ]
+        rows.append(((log[-1]["version"] + 1) if log else 1, time.time(), "current", True))
+        return self.spark.createDataFrame(
+            rows, "version int, ts double, op string, readable boolean"
+        )
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time travel: the table exactly as it was when snapshot
+        `version` was taken (version N = the state that mutation N
+        replaced). The snapshot carries its own _engine_schema.json, so
+        schema evolution is travelled too."""
+        snap = os.path.join(self._snap_root(table), f"v{version}")
+        if not os.path.isdir(snap):
+            raise FileNotFoundError(
+                f"no snapshot v{version} for {table!r} (vacuumed or never taken)"
+            )
+        schema_file = os.path.join(snap, "_engine_schema.json")
+        reader = self.spark.read
+        if os.path.isfile(schema_file):
+            with open(schema_file) as fh:
+                reader = reader.schema(T.StructType.fromJson(json.load(fh)))
+        return reader.parquet(snap)
+
+    def restore(self, table: str, version: int) -> None:
+        """Roll the live table back to snapshot `version`. The
+        pre-restore state is itself snapshotted first, so a restore is
+        never destructive and can be restored FROM."""
+        snap = os.path.join(self._snap_root(table), f"v{version}")
+        if not os.path.isdir(snap):
+            raise FileNotFoundError(f"no snapshot v{version} for {table!r}")
+        self._snapshot(table, f"pre-restore(v{version})")
+        shadow = table + "__tmp"
+        shadow_path = self.path(shadow)
+        shutil.rmtree(shadow_path, ignore_errors=True)
+        _link_tree(snap, shadow_path)
+        self._swap_in(table, shadow)
 
     # -- reads ------------------------------------------------------------
 
@@ -125,6 +233,7 @@ class Lakehouse:
         partition_by: list[str],
         mode: str = "append",
     ) -> None:
+        self._snapshot(table, f"write_partitioned({mode})")
         (
             df.write.mode(mode)
             .partitionBy(*partition_by)
@@ -143,6 +252,7 @@ class Lakehouse:
         if not self.exists(table):
             self.write_partitioned(table, df, partition_by, mode="overwrite")
             return
+        self._snapshot(table, "replace_partitions")
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -153,6 +263,7 @@ class Lakehouse:
 
     def overwrite(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Drop-and-recreate (reference S15, generate_sections_per_hole.py:112-118)."""
+        self._snapshot(table, "overwrite")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -180,6 +291,7 @@ class Lakehouse:
         if not self.exists(table):
             self.overwrite(table, updates, partition_by)
             return
+        self._snapshot(table, "merge_upsert")
         existing = self.read(table)
         updates = self.align_to_schema(updates, existing.schema)
         merged = (
@@ -265,6 +377,7 @@ class Lakehouse:
         """
         if sort_cols and zorder_by:
             raise ValueError("pass sort_cols or zorder_by, not both")
+        self._snapshot(table, "compact")
         df = self.read(table)
         files = self.table_data_files(table)
         if partition_by is None:
@@ -294,7 +407,7 @@ class Lakehouse:
         self._swap_in(table, shadow)
         return len(self.table_data_files(table))
 
-    def vacuum(self, quarantine_keep: int = 10) -> list[str]:
+    def vacuum(self, quarantine_keep: int = 10, snapshot_keep: int = 5) -> list[str]:
         """Reclaim storage from interrupted operations and old runs.
 
         - `*__tmp` / `*__old` directories are leftovers of a
@@ -303,18 +416,34 @@ class Lakehouse:
           always safe to drop;
         - quarantine run tables beyond the newest `quarantine_keep`
           (run-id sorted) are pruned, bounding the quarantine footprint
-          the way Iceberg's snapshot expiry bounds metadata.
+          the way Iceberg's snapshot expiry bounds metadata;
+        - time-travel snapshots beyond the newest `snapshot_keep` per
+          table are expired (the Iceberg expire_snapshots role): the
+          hardlink dirs go, the log stays, so `history` keeps the full
+          audit trail with `readable=false` on expired versions.
 
         Returns the removed paths (driver-side metadata op: O(dirs),
         never touches row data).
         """
         removed: list[str] = []
+        snap_base = os.path.join(self.root, ".snapshots")
         for root, dirs, _files in os.walk(self.root, topdown=True):
             for d in list(dirs):
                 if d.endswith(("__tmp", "__old")):
                     p = os.path.join(root, d)
                     shutil.rmtree(p, ignore_errors=True)
                     dirs.remove(d)
+                    removed.append(p)
+        if os.path.isdir(snap_base):
+            for root, dirs, files in os.walk(snap_base):
+                if "_log.json" not in files:
+                    continue
+                versions = sorted(
+                    (int(d[1:]) for d in dirs if d.startswith("v")), reverse=True
+                )
+                for v in versions[snapshot_keep:] if snapshot_keep else versions:
+                    p = os.path.join(root, f"v{v}")
+                    shutil.rmtree(p, ignore_errors=True)
                     removed.append(p)
         qdir = os.path.join(self.root, "quarantine")
         if os.path.isdir(qdir):
