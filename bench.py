@@ -54,6 +54,11 @@ HEADLINE = [
     "tpch_q18",
     # mergeable-sketch rollup: the pre-aggregated distinct-count scale path
     "events_hll_rollup",
+    # round-4 additions: sparse lexical similarity (fractional-df-capped
+    # inverted index), keyword extraction, weighted sampling
+    "doc_tf_cosine_pairs",
+    "doc_corpus_keywords",
+    "doc_weighted_sample",
 ]
 
 

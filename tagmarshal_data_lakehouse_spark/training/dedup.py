@@ -492,9 +492,10 @@ def tf_cosine_pairs(
     float-accumulated dot product.
 
     Scale shape (the inverted-index discipline of `ngram_jaccard_pairs`):
-    per-document term counts are computed ROW-LOCALLY (array fold — no
-    (doc, term) pre-shuffle), the posting self-join shuffles on the term
-    string, and `max_doc_freq` drops boilerplate/stopword terms BEFORE
+    per-document term counts come from one map-side-combined
+    (doc, term) aggregation (the exchange carries postings, nothing
+    token-grain), the posting self-join shuffles on the term string,
+    and `max_doc_freq` drops boilerplate/stopword terms BEFORE
     the join, bounding the worst per-term pair fan-out at O(cap²). The
     cap doubles as stopword pruning: ubiquitous terms carry no cosine
     signal but dominate join cost. Norms are over the KEPT vocabulary
@@ -522,21 +523,19 @@ def tf_cosine_pairs(
     from .text import tokens
 
     toked = ensure_parallelism(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-    # Row-local TF: distinct terms then a counted filter per term.
-    # O(unique·len) per row, embarrassingly parallel, zero shuffle —
-    # beats an explode + groupBy(doc, term) pre-aggregation, which would
-    # add a full (doc, term) exchange before the term join below.
-    tf_arr = F.transform(
-        F.array_distinct(F.col("toks")),
-        lambda t: F.struct(
-            t.alias("term"),
-            F.size(F.filter(F.col("toks"), lambda x: x == t)).cast("bigint").alias("tf"),
-        ),
-    )
+    # TF via explode + groupBy(doc, term): linear CPU, and the exchange
+    # is POSTINGS-volume, not token-volume — map-side partial
+    # aggregation collapses within-doc repeats before anything moves,
+    # and postings is exactly what the term join below shuffles anyway.
+    # (Measured alternatives: a row-local array fold is O(unique·len)
+    # per doc — 2.5x slower at 50-token docs, unusable at 10k; a sorted
+    # run-length higher-order expression is O(L log L) on paper but
+    # CollapseProject re-inlines the bounds subexpression per element
+    # access, exploding codegen.)
     postings = (
-        toked.withColumn("tf_arr", tf_arr)
-        .select(F.col(id_col), F.explode("tf_arr").alias("e"))
-        .select(F.col(id_col), F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
+        toked.select(F.col(id_col), F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
     term_df = postings.groupBy("term").agg(F.count("*").alias("term_df"))
     if max_doc_frac is not None:

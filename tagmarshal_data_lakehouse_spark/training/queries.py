@@ -197,8 +197,11 @@ q_doc_ngram_jaccard = Query(
 
 q_doc_tf_cosine_pairs = Query(
     name="doc_tf_cosine_pairs",
+    # Fractional df cap (floor 100, 20% of corpus): the absolute form is
+    # scale-degenerate — at sf0.1 a fixed cap of 100 already drops the
+    # ENTIRE vocabulary and returns zero pairs (SCALE.md finding #1).
     build=lambda spark, sf_dir: dedup.tf_cosine_pairs(
-        _docs(spark, sf_dir), threshold=0.3, max_doc_freq=100
+        _docs(spark, sf_dir), threshold=0.3, max_doc_freq=100, max_doc_frac=0.2
     ),
     # Integer TF vectors end-to-end: dot and Σtf² are BIGINT sums, the
     # cosine one correctly-rounded IEEE expression over exact inputs —
@@ -210,16 +213,20 @@ q_doc_tf_cosine_pairs = Query(
             SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
             FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
             GROUP BY doc_id, term
+        ), cap AS (
+            SELECT GREATEST(CAST(100 AS BIGINT),
+                            CAST(FLOOR(0.2 * COUNT(*)) AS BIGINT)) AS cap
+            FROM toks
         ), term_df AS (
             SELECT term, COUNT(*) AS term_df FROM tf GROUP BY term
         ), audit AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped_terms,
                    CAST(COALESCE(SUM(CAST(term_df * (term_df - 1) / 2 AS BIGINT)), 0)
                         AS BIGINT) AS suppressed_pairs_est
-            FROM term_df WHERE term_df > 100
+            FROM term_df CROSS JOIN cap WHERE term_df > cap
         ), kept AS (
             SELECT tf.* FROM tf
-            WHERE term NOT IN (SELECT term FROM term_df WHERE term_df > 100)
+            WHERE term NOT IN (SELECT term FROM term_df CROSS JOIN cap WHERE term_df > cap)
         ), norms AS (
             SELECT doc_id, SUM(tf * tf) AS norm_sq FROM kept GROUP BY doc_id
         ), pairs AS (

@@ -279,10 +279,10 @@ def test_tf_cosine_inverted_index_never_goes_quadratic(spark, sf_smoke, reg):
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan
     strategies = plans.join_strategies(df)
-    # the single permitted nested loop is the broadcast cross join of the
-    # ONE-ROW audit-scalar frame onto the output (same shape as the
-    # n-gram path) — every data-bearing join must be hash-based
-    assert sum("NestedLoop" in s for s in strategies) <= 1, strategies
+    # every nested loop in this plan must be a one-row broadcast (the
+    # audit-scalar and in-plan corpus-count idioms) — scale_lint knows
+    # how to tell those from a data-bearing nested loop
+    assert plans.scale_lint(df) == []
     assert sum(s == "BroadcastHashJoin" for s in strategies) >= 1, strategies
 
 
