@@ -348,6 +348,45 @@ q_emb_label_stats = Query(
     "reproducible across engines and partitionings).",
 )
 
+q_emb_label_centroids = Query(
+    name="emb_label_centroids",
+    # Mean-pool per label, dimension-wise: the embedding-aggregation op
+    # (class centroids / pooled chunk embeddings). Scalar (label, dim)
+    # rows — never an array column, which the driver's pandas
+    # canonicalizer cannot hash (the emb_quantize_int8 lesson).
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.table("embeddings")
+        .select(F.col("label"), F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("x").cast("double").cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid"),
+        ),
+    )[1],
+    oracle="""
+        WITH elems AS (
+            SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings
+            CROSS JOIN unnest(range(1, len(embedding) + 1)) AS t(i)
+        )
+        SELECT label, CAST(dim AS INT) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*), 6)
+                   AS centroid
+        FROM elems
+        GROUP BY label, dim
+    """,
+    doc="Per-label mean-pooled centroids, dimension-wise (decimal-exact "
+    "sums -> one division): the embedding aggregation every "
+    "clustering/classification pipeline needs; single map-side-combined "
+    "(label, dim) aggregation.",
+)
+
 q_emb_cosine_topk = Query(
     name="emb_cosine_topk",
     build=lambda spark, sf_dir: similarity.cosine_topk_exact(
@@ -1513,6 +1552,7 @@ QUERIES = [
     q_doc_minhash_near_dups,
     q_doc_simhash_near_dups,
     q_emb_label_stats,
+    q_emb_label_centroids,
     q_emb_cosine_topk,
     q_emb_cosine_topk_lsh,
     q_emb_cosine_near_dups,

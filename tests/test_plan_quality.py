@@ -470,3 +470,38 @@ def test_registry_is_scale_lint_clean(spark, sf_smoke, reg):
         if unexpected:
             problems[name] = sorted(unexpected)
     assert not problems, problems
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The AUTOMATIC skew path (the manual one is salted_join): with AQE
+    skew handling on, a 90%-one-key join must show the skew split in the
+    FINAL adaptive plan — SortMergeJoin(skew=true) reading skewed-split
+    shuffle output — instead of one straggler task owning the hot key."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            (F.col("id") % 1000).alias("pad"),
+        )
+        right = spark.range(0, 50_000).select(F.col("id").alias("k"), F.lit("r").alias("v"))
+        j = left.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        j.collect()  # the DataFrame's own action finalizes the adaptive plan
+        plan = plans.physical_plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
