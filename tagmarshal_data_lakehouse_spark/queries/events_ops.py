@@ -448,6 +448,90 @@ q_events_approx_topk = Query(
 )
 
 
+def _gapfill_sql(dialect: str) -> str:
+    """Gap-filled hourly series with LOCF + linear interpolation (the
+    TimescaleDB time_bucket_gapfill / locf / interpolate trio). One text
+    per dialect: the series generator, IGNORE NULLS placement, and
+    second-diff function are the only divergences."""
+    if dialect == "spark":
+        bucket = SPARK_HOUR_BUCKET
+        series = "explode(sequence(h0, h1, interval 1 hour))"
+        lv = "LAST_VALUE({e}) IGNORE NULLS"
+        fv = "FIRST_VALUE({e}) IGNORE NULLS"
+        sd = "TIMESTAMPDIFF(SECOND, {a}, {b})"
+    else:
+        bucket = "DATE_TRUNC('hour', ts)"
+        series = "unnest(generate_series(h0, h1, INTERVAL 1 HOUR))"
+        lv = "LAST_VALUE({e} IGNORE NULLS)"
+        fv = "FIRST_VALUE({e} IGNORE NULLS)"
+        sd = "DATE_DIFF('second', {a}, {b})"
+    w_prec = (
+        "OVER (PARTITION BY event_type ORDER BY bucket_hour "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    w_follow = (
+        "OVER (PARTITION BY event_type ORDER BY bucket_hour "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    )
+    prev_val = f"{lv.format(e='total_value')} {w_prec}"
+    prev_hour = f"{lv.format(e='CASE WHEN total_value IS NOT NULL THEN bucket_hour END')} {w_prec}"
+    next_val = f"{fv.format(e='total_value')} {w_follow}"
+    next_hour = f"{fv.format(e='CASE WHEN total_value IS NOT NULL THEN bucket_hour END')} {w_follow}"
+    num = sd.format(a="prev_hour", b="bucket_hour")
+    den = sd.format(a="prev_hour", b="next_hour")
+    return f"""
+WITH hourly AS (
+    SELECT {bucket} AS bucket_hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dsum('value')} AS total_value
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(bucket_hour) AS h0, MAX(bucket_hour) AS h1
+    FROM hourly GROUP BY event_type
+), grid AS (
+    SELECT event_type, {series} AS bucket_hour FROM bounds
+), joined AS (
+    SELECT g.event_type, g.bucket_hour, h.n_events, h.total_value
+    FROM grid g LEFT JOIN hourly h
+      ON h.event_type = g.event_type AND h.bucket_hour = g.bucket_hour
+), carried AS (
+    SELECT event_type, bucket_hour,
+           (n_events IS NULL)            AS is_gap,
+           COALESCE(n_events, 0)         AS n_events,
+           total_value,
+           {prev_val}  AS prev_val,
+           {prev_hour} AS prev_hour,
+           {next_val}  AS next_val,
+           {next_hour} AS next_hour
+    FROM joined
+)
+SELECT event_type, bucket_hour, is_gap, n_events,
+       prev_val AS value_locf,
+       CASE WHEN total_value IS NOT NULL THEN total_value
+            WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+            ELSE ROUND(prev_val + (next_val - prev_val)
+                       * (CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)), 6)
+       END AS value_interp
+FROM carried
+"""
+
+
+q_events_gapfill = Query(
+    name="events_gapfill",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(_gapfill_sql("spark")),
+    )[1],
+    oracle=_gapfill_sql("duckdb"),
+    doc="Gap-filled hourly series per event_type (TimescaleDB "
+    "time_bucket_gapfill role): missing hours materialized from an "
+    "in-plan sequence over each type's [min, max] hour range, "
+    "last-observation-carried-forward, and linear interpolation from "
+    "exact integer second-offsets — one hourly aggregation plus two "
+    "window passes over the (type, hour) grid, never the raw events.",
+)
+
+
 QUERIES = [
     q_events_tumbling_window,
     q_events_sessionize,
@@ -460,4 +544,5 @@ QUERIES = [
     q_events_anomaly_zscore,
     q_events_hll_rollup,
     q_events_approx_topk,
+    q_events_gapfill,
 ]

@@ -124,6 +124,7 @@ _NEW_DEFERRED_TO_NEXT_ROUND = frozenset(
         "doc_pii_redact",  # oracle-green at sf0.001 + sf0.01 (sim)
         "doc_corpus_keywords",  # oracle-green at sf0.001 + sf0.01 (sim)
         "emb_label_centroids",  # oracle-green at sf0.001 + sf0.01 (sim)
+        "events_gapfill",  # oracle-green at sf0.001 + sf0.01 (sim)
     }
 )
 
