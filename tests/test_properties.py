@@ -164,3 +164,75 @@ def test_chunk_windows_invariants(spark, token_counts, max_tokens, stride):
                 range(c["chunk_start_token"], c["chunk_start_token"] + c["n_chunk_tokens"])
             )
         assert covered == set(range(n))
+
+
+def _py_ticket_key(doc_id: int, w: int) -> str:
+    """Reference ticket-lottery key: min md5 over w tickets."""
+    return min(
+        hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest() for i in range(1, w + 1)
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=-5, max_value=100),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=10, deadline=None)
+def test_weighted_sample_matches_pure_python(spark, rows, k):
+    """Spark's ticket-lottery selection must equal the pure-Python
+    reference for arbitrary ids/weights (including clamp cases) — the
+    cross-engine portability the DuckDB oracle relies on."""
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["sample_key"])
+        for r in sampling.weighted_sample_k(df, k=k, weight_col="w", max_weight=16).collect()
+    ]
+    expected = sorted(
+        ((i, _py_ticket_key(i, min(max(w, 1), 16))) for i, w in rows),
+        key=lambda t: (t[1], t[0]),
+    )[:k]
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_tf_cosine_matches_brute_force_random_corpora(spark, token_lists):
+    """TF-cosine over arbitrary tiny corpora equals the brute-force
+    reference (uncapped): every materialized pair shares a term and
+    scores round(dot / (|a||b|), 6)."""
+    import itertools
+    import math
+    from collections import Counter
+
+    from tagmarshal_data_lakehouse_spark.training import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["cosine"])
+        for r in dedup.tf_cosine_pairs(df, threshold=0.0, max_doc_freq=1 << 30).collect()
+    }
+    tf = {i: Counter(toks) for i, toks in enumerate(token_lists)}
+    for a, b in itertools.combinations(sorted(tf), 2):
+        dot = sum(tf[a][t] * tf[b][t] for t in tf[a])
+        if dot == 0:
+            assert (a, b) not in got
+            continue
+        na = math.sqrt(sum(v * v for v in tf[a].values()))
+        nb = math.sqrt(sum(v * v for v in tf[b].values()))
+        assert got[(a, b)][0] == dot
+        assert abs(got[(a, b)][1] - round(dot / (na * nb), 6)) < 1e-9
