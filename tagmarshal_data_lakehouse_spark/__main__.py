@@ -255,6 +255,29 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_snapshots(args) -> int:
+    """Version history of a table (time travel; requires a versioned
+    lakehouse — snapshots exist only if mutations ran with one)."""
+    spark, _ = _spark_and_lake(args)
+    from .storage import Lakehouse
+
+    lake = Lakehouse(spark, args.warehouse, versioned=True)
+    lake.history(args.table).orderBy("version").show(100, truncate=False)
+    return 0
+
+
+def cmd_restore(args) -> int:
+    """Roll a table back to a snapshot version (non-destructive: the
+    pre-restore state is snapshotted first)."""
+    spark, _ = _spark_and_lake(args)
+    from .storage import Lakehouse
+
+    lake = Lakehouse(spark, args.warehouse, versioned=True)
+    lake.restore(args.table, args.version)
+    print(f"restored {args.table} to v{args.version}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tagmarshal_data_lakehouse_spark")
     p.add_argument(
@@ -332,6 +355,15 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--ttl", type=float, default=300.0, help="cache TTL seconds")
     sv.add_argument("--rows", type=int, default=20, help="rows to print per query")
     sv.set_defaults(fn=cmd_serve)
+
+    sn = sub.add_parser("snapshots", help="show a table's time-travel history")
+    sn.add_argument("table")
+    sn.set_defaults(fn=cmd_snapshots)
+
+    rs = sub.add_parser("restore", help="roll a table back to a snapshot version")
+    rs.add_argument("table")
+    rs.add_argument("version", type=int)
+    rs.set_defaults(fn=cmd_restore)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -98,3 +98,19 @@ def test_schema_evolution_travels(spark, lake):
     old = lake.read_version(t, 1)
     assert "extra" not in old.columns  # v1 travels with its own schema
     assert [r["k"] for r in old.collect()] == [1]
+
+
+def test_cli_snapshots_and_restore(spark, tmp_path, capsys):
+    from tagmarshal_data_lakehouse_spark.__main__ import main
+
+    wh = str(tmp_path / "wh")
+    lake = Lakehouse(spark, wh, versioned=True)
+    lake.overwrite("dims/topo", spark.createDataFrame([(1, "a")], "k long, v string"))
+    lake.overwrite("dims/topo", spark.createDataFrame([(1, "b")], "k long, v string"))
+    base = ["--warehouse", wh, "--bronze-root", str(tmp_path / "br")]
+    assert main(base + ["snapshots", "dims/topo"]) == 0
+    out = capsys.readouterr().out
+    assert "overwrite" in out and "current" in out
+    assert main(base + ["restore", "dims/topo", "1"]) == 0
+    assert "restored dims/topo to v1" in capsys.readouterr().out
+    assert [(r["k"], r["v"]) for r in lake.read("dims/topo").collect()] == [(1, "a")]
