@@ -440,6 +440,62 @@ q_emb_cosine_topk_lsh = Query(
     "no cross product).",
 )
 
+q_emb_hard_negatives = Query(
+    name="emb_hard_negatives",
+    build=lambda spark, sf_dir: similarity.hard_negatives_exact(
+        _embs(spark, sf_dir), n_queries=20, k=3
+    ),
+    oracle="""
+        WITH queries AS (
+            SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 20
+        ), pair_elems AS (
+            SELECT q.vec_id AS query_id, q.label AS query_label,
+                   c.vec_id AS candidate_id, c.label AS candidate_label,
+                   unnest(q.embedding) AS qx, unnest(c.embedding) AS cx
+            FROM queries q JOIN embeddings c ON c.label <> q.label
+        ), dots AS (
+            SELECT query_id, query_label, candidate_id, candidate_label,
+                   SUM(CAST(CAST(qx AS DOUBLE) * CAST(cx AS DOUBLE) AS DECIMAL(28,18))) AS dot_dec
+            FROM pair_elems GROUP BY 1, 2, 3, 4
+        ), norm_elems AS (
+            SELECT vec_id, unnest(embedding) AS x FROM embeddings
+        ), norms AS (
+            SELECT vec_id, SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18))) AS norm2
+            FROM norm_elems GROUP BY 1
+        ), scored AS (
+            SELECT query_id, query_label, candidate_id, candidate_label,
+                   ROUND(CAST(dot_dec AS DOUBLE)
+                         / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(cn.norm2 AS DOUBLE))), 6) AS cosine
+            FROM dots
+            JOIN norms qn ON qn.vec_id = query_id
+            JOIN norms cn ON cn.vec_id = candidate_id
+        ), ranked AS (
+            SELECT query_id, query_label, candidate_id, candidate_label, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, candidate_id ASC) AS neg_rank
+            FROM scored
+        )
+        SELECT query_id, query_label, candidate_id, candidate_label, cosine,
+               CAST(neg_rank AS INT) AS neg_rank
+        FROM ranked WHERE neg_rank <= 3
+    """,
+    doc="Hard-negative mining (top-3 most-similar DIFFERENT-label vectors "
+    "per query) — the contrastive-training data op; decimal-exact scoring "
+    "baseline, LSH-bucketed scale variant is emb_hard_negatives_lsh.",
+)
+
+q_emb_hard_negatives_lsh = Query(
+    name="emb_hard_negatives_lsh",
+    build=lambda spark, sf_dir: similarity.hard_negatives_lsh(
+        _embs(spark, sf_dir), n_queries=20, k=3, n_planes=4
+    ),
+    oracle=None,  # approximate by design (bucket recall < 1).
+    doc="Hyperplane-LSH hard-negative mining: bucket candidates row-locally, "
+    "different-label filter before scoring, broadcast query side — the "
+    "100 TB mining path (pytest pins results ⊆ exact different-label "
+    "pairs with identical cosines).",
+)
+
 q_emb_cosine_near_dups = Query(
     name="emb_cosine_near_dups",
     build=lambda spark, sf_dir: similarity.cosine_near_duplicates(
@@ -1555,6 +1611,8 @@ QUERIES = [
     q_emb_label_centroids,
     q_emb_cosine_topk,
     q_emb_cosine_topk_lsh,
+    q_emb_hard_negatives,
+    q_emb_hard_negatives_lsh,
     q_emb_cosine_near_dups,
     q_emb_cosine_near_dups_lsh,
     q_emb_ivf_topk,

@@ -580,3 +580,140 @@ def semantic_dedup(
             (~F.coalesce(F.col("is_dropped"), F.lit(False))).alias("keep"),
         )
     )
+
+
+def hard_negatives_exact(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of the
+    first `n_queries` vectors (by id), the `k` most cosine-similar
+    vectors carrying a DIFFERENT label — the near-boundary negatives
+    that make embedding/reranker training data informative (the
+    in-batch-negatives upgrade every dense-retrieval pipeline mines
+    offline).
+
+    Exact brute-force baseline with the same determinism contract as
+    :func:`cosine_topk_exact` (decimal-exact dots, 6-decimal rounding,
+    candidate-id tie-break) plus the label columns carried through, so
+    an oracle can replay it cell-for-cell.  Same O(|Q|·|C|·d) cost and
+    the same hard query-count cap — the scale path is
+    :func:`hard_negatives_lsh`.
+    """
+    _guard_query_bound(n_queries, MAX_EXACT_QUERIES, "hard_negatives_exact")
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+    queries = vecs.filter(F.col(id_col) < n_queries)
+    q_elem = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.posexplode(vec_col).alias("pos", "qx"),
+    )
+    c_elem = vecs.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(label_col).alias("candidate_label"),
+        F.posexplode(vec_col).alias("pos", "cx"),
+    )
+    prod = (F.col("qx").cast("double") * F.col("cx").cast("double")).cast("decimal(28,18)")
+    dots = (
+        q_elem.join(c_elem, "pos")
+        # different label ⇒ different row; no separate id≠id filter needed
+        .filter(F.col("query_label") != F.col("candidate_label"))
+        .groupBy("query_id", "query_label", "candidate_id", "candidate_label")
+        .agg(F.sum(prod).alias("dot_dec"))
+    )
+    norms = _norms_decimal(embeddings, id_col, vec_col)
+    qn = norms.select(F.col(id_col).alias("query_id"), F.col("norm2_dec").alias("qn2"))
+    cn = norms.select(F.col(id_col).alias("candidate_id"), F.col("norm2_dec").alias("cn2"))
+    scored = (
+        dots.join(qn, "query_id")
+        .join(cn, "candidate_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot_dec").cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id").asc())
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "candidate_id",
+            "candidate_label",
+            "cosine",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+    )
+
+
+def hard_negatives_lsh(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 3,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Approximate hard-negative mining — the 100 TB path.
+
+    Same shape as :func:`cosine_topk_lsh` (hyperplane bucket computed in
+    the scan, tiny query side broadcast so the candidate scan never
+    shuffles, exact double re-score, windowed top-k) with the
+    different-label predicate applied before scoring.  Fewer planes than
+    the plain top-k default: label filtering thins every bucket, so
+    recall needs bigger buckets to hold.
+
+    Approximate by design (a negative whose bucket never collides with
+    the query is unseen) — rows-only in the registry; pytest pins the
+    result ⊆ exact-scored different-label pairs with identical cosines.
+    """
+    _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "hard_negatives_lsh")
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        _bucket_col(vec_col, n_planes).alias("bucket"),
+    )
+    queries = vecs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qvec"),
+        "bucket",
+    )
+    cands = vecs.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(label_col).alias("candidate_label"),
+        F.col(vec_col).alias("cvec"),
+        "bucket",
+    )
+    dot = F.expr(_DOT.format(a="qvec", b="cvec"))
+    qq = F.expr(_DOT.format(a="qvec", b="qvec"))
+    cc = F.expr(_DOT.format(a="cvec", b="cvec"))
+    scored = (
+        cands.join(F.broadcast(queries), "bucket")
+        .filter(F.col("query_label") != F.col("candidate_label"))
+        .withColumn("cosine", F.round(dot / (F.sqrt(qq) * F.sqrt(cc)), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id").asc())
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "candidate_id",
+            "candidate_label",
+            "cosine",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+    )

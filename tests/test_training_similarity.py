@@ -190,3 +190,45 @@ def test_semantic_dedup_invariants(spark):
         for b in kept:
             if a < b and clusters[a] == clusters[b]:
                 assert cos(vecs[a], vecs[b]) < 0.95 + 1e-9
+
+
+@pytest.fixture(scope="module")
+def labeled(planted):
+    """The planted fixture with labels vec_id % 3 — the near-copies
+    (100 of 0, 101 of 1) land on DIFFERENT labels than their sources
+    (0%3=0 vs 100%3=1; 1%3=1 vs 101%3=2), so each source's hardest
+    negative is its planted near-identical copy."""
+    return planted.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+
+
+def test_hard_negatives_exact_semantics(labeled):
+    out = similarity.hard_negatives_exact(labeled, n_queries=5, k=3).collect()
+    by_query = {}
+    for r in out:
+        assert r["query_label"] != r["candidate_label"]
+        assert r["query_label"] == r["query_id"] % 3
+        assert r["candidate_label"] == r["candidate_id"] % 3
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == {0, 1, 2, 3, 4}
+    for rows in by_query.values():
+        assert sorted(r["neg_rank"] for r in rows) == [1, 2, 3]
+    # the planted different-label near-copies are the #1 hard negatives
+    top = {q: next(r for r in rows if r["neg_rank"] == 1) for q, rows in by_query.items()}
+    assert top[0]["candidate_id"] == 100 and top[0]["cosine"] >= 0.999
+    assert top[1]["candidate_id"] == 101 and top[1]["cosine"] >= 0.999
+
+
+def test_hard_negatives_lsh_subset_of_exact(labeled):
+    # rank the FULL different-label candidate set exactly, then check
+    # every LSH row is one of those pairs with the identical cosine
+    exact = {
+        (r["query_id"], r["candidate_id"]): r["cosine"]
+        for r in similarity.hard_negatives_exact(labeled, n_queries=5, k=10_000).collect()
+    }
+    lsh = similarity.hard_negatives_lsh(labeled, n_queries=5, k=3, n_planes=2).collect()
+    assert lsh, "2-plane buckets must yield candidates on 42 vectors"
+    for r in lsh:
+        assert r["query_label"] != r["candidate_label"]
+        key = (r["query_id"], r["candidate_id"])
+        assert key in exact
+        assert abs(exact[key] - r["cosine"]) <= 1e-6  # decimal- vs double-rounded
