@@ -238,6 +238,17 @@ def test_embedding_lsh_never_goes_quadratic(spark, sf_smoke, reg):
     assert plans.count_exchanges(df) <= 6
 
 
+def test_hard_negatives_lsh_broadcasts_queries(spark, sf_smoke, reg):
+    """Hard-negative mining's scale path: the bounded query side is
+    BROADCAST to the candidate scan (bucket-equi join) — the candidate
+    side never shuffles and no cross product is formed."""
+    df = reg["emb_hard_negatives_lsh"].build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_exact_dedup_single_shuffle(spark, sf_smoke, reg):
     """Exact dedup is one hash-shuffle on the content digest (plus the
     small-input spread repartition) — nothing else may move data."""

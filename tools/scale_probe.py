@@ -50,6 +50,33 @@ def amplify_docs(spark, sf_dir: str, reps: int):
     return out
 
 
+def amplify_embeddings(spark, sf_dir: str, reps: int):
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = base.count()
+    # per-row perturbation (not per-replica): nudge dim 0 by a unique
+    # id-derived epsilon so replicas are near- but not exact copies —
+    # LSH buckets stay realistically mixed instead of collapsing every
+    # replica set into one saturated bucket
+    parts = [
+        base.withColumn("vec_id", F.col("vec_id") + F.lit(i * n)).withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, j) -> CASE WHEN j = 0 "
+                "THEN cast(x + (vec_id % 997) * 1e-6 as float) ELSE x END)"
+            )
+            if i
+            else F.col("embedding"),
+        )
+        for i in range(reps)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def amplify_events(spark, sf_dir: str, reps: int):
     from pyspark.sql import functions as F
 
@@ -83,7 +110,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from tagmarshal_data_lakehouse_spark.training import dedup, sampling, text
+    from tagmarshal_data_lakehouse_spark.training import dedup, sampling, similarity, text
 
     def sessionize(ev):
         from tagmarshal_data_lakehouse_spark.queries.events_ops import SPARK_HOUR_BUCKET  # noqa: F401
@@ -115,16 +142,37 @@ def main() -> int:
         "hourly_agg": lambda docs, ev: ev.groupBy(
             F.expr("MAKE_TIMESTAMP_NTZ(YEAR(ts), MONTH(ts), DAY(ts), HOUR(ts), 0, 0)")
         ).agg(F.count(F.lit(1)).alias("n")),
+        # ANN / embedding family: candidate generation must stay
+        # bucket-bounded as the corpus grows (the query-side count is
+        # FIXED — at scale you mine for a bounded query batch per job)
+        "ann_lsh_topk": lambda docs, ev, embs: similarity.cosine_topk_lsh(
+            embs, n_queries=100, k=5
+        ),
+        "hard_negatives_lsh": lambda docs, ev, embs: similarity.hard_negatives_lsh(
+            embs, n_queries=100, k=5
+        ),
+        # bucket resolution sized for the 16x corpus: 2^10 buckets/band
+        # keeps the average bucket ~80 vectors at 80k rows (at real
+        # scale planes_per_band grows with log(N) for the same reason
+        # the df cap had to be fractional)
+        "emb_near_dups_lsh": lambda docs, ev, embs: similarity.cosine_near_duplicates_lsh(
+            embs, threshold=0.45, n_bands=8, planes_per_band=10, max_bucket=500
+        ),
     }
 
     results: dict[str, list[tuple[int, float]]] = {k: [] for k in operators}
     for reps in reps_list:
         docs = amplify_docs(spark, sf_dir, reps).persist()
         ev = amplify_events(spark, sf_dir, reps).persist()
-        n_docs, n_ev = docs.count(), ev.count()  # materialize the amplified inputs
+        embs = amplify_embeddings(spark, sf_dir, reps).persist()
+        # materialize the amplified inputs
+        n_docs, n_ev, n_embs = docs.count(), ev.count(), embs.count()
         for name, op in operators.items():
             t0 = time.monotonic()
-            cnt = op(docs, ev).count()
+            if op.__code__.co_argcount == 3:
+                cnt = op(docs, ev, embs).count()
+            else:
+                cnt = op(docs, ev).count()
             dt = round(time.monotonic() - t0, 3)
             results[name].append((reps, dt))
             print(
@@ -134,6 +182,7 @@ def main() -> int:
                         "reps": reps,
                         "rows_docs": n_docs,
                         "rows_events": n_ev,
+                        "rows_embs": n_embs,
                         "out_rows": cnt,
                         "sec": dt,
                     }
@@ -142,6 +191,7 @@ def main() -> int:
             )
         docs.unpersist()
         ev.unpersist()
+        embs.unpersist()
 
     summary = {}
     for name, pts in results.items():
