@@ -14,6 +14,7 @@ from .events import (  # noqa: F401
     stream_funnel_progress,
     stream_dedup_within_watermark,
     stream_interval_join,
+    stream_semantic_dedup,
     stream_session_windows,
     stream_sketch_rollup,
     stream_tumbling_counts,

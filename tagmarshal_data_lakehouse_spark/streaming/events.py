@@ -309,6 +309,51 @@ def stream_dedup_against_corpus(
     )
 
 
+def stream_semantic_dedup(
+    vec_stream: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.98,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming embedding-space dedup: new vectors arriving on a stream
+    are dropped when the (static) accepted-vector corpus already holds a
+    near-identical vector — the continuous-ingest form of SemDeDup-style
+    semantic deduplication (`training.similarity.semantic_dedup`), keyed
+    by hyperplane-LSH buckets instead of k-means cells (bucket assignment
+    is a row-local expression, so the stream side needs no model and no
+    extra pass).
+
+    ONE stateless stream-static LEFT ANTI join carries the whole
+    operator: the join condition is (same hyperplane bucket) AND
+    (cosine >= threshold), so Catalyst extracts the bucket equality as
+    the hash-join key and evaluates the cosine fold as the join filter —
+    no watermark, no aggregation state, corpus re-planned per
+    micro-batch.  At 100 TB the static side is the accepted-vector table
+    bucketed on the same sign sketch, so each micro-batch joins without
+    a corpus shuffle; broadcast kicks in below the threshold.
+
+    Approximate by design, exactly like the batch LSH paths: a near-dup
+    pair whose vectors disagree on some sign bit is missed (recall grows
+    as n_planes shrinks).  Batch parity is pytest-pinned: the kept set
+    equals the batch anti-join computed with static frames.
+    """
+    from ..training.similarity import _DOT, _bucket_col
+
+    stream_b = vec_stream.withColumn("_bucket", _bucket_col(vec_col, n_planes))
+    corpus_b = corpus.select(
+        F.col(vec_col).alias("_cvec"), _bucket_col(vec_col, n_planes).alias("_bucket")
+    )
+    dot = F.expr(_DOT.format(a=vec_col, b="_cvec"))
+    ss = F.expr(_DOT.format(a=vec_col, b=vec_col))
+    cc = F.expr(_DOT.format(a="_cvec", b="_cvec"))
+    cond = (stream_b["_bucket"] == corpus_b["_bucket"]) & (
+        F.round(dot / (F.sqrt(ss) * F.sqrt(cc)), 6) >= threshold
+    )
+    return stream_b.join(corpus_b, cond, "left_anti").drop("_bucket")
+
+
 def stream_curate(
     docs_stream: DataFrame,
     corpus: DataFrame,

