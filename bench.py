@@ -59,6 +59,8 @@ HEADLINE = [
     "doc_tf_cosine_pairs",
     "doc_corpus_keywords",
     "doc_weighted_sample",
+    # hard-negative mining, LSH scale path (broadcast query side)
+    "emb_hard_negatives_lsh",
 ]
 
 

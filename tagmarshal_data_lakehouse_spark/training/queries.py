@@ -122,6 +122,77 @@ q_doc_quality = Query(
     "applied to corpus QA.",
 )
 
+q_doc_semantic_domain_profile = Query(
+    name="doc_semantic_domain_profile",
+    # The cross-table curation planning op: text-quality features joined
+    # to the embedding table's semantic label (documents ⋈ embeddings on
+    # id, equi-join — co-partitionable on the id at scale, then one
+    # (label) aggregation). A curation pipeline reads this to decide
+    # which semantic domains need re-filtering or up-sampling.
+    build=lambda spark, sf_dir: (
+        text.quality_features(_docs(spark, sf_dir))
+        .join(
+            _embs(spark, sf_dir).select(F.col("vec_id").alias("doc_id"), "label"),
+            "doc_id",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            # integer sums are exact in any engine/order: one division
+            F.round(
+                F.sum(F.col("n_tokens").cast("bigint")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_tokens"),
+            # quality_score has scale 1 -> DECIMAL(18,1) sums are exact
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(18,1)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+            F.round(
+                F.sum((F.col("quality_score") >= 70).cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("share_high_quality"),
+        )
+    ),
+    oracle=f"""
+        WITH feat AS (
+            SELECT doc_id, source,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                             ELSE len({_TOKENS}) END AS INT) AS n_tokens,
+                   length({_NORM}) AS n_norm_chars,
+                   {_hits(_EN)} AS sw_hits,
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS INT) AS n_punct
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, source, n_tokens,
+                   ROUND(
+                     4.0e1 * CAST(n_bytes >= 100 AND n_bytes <= 100000 AS INT)
+                     + 3.0e1 * CAST(ROUND(n_norm_chars / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) >= 2.0
+                               AND ROUND(n_norm_chars / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) <= 12.0 AS INT)
+                     + 2.0e1 * CAST(ROUND(sw_hits / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) <= 0.6 AS INT)
+                     + 1.0e1 * CAST(ROUND(n_punct / NULLIF(CAST(n_bytes AS DOUBLE), 0.0), 6) <= 0.2 AS INT), 1) AS quality_score
+            FROM feat
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               ROUND(CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+               ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,1))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+               ROUND(CAST(SUM(CAST(quality_score >= 70 AS INT)) AS DOUBLE) / COUNT(*), 6) AS share_high_quality
+        FROM scored
+        JOIN embeddings ON vec_id = doc_id
+        GROUP BY label
+    """,
+    doc="Per-semantic-domain corpus profile: quality/token stats grouped "
+    "by embedding label via a documents ⋈ embeddings id equi-join — what "
+    "a curation pipeline reads to target re-filtering and mixture "
+    "weights per domain.",
+)
+
 q_doc_lang_id = Query(
     name="doc_lang_id",
     build=lambda spark, sf_dir: _docs(spark, sf_dir).select(
@@ -1601,6 +1672,7 @@ QUERIES = [
     q_doc_dedup_exact,
     q_doc_token_stats,
     q_doc_quality,
+    q_doc_semantic_domain_profile,
     q_doc_lang_id,
     q_doc_ngram_jaccard,
     q_doc_tf_cosine_pairs,
