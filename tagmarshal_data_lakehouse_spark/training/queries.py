@@ -933,6 +933,35 @@ q_doc_mixture_weights = Query(
     "|strata|-row aggregates regardless of corpus size (sampling.py:114-150).",
 )
 
+q_doc_temperature_mixture = Query(
+    name="doc_temperature_mixture",
+    build=lambda spark, sf_dir: sampling.temperature_mixture(
+        _docs(spark, sf_dir), budget=300, strata_col="lang", alpha=0.5
+    ),
+    oracle="""
+        WITH counts AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_available
+            FROM documents GROUP BY lang
+        ), weighted AS (
+            SELECT lang, n_available,
+                   CAST(SQRT(CAST(n_available AS DOUBLE)) AS DECIMAL(28,12)) AS w_dec
+            FROM counts
+        ), total AS (
+            SELECT SUM(w_dec) AS total_dec FROM weighted
+        )
+        SELECT lang, n_available,
+               ROUND(CAST(w_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS temp_share,
+               CAST(FLOOR(CAST(w_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) * 300) AS BIGINT) AS n_take,
+               ROUND(LEAST(
+                 CAST(FLOOR(CAST(w_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) * 300) AS DOUBLE)
+                 / CAST(n_available AS DOUBLE), 1.0e0), 6) AS sample_rate
+        FROM weighted CROSS JOIN total
+    """,
+    doc="Temperature-scaled mixture (takes ∝ n^0.5): the multilingual "
+    "reweighting standard; SQRT is correctly-rounded IEEE so the alpha=0.5 "
+    "path is engine-exact (sampling.temperature_mixture).",
+)
+
 q_doc_incremental_dedup = Query(
     name="doc_incremental_dedup",
     # Batch = every 5th doc, corpus = the rest: the continuous-pipeline
@@ -1696,6 +1725,7 @@ QUERIES = [
     q_doc_hash_sample_k,
     q_doc_weighted_sample,
     q_doc_mixture_weights,
+    q_doc_temperature_mixture,
     q_doc_source_drift,
     q_doc_pii_redact,
     q_doc_dedup_clusters,

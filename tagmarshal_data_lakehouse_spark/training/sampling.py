@@ -247,3 +247,62 @@ def mixture_weights(
             F.round(F.col("n_take").cast("double") / F.col("n_available").cast("double"), 6),
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "lang",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: per-stratum take counts
+    proportional to n_s^alpha (the multilingual-training standard —
+    alpha in (0,1] flattens head strata so low-resource strata are not
+    drowned; alpha=1 recovers natural proportions, alpha->0 approaches
+    uniform).
+
+    Determinism contract: alpha=0.5 (temperature 2, the common default)
+    is computed with SQRT — a CORRECTLY-ROUNDED IEEE op, bit-identical
+    in every engine — and the cross-strata normalizer sums the
+    DECIMAL-quantized weights exactly, so shares and floor() takes are
+    reproducible anywhere. Any other alpha falls back to POW, which is
+    libm-dependent (NOT correctly rounded): fine inside one engine,
+    excluded from cross-engine oracle checks — same policy as the
+    log-free corpus keywords.
+
+    Scale shape: one per-stratum count (|strata| rows out of the
+    shuffle), one single-row normalizer broadcast back — cost is
+    independent of corpus size, like `mixture_weights`.
+    """
+    n = F.col("n_available").cast("double")
+    weight = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_available"))
+        .withColumn("temp_weight", weight)
+    )
+    total = counts.agg(
+        F.sum(F.col("temp_weight").cast("decimal(28,12)")).alias("total_dec")
+    )
+    share = F.col("temp_weight").cast("decimal(28,12)").cast("double") / F.col(
+        "total_dec"
+    ).cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            strata_col,
+            "n_available",
+            F.round(share, 6).alias("temp_share"),
+            F.floor(share * F.lit(int(budget))).cast("bigint").alias("n_take"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.round(
+                F.least(
+                    F.col("n_take").cast("double") / F.col("n_available").cast("double"),
+                    F.lit(1.0),
+                ),
+                6,
+            ),
+        )
+    )

@@ -2,7 +2,7 @@
 
 The driver's correctness sweep walks ``registry()`` in insertion order
 under a budget (rounds 2 and 3 each stopped at exactly 50 entries), so
-ordering is a coverage guarantee. With 146 entries and a 50-slot budget,
+ordering is a coverage guarantee. With 147 entries and a 50-slot budget,
 full driver coverage is a ROTATION; this module pins the invariants the
 rotation must keep every round:
 
@@ -128,6 +128,7 @@ _NEW_DEFERRED_TO_NEXT_ROUND = frozenset(
         "emb_hard_negatives",  # oracle-green at sf0.001 + sf0.01 (sim)
         "emb_hard_negatives_lsh",  # rows-only; subset-of-exact pytest pin
         "doc_semantic_domain_profile",  # oracle-green at sf0.001 + sf0.01 (sim)
+        "doc_temperature_mixture",  # oracle-green at sf0.001 + sf0.01 (sim)
     }
 )
 

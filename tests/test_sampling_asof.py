@@ -201,3 +201,22 @@ def test_source_drift_zero_for_identical_and_two_for_disjoint(spark):
     d2 = {r["source"]: r["drift_l1"] for r in source_drift(df2).collect()}
     # each source: |1 - 0.5| + |0 - 0.5| = 1.0 vs the 50/50 corpus
     assert d2 == {"a": 1.0, "b": 1.0}
+
+
+def test_temperature_mixture_flattens_toward_uniform(docs):
+    """alpha=0.5 shares sit strictly between natural (n/N) and uniform
+    (1/S) for every stratum whose size differs from the mean; takes
+    realize the budget within floor() rounding."""
+    out = {r["lang"]: r for r in sampling.temperature_mixture(docs, budget=60, strata_col="lang").collect()}
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total_n, n_strata = sum(counts.values()), len(counts)
+    assert set(out) == set(counts)
+    assert abs(sum(r["temp_share"] for r in out.values()) - 1.0) < 1e-5
+    budget_taken = sum(r["n_take"] for r in out.values())
+    assert 60 - n_strata <= budget_taken <= 60
+    for lang, r in out.items():
+        natural, uniform = counts[lang] / total_n, 1.0 / n_strata
+        lo, hi = sorted((natural, uniform))
+        if abs(natural - uniform) > 1e-9:
+            assert lo < r["temp_share"] < hi, (lang, r["temp_share"], natural, uniform)
+        assert 0.0 <= r["sample_rate"] <= 1.0
