@@ -188,6 +188,32 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Formatted physical plan + the automated would-this-survive-100x
+    audit (plans.scale_lint) for a registry query — the plan-quality
+    workflow (`.explain` then iterate) as a first-class verb."""
+    from . import plans
+    from .queries import registry
+
+    spark, _ = _spark_and_lake(args)
+    reg = registry()
+    if args.name not in reg:
+        print(f"unknown query {args.name!r}; try: query list", file=sys.stderr)
+        return 2
+    df = reg[args.name].build(spark, args.sf_dir)
+    df.explain("formatted")
+    print(f"# exchanges: {plans.count_exchanges(df)}")
+    strategies = plans.join_strategies(df)
+    print(f"# join strategies: {', '.join(strategies) if strategies else '(none)'}")
+    findings = plans.scale_lint(df)
+    if findings:
+        for f in findings:
+            print(f"# SCALE-LINT {f['rule']}: {f['detail']}")
+        return 1
+    print("# scale-lint: clean")
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Run the composed curation pipeline over a documents table and
     WRITE the results: the audit frame (every document with its
@@ -338,6 +364,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     q.add_argument("--rows", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    ex = sub.add_parser("explain", help="formatted plan + scale-lint audit for a registry query")
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ex.set_defaults(fn=cmd_explain)
 
     cu = sub.add_parser(
         "curate", help="run the curation pipeline; write kept corpus + audit frame"

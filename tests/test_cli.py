@@ -126,3 +126,15 @@ def test_cli_serve_runs_cached_queries(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert out.count("== global_overview") == 2
     assert "1 hits / 1 misses" in out
+
+
+def test_cli_explain(spark, tmp_path, capsys):
+    from tagmarshal_data_lakehouse_spark.__main__ import main
+
+    base = ["--warehouse", str(tmp_path / "wh"), "--bronze-root", str(tmp_path / "br")]
+    rc = main(base + ["explain", "agg_pricing_summary", "--sf-dir", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out or "AdaptiveSparkPlan" in out
+    assert "# scale-lint: clean" in out
+    assert main(base + ["explain", "no_such_query"]) == 2
