@@ -267,3 +267,84 @@ def bloom_semi_join(
     )
     hit = bloom_membership(words, num_bits, num_hashes)(F.col(on).cast("string"))
     return big.filter(~hit if anti else hit)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    chunk_micros: int = 86_400_000_000,
+) -> DataFrame:
+    """Overlap join of two half-open NTZ-interval sets — `[l_start,
+    l_end) ∩ [r_start, r_end) ≠ ∅` — as an EQUI-join shuffle instead of
+    the nested loop Spark plans for a pure inequality condition.
+
+    A raw `l.start < r.end AND r.start < l.end` join has no equality
+    conjunct, so Catalyst can only pick BroadcastNestedLoopJoin (or
+    CartesianProduct): O(|L|·|R|) comparisons, the classic 100 TB
+    scale-killer.  The chunked rewrite is the standard distributed
+    interval-join shape (Flink's interval join / spatial grid joins):
+
+    1. cut time into fixed `chunk_micros` chunks;
+    2. explode each interval to the chunk ids it covers (row-local
+       `sequence` — no shuffle, no UDF);
+    3. equi-join on chunk id — a plain shuffled hash/sort-merge join
+       whose key spreads work across every executor;
+    4. refine with the exact overlap predicate;
+    5. emit each matching pair EXACTLY once — only from the chunk that
+       contains the overlap's start (`greatest(l_start, r_start)`) —
+       so no dedup/distinct pass is ever needed.
+
+    Pick `chunk_micros` near the typical interval length: intervals
+    explode into `O(length/chunk + 1)` rows, and chunks much smaller
+    than the data's span keep any single join key from going hot.
+    Contract: interval columns are NTZ timestamps, empty intervals
+    (end <= start) are dropped, and the two frames' column names must
+    be disjoint (the output carries both sides' columns unchanged).
+    """
+
+    def us(col: str):
+        return F.expr(
+            f"TIMESTAMPDIFF(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+
+    lhs = (
+        left.filter(F.col(l_end) > F.col(l_start))
+        .withColumn("_ls_us", us(l_start))
+        .withColumn("_le_us", us(l_end))
+        .withColumn(
+            "_l_chunk",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_ls_us div {chunk_micros}"),
+                    F.expr(f"(_le_us - 1) div {chunk_micros}"),
+                )
+            ),
+        )
+    )
+    rhs = (
+        right.filter(F.col(r_end) > F.col(r_start))
+        .withColumn("_rs_us", us(r_start))
+        .withColumn("_re_us", us(r_end))
+        .withColumn(
+            "_r_chunk",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_rs_us div {chunk_micros}"),
+                    F.expr(f"(_re_us - 1) div {chunk_micros}"),
+                )
+            ),
+        )
+    )
+    joined = lhs.join(
+        rhs,
+        (F.col("_l_chunk") == F.col("_r_chunk"))
+        & (F.col(l_start) < F.col(r_end))
+        & (F.col(r_start) < F.col(l_end))
+        & (F.col("_l_chunk") == F.expr(f"greatest(_ls_us, _rs_us) div {chunk_micros}")),
+        "inner",
+    )
+    return joined.drop("_ls_us", "_le_us", "_l_chunk", "_rs_us", "_re_us", "_r_chunk")

@@ -532,6 +532,177 @@ q_events_gapfill = Query(
 )
 
 
+def _islands_sql(dialect: str) -> str:
+    """Gaps-and-islands over busy hours, one text per dialect.
+
+    An "island" is a maximal run of consecutive hours whose event count
+    exceeds 1.05x the event_type's average hourly count — the classic
+    row_number-difference idiom: within a type, consecutive hour indexes
+    minus their rank are constant exactly along a run.  Hour indexes are
+    integer hours-since-epoch over the NTZ ts (never DATE_TRUNC, see the
+    bucket note at the top of this module), so the text is
+    session-timezone independent.  The threshold comparison is
+    engine-exact: hourly counts are integers, AVG(bigint) is one IEEE
+    division of exact integer sums in both engines, and 1.05 is cast to
+    DOUBLE on both sides.
+    """
+    if dialect == "spark":
+        hour_idx = "TIMESTAMPDIFF(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        to_ts = "TIMESTAMPADD(HOUR, CAST({h} AS INT), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    else:
+        hour_idx = "epoch_us(ts) // 3600000000"
+        to_ts = "TIMESTAMP '1970-01-01 00:00:00' + CAST({h} AS INT) * INTERVAL 1 HOUR"
+    return f"""
+WITH hourly AS (
+    SELECT event_type, {hour_idx} AS hour_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+), stats AS (
+    SELECT event_type, AVG(n_events) AS avg_n FROM hourly GROUP BY 1
+), busy AS (
+    SELECT h.event_type, h.hour_idx, h.n_events
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE h.n_events > s.avg_n * CAST(1.05 AS DOUBLE)
+), grouped AS (
+    SELECT event_type, hour_idx, n_events,
+           hour_idx - ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY hour_idx) AS grp
+    FROM busy
+)
+SELECT event_type,
+       CAST(MIN(hour_idx) AS BIGINT)  AS start_hour_idx,
+       CAST(MAX(hour_idx) AS BIGINT)  AS end_hour_idx,
+       CAST(COUNT(*) AS BIGINT)       AS n_hours,
+       CAST(SUM(n_events) AS BIGINT)  AS n_busy_events,
+       {to_ts.format(h='MIN(hour_idx)')} AS island_start,
+       {to_ts.format(h='MAX(hour_idx) + 1')} AS island_end_excl
+FROM grouped
+GROUP BY event_type, grp
+"""
+
+
+q_events_activity_islands = Query(
+    name="events_activity_islands",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(_islands_sql("spark")),
+    )[1],
+    oracle=_islands_sql("duckdb"),
+    doc="Gaps-and-islands: maximal runs of consecutive busy hours per "
+    "event_type (count > 1.05x the type's hourly average) via the "
+    "row_number-difference idiom — one hourly aggregate, a broadcast-"
+    "sized per-type stats join, and a window over the tiny busy-hours "
+    "frame; the raw events are scanned once.",
+)
+
+
+# Per-user session intervals, half-open ([first event, last event + 1 us))
+# so single-event sessions still have positive measure under the overlap
+# predicate.  Same sessionization CTE as events_sessionize.
+_SESSIONS_INTERVAL_SQL_SPARK = """
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           TIMESTAMPDIFF(MICROSECOND, LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_micros
+    FROM events
+), marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN gap_micros IS NULL OR gap_micros > 1800000000 THEN 1 ELSE 0 END AS is_session_start
+    FROM gaps
+), sessions AS (
+    SELECT user_id, ts, event_id,
+           SUM(is_session_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1 MICROSECOND AS session_end_excl
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+def _build_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import interval_overlap_join
+
+    load_views(spark, sf_dir)
+    sessions = spark.sql(_SESSIONS_INTERVAL_SQL_SPARK)
+    islands = spark.sql(_islands_sql("spark")).select(
+        "event_type", "start_hour_idx", "island_start", "island_end_excl"
+    )
+    joined = interval_overlap_join(
+        sessions,
+        islands,
+        "session_start",
+        "session_end_excl",
+        "island_start",
+        "island_end_excl",
+        # 1-hour chunks: sessions are sub-hour (30-min gap close), islands
+        # are a few hours — both sides explode into O(1) chunk rows and
+        # the join key count grows with the data's time span.
+        chunk_micros=3_600_000_000,
+    )
+    return joined.select(
+        "user_id",
+        "session_seq",
+        "event_type",
+        F.col("start_hour_idx").alias("island_start_hour_idx"),
+        F.expr(
+            "CAST(TIMESTAMPDIFF(MICROSECOND,"
+            " greatest(session_start, island_start),"
+            " least(session_end_excl, island_end_excl)) AS BIGINT)"
+        ).alias("overlap_micros"),
+    )
+
+
+_INTERVAL_JOIN_ORACLE = f"""
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_micros
+    FROM events
+), marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN gap_micros IS NULL OR gap_micros > 1800000000 THEN 1 ELSE 0 END AS is_session_start
+    FROM gaps
+), sessions AS (
+    SELECT user_id, ts, event_id,
+           SUM(is_session_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM marked
+), sess AS (
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1 MICROSECOND AS session_end_excl
+    FROM sessions
+    GROUP BY user_id, session_seq
+), islands AS ({_islands_sql('duckdb')})
+SELECT s.user_id, s.session_seq, i.event_type,
+       i.start_hour_idx AS island_start_hour_idx,
+       CAST(epoch_us(LEAST(s.session_end_excl, i.island_end_excl)) -
+            epoch_us(GREATEST(s.session_start, i.island_start)) AS BIGINT) AS overlap_micros
+FROM sess s JOIN islands i
+  ON s.session_start < i.island_end_excl AND i.island_start < s.session_end_excl
+"""
+
+
+q_events_interval_join = Query(
+    name="events_interval_join",
+    build=_build_interval_join,
+    oracle=_INTERVAL_JOIN_ORACLE,
+    doc="Interval overlap join (user sessions x busy-hour islands) via "
+    "operators.interval_overlap_join: intervals explode row-locally to "
+    "1-hour chunk ids, the join runs as a plain equi-join on chunk, the "
+    "exact overlap predicate refines, and each pair is emitted exactly "
+    "once by the chunk containing the overlap's start — never the "
+    "BroadcastNestedLoopJoin Spark plans for a raw inequality join "
+    "(the DuckDB oracle uses its native IEJoin for the same predicate).",
+)
+
+
 QUERIES = [
     q_events_tumbling_window,
     q_events_sessionize,
@@ -545,4 +716,6 @@ QUERIES = [
     q_events_hll_rollup,
     q_events_approx_topk,
     q_events_gapfill,
+    q_events_activity_islands,
+    q_events_interval_join,
 ]

@@ -75,3 +75,49 @@ def test_bloom_semi_join_superset_and_shuffle_free(spark):
 
     plan = semi._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_interval_overlap_join_matches_naive_nonequi(spark):
+    """Chunked interval join must equal the naive inequality join —
+    including pairs spanning several chunks (emitted once, no dedup
+    pass), touching-endpoint pairs (half-open: NOT a match), and empty
+    intervals (dropped)."""
+    from tagmarshal_data_lakehouse_spark.operators import interval_overlap_join
+
+    def ntz(minutes_col):
+        return F.expr(
+            f"TIMESTAMPADD(MINUTE, CAST({minutes_col} AS INT), "
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+        )
+
+    # left: ids with [s, e) minute intervals; chunk below is 60 min, so
+    # (3) spans 4 chunks and (5) is empty
+    left_rows = [(1, 0, 30), (2, 50, 70), (3, 10, 250), (4, 119, 120), (5, 40, 40)]
+    right_rows = [(10, 20, 40), (11, 60, 61), (12, 120, 180), (13, 240, 300), (14, 30, 30)]
+    left = spark.createDataFrame(left_rows, "l_id long, ls long, le long").select(
+        "l_id", ntz("ls").alias("l_start"), ntz("le").alias("l_end")
+    )
+    right = spark.createDataFrame(right_rows, "r_id long, rs long, re long").select(
+        "r_id", ntz("rs").alias("r_start"), ntz("re").alias("r_end")
+    )
+
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "l_start", "l_end", "r_start", "r_end",
+            chunk_micros=60 * 60_000_000,
+        ).collect()
+    )
+    naive = sorted(
+        (r["l_id"], r["r_id"])
+        for r in left.crossJoin(right)
+        .filter((F.col("l_start") < F.col("r_end")) & (F.col("r_start") < F.col("l_end")))
+        .filter((F.col("l_end") > F.col("l_start")) & (F.col("r_end") > F.col("r_start")))
+        .collect()
+    )
+    assert got == naive
+    # multi-chunk pair (3, 12) appears exactly once, touching pair
+    # (1, 14) and (4, 12) [120 boundary] are absent, empty 5/14 absent
+    assert (3, 12) in got and got.count((3, 12)) == 1
+    assert (1, 14) not in got
+    assert all(l != 5 and r != 14 for l, r in got)

@@ -516,3 +516,17 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interval_join_never_goes_quadratic(spark, sf_smoke, reg):
+    """The overlap join's 100 TB contract: the chunk rewrite gives the
+    inequality join an equality conjunct, so it plans as a hash/merge
+    equi-join — never the BroadcastNestedLoopJoin a raw range predicate
+    would produce — and the report-once chunk filter means no
+    dedup/distinct exchange downstream of the join."""
+    df = reg["events_interval_join"].build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    strategies = plans.join_strategies(df)
+    assert strategies and all("NestedLoop" not in s for s in strategies)

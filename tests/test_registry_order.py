@@ -129,6 +129,8 @@ _NEW_DEFERRED_TO_NEXT_ROUND = frozenset(
         "emb_hard_negatives_lsh",  # rows-only; subset-of-exact pytest pin
         "doc_semantic_domain_profile",  # oracle-green at sf0.001 + sf0.01 (sim)
         "doc_temperature_mixture",  # oracle-green at sf0.001 + sf0.01 (sim)
+        "events_activity_islands",  # oracle-green at sf0.001 + sf0.01 (sim)
+        "events_interval_join",  # oracle-green at sf0.001 + sf0.01 (sim)
     }
 )
 
