@@ -703,6 +703,27 @@ q_events_interval_join = Query(
 )
 
 
+q_events_value_histogram = _shared(
+    "events_value_histogram",
+    f"""
+SELECT event_type,
+       CAST(LEAST(GREATEST(CAST(FLOOR(value / 1.0e1) AS BIGINT), 0), 49) AS BIGINT) AS bucket_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       {dsum('value')} AS bucket_value_sum
+FROM events
+GROUP BY 1, 2
+""",
+    "Fixed-bin value histogram per event_type (50 buckets of width 10, "
+    "edge-clamped) — the exact-oracle face of the mergeable quantile "
+    "sketch rollup.SketchRollup stores per (type, hour): identical "
+    "bucketing expression, so the driver-verified counts here are the "
+    "same numbers the incremental state accumulates; quantile estimates "
+    "derive from them at read time (hist_quantile). Division by a "
+    "DOUBLE literal (1.0e1, never a bare decimal literal) keeps the "
+    "bucket index IEEE-identical across engines.",
+)
+
+
 QUERIES = [
     q_events_tumbling_window,
     q_events_sessionize,
@@ -718,4 +739,5 @@ QUERIES = [
     q_events_gapfill,
     q_events_activity_islands,
     q_events_interval_join,
+    q_events_value_histogram,
 ]

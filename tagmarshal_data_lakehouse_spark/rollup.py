@@ -45,6 +45,83 @@ from .storage import Lakehouse
 HOUR_BUCKET_NTZ = F.expr("MAKE_TIMESTAMP_NTZ(YEAR(ts), MONTH(ts), DAY(ts), HOUR(ts), 0, 0)")
 
 
+# -- mergeable fixed-bin histogram (quantile sketch) ----------------------
+#
+# percentile_approx cannot live in a materialized rollup: its internal
+# QuantileSummaries state is not exposed, so a stored percentile can
+# neither absorb a new batch nor re-aggregate to a coarser grain.  The
+# mergeable counterpart is the oldest sketch there is — a fixed-boundary
+# histogram: bucket counts merge by elementwise ADDITION (exact,
+# associative, order-independent), and quantiles are derived at read
+# time by walking the cumulative counts, so the same stored state
+# answers p50/p95/p99 at any later grain with no fact rescan.  Bucket
+# boundaries are part of the schema contract (same lo/hi/n everywhere or
+# states don't merge); the estimate error is bounded by one bucket
+# width, pinned in tests/test_sketch_rollups.py.
+
+
+def hist_bucket(col: Column, lo: float, hi: float, n_buckets: int) -> Column:
+    """0-based fixed-width bucket index, clamped to [0, n_buckets-1] so
+    out-of-range values land in the edge buckets instead of vanishing."""
+    width = (hi - lo) / n_buckets
+    raw = F.floor((col.cast("double") - F.lit(lo)) / F.lit(width)).cast("bigint")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+
+
+def hist_agg(col: Column, lo: float, hi: float, n_buckets: int) -> Column:
+    """Aggregate expression: array<bigint> of per-bucket counts.
+
+    One conditional SUM per bucket — every term combines map-side, so
+    the shuffled state per group is exactly `n_buckets` longs regardless
+    of input size (the mergeable-at-scale shape)."""
+    b = hist_bucket(col, lo, hi, n_buckets)
+    return F.array(
+        *[
+            F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+            for i in range(n_buckets)
+        ]
+    )
+
+
+def hist_merge(col: Column | str, n_buckets: int) -> Column:
+    """Aggregate expression merging already-built histograms upward
+    (elementwise sum) — the re-aggregation path for coarser grains."""
+    h = F.col(col) if isinstance(col, str) else col
+    zero = F.array_repeat(F.lit(0).cast("bigint"), n_buckets)
+    return F.aggregate(
+        F.collect_list(h), zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
+    )
+
+
+def hist_quantile(
+    col: Column | str, lo: float, hi: float, n_buckets: int, q: float
+) -> Column:
+    """Read-time quantile estimate from a stored histogram: find the
+    bucket where the cumulative count crosses q*total, linearly
+    interpolate inside it.  Pure expression tree (no UDF); NULL on an
+    empty histogram.  |estimate - exact nearest-rank quantile| is at
+    most one bucket width: both lie in the crossing bucket."""
+    h = F.col(col) if isinstance(col, str) else col
+    width = (hi - lo) / n_buckets
+    zero = F.lit(0).cast("bigint")
+    total = F.aggregate(h, zero, lambda a, x: a + x)
+    target = F.lit(q) * total.cast("double")
+    cum = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.aggregate(F.slice(h, F.lit(1), i + F.lit(1)), zero, lambda a, x: a + x),
+    )
+    first_ge = F.filter(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.element_at(cum, i + F.lit(1)).cast("double") >= target,
+    )
+    idx = F.element_at(first_ge, 1)  # 0-based crossing bucket
+    cum_below = F.when(idx == 0, zero).otherwise(F.element_at(cum, idx))
+    in_bucket = F.element_at(h, idx + F.lit(1))
+    frac = (target - cum_below.cast("double")) / in_bucket.cast("double")
+    est = F.lit(lo) + F.lit(width) * (idx.cast("double") + frac)
+    return F.when(total > 0, est)
+
+
 class SketchRollup:
     """Materialized (event_type, bucket_hour) rollup of an events-shaped
     stream: exact `n_events`, exact decimal `value_sum`, and a mergeable
@@ -55,11 +132,20 @@ class SketchRollup:
         lake: Lakehouse,
         table: str = "rollup_events_hourly",
         lg_k: int = 14,
+        hist_lo: float = 0.0,
+        hist_hi: float = 500.0,
+        hist_buckets: int = 50,
     ):
         self.lake = lake
         self.table = table
         self.log_table = table + "__applied"
         self.lg_k = lg_k
+        # fixed histogram boundaries are part of the state's schema
+        # contract: every batch and every stored row must use the same
+        # (lo, hi, n) or the elementwise merge is meaningless
+        self.hist_lo = hist_lo
+        self.hist_hi = hist_hi
+        self.hist_buckets = hist_buckets
 
     # -- state -----------------------------------------------------------
 
@@ -74,8 +160,14 @@ class SketchRollup:
     def with_estimates(self, rollup: DataFrame | None = None) -> DataFrame:
         """Derive the user-count estimate column; state keeps sketches."""
         r = rollup if rollup is not None else self.read()
-        return r.withColumn(
-            "approx_users", F.expr("CAST(HLL_SKETCH_ESTIMATE(user_sketch) AS BIGINT)")
+        lo, hi, n = self.hist_lo, self.hist_hi, self.hist_buckets
+        return (
+            r.withColumn(
+                "approx_users",
+                F.expr("CAST(HLL_SKETCH_ESTIMATE(user_sketch) AS BIGINT)"),
+            )
+            .withColumn("value_p50", hist_quantile("value_hist", lo, hi, n, 0.5))
+            .withColumn("value_p95", hist_quantile("value_hist", lo, hi, n, 0.95))
         )
 
     # -- refresh ---------------------------------------------------------
@@ -92,6 +184,9 @@ class SketchRollup:
                 F.count(F.lit(1)).cast("bigint").alias("n_events"),
                 F.sum(F.col("value").cast("decimal(30,6)")).alias("value_sum"),
                 F.expr(f"HLL_SKETCH_AGG(user_id, {self.lg_k})").alias("user_sketch"),
+                hist_agg(
+                    F.col("value"), self.hist_lo, self.hist_hi, self.hist_buckets
+                ).alias("value_hist"),
             )
         )
 
@@ -110,6 +205,7 @@ class SketchRollup:
                     F.sum("n_events").cast("bigint").alias("n_events"),
                     F.sum("value_sum").cast("decimal(30,6)").alias("value_sum"),
                     F.expr("HLL_UNION_AGG(user_sketch)").alias("user_sketch"),
+                    hist_merge("value_hist", self.hist_buckets).alias("value_hist"),
                 )
             )
             shadow = self.table + "__tmp"
@@ -143,5 +239,18 @@ class SketchRollup:
                 F.expr(
                     "CAST(HLL_SKETCH_ESTIMATE(HLL_UNION_AGG(user_sketch)) AS BIGINT)"
                 ).alias("approx_users"),
+                hist_merge("value_hist", self.hist_buckets).alias("value_hist"),
+            )
+            .withColumn(
+                "value_p50",
+                hist_quantile(
+                    "value_hist", self.hist_lo, self.hist_hi, self.hist_buckets, 0.5
+                ),
+            )
+            .withColumn(
+                "value_p95",
+                hist_quantile(
+                    "value_hist", self.hist_lo, self.hist_hi, self.hist_buckets, 0.95
+                ),
             )
         )

@@ -181,3 +181,68 @@ def test_incremental_rollup_coarser_grain_no_rescan(spark, sf_smoke, events, tmp
     for t, d in direct.items():
         assert got[t]["n_events"] == d["n_events"]
         assert got[t]["approx_users"] == d["approx_users"]
+
+
+# -- mergeable fixed-bin histogram (quantile sketch) ----------------------
+
+
+def test_hist_incremental_merge_equals_one_shot(spark, sf_smoke, events, tmp_path):
+    """Elementwise-addition merge is exact: the 3-batch incremental
+    state's histograms must equal a one-shot hist_agg over the whole
+    input, array-for-array, and each histogram's total must equal the
+    group's row count (clamping loses nothing)."""
+    from tagmarshal_data_lakehouse_spark.rollup import (
+        HOUR_BUCKET_NTZ,
+        SketchRollup,
+        hist_agg,
+    )
+    from tagmarshal_data_lakehouse_spark.storage import Lakehouse
+
+    roll = SketchRollup(Lakehouse(spark, str(tmp_path / "wh")))
+    for i in range(3):
+        assert roll.refresh(events.filter(F.col("event_id") % 3 == i), f"b{i}")
+
+    got = {
+        (r["event_type"], r["bucket_hour"]): (r["value_hist"], r["n_events"])
+        for r in roll.read().collect()
+    }
+    direct = {
+        (r["event_type"], r["bucket_hour"]): r["value_hist"]
+        for r in events.withColumn("bucket_hour", HOUR_BUCKET_NTZ)
+        .groupBy("event_type", "bucket_hour")
+        .agg(hist_agg(F.col("value"), 0.0, 500.0, 50).alias("value_hist"))
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for k, (hist, n_events) in got.items():
+        assert hist == direct[k], k
+        assert sum(hist) == n_events, k
+
+
+def test_hist_quantile_within_one_bucket_width(spark, sf_smoke, events, tmp_path):
+    """Read-time quantile estimates from the merged state must sit
+    within one bucket width of the exact nearest-rank quantile — the
+    histogram's documented error bound — at the coarser by_event_type
+    grain (re-aggregated from stored state, no fact rescan)."""
+    from tagmarshal_data_lakehouse_spark.rollup import SketchRollup
+    from tagmarshal_data_lakehouse_spark.storage import Lakehouse
+
+    roll = SketchRollup(Lakehouse(spark, str(tmp_path / "wh")))
+    for i in range(2):
+        roll.refresh(events.filter(F.col("event_id") % 2 == i), f"b{i}")
+
+    width = (500.0 - 0.0) / 50
+    exact_vals: dict[str, list[float]] = {}
+    for r in events.select("event_type", "value").collect():
+        exact_vals.setdefault(r["event_type"], []).append(r["value"])
+    out = {r["event_type"]: r for r in roll.by_event_type().collect()}
+    assert set(out) == set(exact_vals)
+    import math
+
+    for etype, vals in exact_vals.items():
+        vals.sort()
+        for q, col in ((0.5, "value_p50"), (0.95, "value_p95")):
+            exact = vals[max(0, math.ceil(q * len(vals)) - 1)]
+            est = out[etype][col]
+            assert est is not None
+            assert abs(est - exact) <= width, (etype, col, est, exact)
