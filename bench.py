@@ -61,6 +61,8 @@ HEADLINE = [
     "doc_weighted_sample",
     # hard-negative mining, LSH scale path (broadcast query side)
     "emb_hard_negatives_lsh",
+    # chunked interval overlap join (sessions x busy-hour islands)
+    "events_interval_join",
 ]
 
 

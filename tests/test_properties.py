@@ -236,3 +236,50 @@ def test_tf_cosine_matches_brute_force_random_corpora(spark, token_lists):
         nb = math.sqrt(sum(v * v for v in tf[b].values()))
         assert got[(a, b)][0] == dot
         assert abs(got[(a, b)][1] - round(dot / (na * nb), 6)) < 1e-9
+
+
+_INTERVAL = st.tuples(
+    st.integers(min_value=0, max_value=500),  # start minute
+    st.integers(min_value=-5, max_value=500),  # length (<=0 -> empty/invalid)
+)
+
+
+@given(
+    st.lists(_INTERVAL, min_size=1, max_size=12),
+    st.lists(_INTERVAL, min_size=1, max_size=12),
+    st.sampled_from([7, 60, 240]),  # chunk minutes: tiny / typical / coarse
+)
+@settings(max_examples=12, deadline=None)
+def test_interval_overlap_join_property(spark, lefts, rights, chunk_min):
+    """For ARBITRARY interval sets and chunk sizes the chunked equi-join
+    rewrite must emit exactly the naive half-open-overlap pair multiset:
+    no pair lost across chunk boundaries, no pair duplicated from shared
+    chunks, empty intervals dropped."""
+    from tagmarshal_data_lakehouse_spark.operators import interval_overlap_join
+
+    def ntz(col):
+        return F.expr(
+            f"TIMESTAMPADD(MINUTE, CAST({col} AS INT), TIMESTAMP_NTZ '2024-01-01')"
+        )
+
+    ldf = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(lefts)], "l_id long, ls long, le long"
+    ).select("l_id", ntz("ls").alias("l_start"), ntz("le").alias("l_end"))
+    rdf = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(rights)], "r_id long, rs long, re long"
+    ).select("r_id", ntz("rs").alias("r_start"), ntz("re").alias("r_end"))
+
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            ldf, rdf, "l_start", "l_end", "r_start", "r_end",
+            chunk_micros=chunk_min * 60_000_000,
+        ).collect()
+    )
+    expected = sorted(
+        (li, ri)
+        for li, (ls, ll) in enumerate(lefts)
+        for ri, (rs, rl) in enumerate(rights)
+        if ll > 0 and rl > 0 and ls < rs + rl and rs < ls + ll
+    )
+    assert got == expected

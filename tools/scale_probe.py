@@ -127,8 +127,74 @@ def main() -> int:
             .agg(F.count(F.lit(1)).alias("n_events"))
         )
 
+    def interval_join(ev):
+        """Registry events_interval_join shape on the amplified stream:
+        session intervals x busy-hour islands through the chunked
+        overlap join. Amplification multiplies sessions per hour chunk
+        while the chunk-key count stays at the data's time span — the
+        probe watches per-chunk load growth staying linear (islands per
+        chunk are bounded by the type count)."""
+        from pyspark.sql.window import Window
+
+        from tagmarshal_data_lakehouse_spark.operators import interval_overlap_join
+
+        e = ev.withColumn("ts", F.expr("CAST(ts AS TIMESTAMP_NTZ)"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        secs = F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        gap = secs - F.lag(secs).over(w)
+        new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        sessions = (
+            e.withColumn("session_id", sid)
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.expr("MAX(ts) + INTERVAL 1 MICROSECOND").alias("session_end_excl"),
+            )
+        )
+        hourly = (
+            e.withColumn(
+                "hour_idx",
+                F.expr("TIMESTAMPDIFF(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+            )
+            .groupBy("event_type", "hour_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        stats = hourly.groupBy("event_type").agg(F.avg("n_events").alias("avg_n"))
+        busy = hourly.join(stats, "event_type").filter(
+            F.col("n_events") > F.col("avg_n") * 1.05
+        )
+        wt = Window.partitionBy("event_type").orderBy("hour_idx")
+        islands = (
+            busy.withColumn("grp", F.col("hour_idx") - F.row_number().over(wt))
+            .groupBy("event_type", "grp")
+            .agg(
+                F.expr(
+                    "TIMESTAMPADD(HOUR, CAST(MIN(hour_idx) AS INT),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ).alias("island_start"),
+                F.expr(
+                    "TIMESTAMPADD(HOUR, CAST(MAX(hour_idx) + 1 AS INT),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ).alias("island_end_excl"),
+            )
+            .drop("grp")
+        )
+        return interval_overlap_join(
+            sessions,
+            islands,
+            "session_start",
+            "session_end_excl",
+            "island_start",
+            "island_end_excl",
+            chunk_micros=3_600_000_000,
+        )
+
     operators = {
         "exact_dedup": lambda docs, ev: dedup.exact_duplicates(docs),
+        "interval_join": lambda docs, ev: interval_join(ev),
         "minhash_lsh": lambda docs, ev: dedup.minhash_near_duplicates(docs),
         # fractional df cap: the absolute form empties the vocabulary
         # under amplification (every term's df grows with the corpus
