@@ -63,6 +63,8 @@ HEADLINE = [
     "emb_hard_negatives_lsh",
     # chunked interval overlap join (sessions x busy-hour islands)
     "events_interval_join",
+    # exact cosine top-k at GEMM throughput (mapInPandas matmul prune)
+    "emb_cosine_topk_gemm",
 ]
 
 

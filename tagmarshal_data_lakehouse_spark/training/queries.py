@@ -500,6 +500,21 @@ q_emb_cosine_topk = Query(
     "variant is cosine_topk_lsh, benched separately).",
 )
 
+q_emb_cosine_topk_gemm = Query(
+    name="emb_cosine_topk_gemm",
+    build=lambda spark, sf_dir: similarity.cosine_topk_gemm(
+        _embs(spark, sf_dir), n_queries=20, k=3
+    ),
+    # Output is bit-identical to cosine_topk_exact (float64 GEMM prunes,
+    # decimal-exact terms rescore) — the same oracle text applies.
+    oracle=q_emb_cosine_topk.oracle,
+    doc="EXACT brute-force cosine top-3 at GEMM throughput: Arrow-batched "
+    "mapInPandas numpy matmul prunes each candidate batch to per-query "
+    "top-(k+margin), decimal-exact rescoring of the survivors reproduces "
+    "cosine_topk_exact bit-for-bit — the scan-parallel exact baseline "
+    "whose candidate side never shuffles (similarity.cosine_topk_gemm).",
+)
+
 q_emb_cosine_topk_lsh = Query(
     name="emb_cosine_topk_lsh",
     build=lambda spark, sf_dir: similarity.cosine_topk_lsh(
@@ -1711,6 +1726,7 @@ QUERIES = [
     q_emb_label_stats,
     q_emb_label_centroids,
     q_emb_cosine_topk,
+    q_emb_cosine_topk_gemm,
     q_emb_cosine_topk_lsh,
     q_emb_hard_negatives,
     q_emb_hard_negatives_lsh,

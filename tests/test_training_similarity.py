@@ -232,3 +232,23 @@ def test_hard_negatives_lsh_subset_of_exact(labeled):
         key = (r["query_id"], r["candidate_id"])
         assert key in exact
         assert abs(exact[key] - r["cosine"]) <= 1e-6  # decimal- vs double-rounded
+
+
+def test_gemm_topk_bit_identical_to_exact(spark, sf_smoke):
+    """The GEMM-pruned exact path must reproduce cosine_topk_exact
+    bit-for-bit — same pairs, same rounded cosines, same ranks — which
+    is what lets it share the decimal-exact oracle."""
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    exact = sorted(map(tuple, similarity.cosine_topk_exact(embs, n_queries=10, k=4).collect()))
+    gemm = sorted(map(tuple, similarity.cosine_topk_gemm(embs, n_queries=10, k=4).collect()))
+    assert exact == gemm
+
+
+def test_gemm_topk_survives_tiny_batches(spark, sf_smoke):
+    """Per-batch pruning must still yield the global top-k when the
+    candidate side is split into many small partitions (each batch's
+    exact top-k union always contains the global top-k)."""
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").repartition(16)
+    exact = sorted(map(tuple, similarity.cosine_topk_exact(embs, n_queries=5, k=3).collect()))
+    gemm = sorted(map(tuple, similarity.cosine_topk_gemm(embs, n_queries=5, k=3).collect()))
+    assert exact == gemm

@@ -214,6 +214,12 @@ def main() -> int:
         "ann_lsh_topk": lambda docs, ev, embs: similarity.cosine_topk_lsh(
             embs, n_queries=100, k=5
         ),
+        # exact-at-GEMM-throughput baseline: same fixed query batch as
+        # the LSH path, so the two rows compare exact vs approximate
+        # candidate generation directly
+        "gemm_topk": lambda docs, ev, embs: similarity.cosine_topk_gemm(
+            embs, n_queries=100, k=5
+        ),
         "hard_negatives_lsh": lambda docs, ev, embs: similarity.hard_negatives_lsh(
             embs, n_queries=100, k=5
         ),
