@@ -570,6 +570,20 @@ q_emb_hard_negatives = Query(
     "baseline, LSH-bucketed scale variant is emb_hard_negatives_lsh.",
 )
 
+q_emb_hard_negatives_gemm = Query(
+    name="emb_hard_negatives_gemm",
+    build=lambda spark, sf_dir: similarity.hard_negatives_gemm(
+        _embs(spark, sf_dir), n_queries=20, k=3
+    ),
+    # Bit-identical to hard_negatives_exact (GEMM prune with in-batch
+    # label mask, decimal-exact rescore) — shares its oracle text.
+    oracle=q_emb_hard_negatives.oracle,
+    doc="Hard-negative mining at GEMM throughput: the different-label "
+    "constraint masks inside the numpy batch, survivors are rescored "
+    "decimal-exact — reproduces hard_negatives_exact bit-for-bit with a "
+    "never-shuffling candidate scan (similarity.hard_negatives_gemm).",
+)
+
 q_emb_hard_negatives_lsh = Query(
     name="emb_hard_negatives_lsh",
     build=lambda spark, sf_dir: similarity.hard_negatives_lsh(
@@ -1729,6 +1743,7 @@ QUERIES = [
     q_emb_cosine_topk_gemm,
     q_emb_cosine_topk_lsh,
     q_emb_hard_negatives,
+    q_emb_hard_negatives_gemm,
     q_emb_hard_negatives_lsh,
     q_emb_cosine_near_dups,
     q_emb_cosine_near_dups_lsh,

@@ -754,6 +754,105 @@ def hard_negatives_exact(
     )
 
 
+def hard_negatives_gemm(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    margin: int = 8,
+) -> DataFrame:
+    """Hard-negative mining at GEMM throughput — exact output identical
+    to :func:`hard_negatives_exact` (same oracle applies).
+
+    Same two-stage shape as :func:`cosine_topk_gemm`, with the
+    DIFFERENT-label constraint applied inside the numpy batch (label
+    vectors broadcast with the query matrix, equality mask to -inf), so
+    the prune keeps each batch's top-(k+margin) different-label
+    candidates per query and the candidate scan never shuffles.
+    """
+    _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "hard_negatives_gemm")
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+    q_rows = vecs.filter(F.col(id_col) < n_queries).collect()
+    if not q_rows:
+        raise ValueError("hard_negatives_gemm: no query vectors below n_queries")
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_labels = np.array([r[label_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_norm[q_norm == 0.0] = 1.0
+    take = k + margin
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_labels = pdf[label_col].to_numpy(dtype=np.int64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            c_norm[c_norm == 0.0] = 1.0
+            scores = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
+            scores[q_labels[:, None] == c_labels[None, :]] = -np.inf
+            t = min(take, scores.shape[1])
+            idx = np.argpartition(-scores, t - 1, axis=1)[:, :t]
+            out_q = np.repeat(q_ids, t)
+            out_c = c_ids[idx].ravel()
+            out_s = np.take_along_axis(scores, idx, axis=1).ravel()
+            keep = np.isfinite(out_s)  # drop same-label fillers
+            yield pd.DataFrame(
+                {"query_id": out_q[keep], "candidate_id": out_c[keep]}
+            )
+
+    surv = vecs.mapInPandas(prune, "query_id long, candidate_id long")
+
+    dot_dec = (
+        "aggregate(zip_with({a}, {b}, "
+        "(x, y) -> cast(cast(x as double) * cast(y as double) as decimal(28,18))), "
+        "cast(0 as decimal(30,18)), (acc, v) -> cast(acc + v as decimal(30,18)))"
+    )
+    qv = vecs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qvec"),
+    )
+    cv = vecs.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(label_col).alias("candidate_label"),
+        F.col(vec_col).alias("cvec"),
+    )
+    scored = (
+        surv.join(qv, "query_id")
+        .join(cv, "candidate_id")
+        .filter(F.col("query_label") != F.col("candidate_label"))
+        .withColumn("dot_dec", F.expr(dot_dec.format(a="qvec", b="cvec")))
+        .withColumn("qn2", F.expr(dot_dec.format(a="qvec", b="qvec")))
+        .withColumn("cn2", F.expr(dot_dec.format(a="cvec", b="cvec")))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot_dec").cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id").asc())
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "candidate_id",
+            "candidate_label",
+            "cosine",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+    )
+
+
 def hard_negatives_lsh(
     embeddings: DataFrame,
     n_queries: int = 20,

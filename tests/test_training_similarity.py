@@ -252,3 +252,19 @@ def test_gemm_topk_survives_tiny_batches(spark, sf_smoke):
     exact = sorted(map(tuple, similarity.cosine_topk_exact(embs, n_queries=5, k=3).collect()))
     gemm = sorted(map(tuple, similarity.cosine_topk_gemm(embs, n_queries=5, k=3).collect()))
     assert exact == gemm
+
+
+def test_gemm_hard_negatives_bit_identical_to_exact(spark, sf_smoke):
+    """GEMM hard negatives with the in-batch label mask must reproduce
+    hard_negatives_exact bit-for-bit, including under repartitioning."""
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    exact = sorted(map(tuple, similarity.hard_negatives_exact(embs, n_queries=8, k=4).collect()))
+    gemm = sorted(map(tuple, similarity.hard_negatives_gemm(embs, n_queries=8, k=4).collect()))
+    assert exact == gemm
+    gemm16 = sorted(
+        map(
+            tuple,
+            similarity.hard_negatives_gemm(embs.repartition(16), n_queries=8, k=4).collect(),
+        )
+    )
+    assert exact == gemm16
