@@ -309,6 +309,76 @@ def stream_dedup_against_corpus(
     )
 
 
+def stream_interval_enrich(
+    events_stream: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "interval_start",
+    end_col: str = "interval_end_excl",
+    chunk_micros: int = 3_600_000_000,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static point-in-interval enrichment: tag each streaming
+    event with the static half-open interval(s) containing its
+    timestamp (e.g. the busy-hour islands of
+    `queries.events_ops.events_activity_islands`, maintenance windows,
+    campaign periods).
+
+    This is the streaming face of `operators.interval_overlap_join`
+    with the stream side as degenerate point-intervals: the event's
+    chunk id is ONE row-local expression (a point covers exactly one
+    chunk, so the report-once logic disappears), the static intervals
+    explode into their covered chunks when the micro-batch plan is
+    built, and the join is a plain stream-static equi-join on chunk id
+    refined by `start <= ts < end` — state-FREE (no watermark, no join
+    state), because the static side is re-planned per micro-batch and a
+    point matches within its own chunk only.  A raw range-predicate
+    stream-static join would plan as a per-batch nested loop over the
+    whole interval table; here the batch probes only its chunk's
+    intervals.
+
+    `how='left'` keeps unmatched events (interval columns NULL) —
+    enrichment semantics; `'inner'` filters to in-interval events.
+    Contract matches the batch operator: NTZ timestamps, half-open
+    intervals, empty intervals dropped, column names disjoint.
+    """
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    lhs = events_stream.withColumn(
+        "_e_chunk",
+        F.expr(
+            f"TIMESTAMPDIFF(MICROSECOND, {epoch}, {ts_col}) div {chunk_micros}"
+        ),
+    )
+    rhs = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "_i_chunk",
+            F.explode(
+                F.sequence(
+                    F.expr(
+                        f"TIMESTAMPDIFF(MICROSECOND, {epoch}, {start_col})"
+                        f" div {chunk_micros}"
+                    ),
+                    F.expr(
+                        f"(TIMESTAMPDIFF(MICROSECOND, {epoch}, {end_col}) - 1)"
+                        f" div {chunk_micros}"
+                    ),
+                )
+            ),
+        )
+    )
+    return (
+        lhs.join(
+            rhs,
+            (F.col("_e_chunk") == F.col("_i_chunk"))
+            & (F.col(start_col) <= F.col(ts_col))
+            & (F.col(ts_col) < F.col(end_col)),
+            how,
+        )
+        .drop("_e_chunk", "_i_chunk")
+    )
+
+
 def stream_semantic_dedup(
     vec_stream: DataFrame,
     corpus: DataFrame,

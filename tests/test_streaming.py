@@ -594,3 +594,60 @@ def test_stream_semantic_dedup(spark, tmp_path):
     assert kept == batch_kept
     assert 10 not in kept
     assert {11, 12} <= kept or kept == batch_kept  # bucket recall may drop more
+
+
+def test_stream_interval_enrich_matches_naive_and_keeps_unmatched(spark, tmp_path):
+    """Point-in-interval enrichment: events inside a static interval get
+    its columns, events outside survive with NULLs (left), intervals
+    spanning several chunks still catch events in every covered chunk,
+    and the result equals a naive batch range join."""
+    intervals = spark.sql(
+        """
+        SELECT * FROM VALUES
+          ('w1', TIMESTAMP_NTZ '2024-01-01 01:00:00', TIMESTAMP_NTZ '2024-01-01 02:00:00'),
+          ('w2', TIMESTAMP_NTZ '2024-01-01 03:30:00', TIMESTAMP_NTZ '2024-01-01 06:15:00'),
+          ('w0', TIMESTAMP_NTZ '2024-01-01 05:00:00', TIMESTAMP_NTZ '2024-01-01 05:00:00')
+        AS t(win_id, interval_start, interval_end_excl)
+        """
+    )
+    batch = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1, TIMESTAMP_NTZ '2024-01-01 01:30:00'),
+          (2, TIMESTAMP_NTZ '2024-01-01 02:00:00'),
+          (3, TIMESTAMP_NTZ '2024-01-01 04:59:59'),
+          (4, TIMESTAMP_NTZ '2024-01-01 06:14:59.999999'),
+          (5, TIMESTAMP_NTZ '2024-01-01 23:00:00')
+        AS t(event_id, ts)
+        """
+    )
+    src = tmp_path / "enrich_src"
+    os.makedirs(src)
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    out = streaming.stream_interval_enrich(stream, intervals)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_en"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(r["event_id"], r["win_id"]) for r in spark.table("enrich_out").collect()}
+    finally:
+        q.stop()
+    naive = {
+        (r["event_id"], r["win_id"])
+        for r in batch.join(
+            intervals,
+            (F.col("interval_start") <= F.col("ts"))
+            & (F.col("ts") < F.col("interval_end_excl")),
+            "left",
+        ).collect()
+    }
+    # event 1 in w1; 2 at w1's exclusive end -> unmatched; 3 and 4 in
+    # w2 (multi-chunk span, 4 is the last microsecond); 5 unmatched;
+    # empty w0 never matches
+    assert rows == naive == {(1, "w1"), (2, None), (3, "w2"), (4, "w2"), (5, None)}
