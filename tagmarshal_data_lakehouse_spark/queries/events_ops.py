@@ -703,6 +703,55 @@ q_events_interval_join = Query(
 )
 
 
+def _build_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_interval_enrich
+
+    load_views(spark, sf_dir)
+    islands = spark.sql(_islands_sql("spark")).select(
+        F.col("event_type").alias("island_type"),
+        "start_hour_idx",
+        "island_start",
+        "island_end_excl",
+    )
+    enriched = stream_interval_enrich(
+        spark.table("events").select("event_id", "event_type", "ts"),
+        islands,
+        ts_col="ts",
+        start_col="island_start",
+        end_col="island_end_excl",
+        how="inner",
+    )
+    return enriched.groupBy("event_type", "island_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events_in_islands"),
+        F.countDistinct("start_hour_idx").cast("bigint").alias("n_islands_hit"),
+    )
+
+
+_POINT_IN_INTERVAL_ORACLE = f"""
+WITH islands AS ({_islands_sql('duckdb')})
+SELECT e.event_type, i.event_type AS island_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events_in_islands,
+       CAST(COUNT(DISTINCT i.start_hour_idx) AS BIGINT) AS n_islands_hit
+FROM events e JOIN islands i
+  ON i.island_start <= e.ts AND e.ts < i.island_end_excl
+GROUP BY 1, 2
+"""
+
+
+q_events_point_in_interval = Query(
+    name="events_point_in_interval",
+    build=_build_point_in_interval,
+    oracle=_POINT_IN_INTERVAL_ORACLE,
+    doc="Point-in-interval tagging (events x busy-hour islands) through "
+    "streaming.stream_interval_enrich run in batch mode — the event's "
+    "chunk id is one row-local expression, islands explode into covered "
+    "chunks, and the join is a chunk equi-join with a range refine "
+    "(the state-free micro-batch shape, here driver-verified against "
+    "DuckDB's native range join); aggregated to a (event_type x "
+    "island_type) contingency so the driver frame stays small.",
+)
+
+
 q_events_value_histogram = _shared(
     "events_value_histogram",
     f"""
@@ -740,4 +789,5 @@ QUERIES = [
     q_events_activity_islands,
     q_events_interval_join,
     q_events_value_histogram,
+    q_events_point_in_interval,
 ]
