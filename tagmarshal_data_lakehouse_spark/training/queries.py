@@ -640,6 +640,19 @@ q_emb_cosine_near_dups_lsh = Query(
     "path (tests assert pairs ⊆ the exact baseline's).",
 )
 
+q_emb_cosine_near_dups_gemm = Query(
+    name="emb_cosine_near_dups_gemm",
+    build=lambda spark, sf_dir: similarity.cosine_near_duplicates_lsh_gemm(
+        _embs(spark, sf_dir), threshold=0.45, n_bands=12, planes_per_band=3
+    ),
+    oracle=None,  # same banded-sketch recall as the lsh variant
+    doc="Banded hyperplane-LSH near-dup pairs with within-bucket numpy "
+    "GEMM scoring (applyInPandas): vectors ride the one bucket shuffle, "
+    "each capped bucket scores as one M @ M.T, sub-threshold candidates "
+    "never leave the executor — 5x the expression path at 16x "
+    "amplification (SCALE.md), pair-identical output (pytest-pinned).",
+)
+
 q_emb_ivf_topk = Query(
     name="emb_ivf_topk",
     build=lambda spark, sf_dir: similarity.ivf_topk(
@@ -1747,6 +1760,7 @@ QUERIES = [
     q_emb_hard_negatives_lsh,
     q_emb_cosine_near_dups,
     q_emb_cosine_near_dups_lsh,
+    q_emb_cosine_near_dups_gemm,
     q_emb_ivf_topk,
     q_emb_pq_topk,
     q_emb_ivfpq_topk,

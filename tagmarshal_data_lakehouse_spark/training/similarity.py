@@ -420,6 +420,87 @@ def cosine_near_duplicates_lsh(
     )
 
 
+def cosine_near_duplicates_lsh_gemm(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    max_bucket: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`cosine_near_duplicates_lsh` with the within-bucket scoring done
+    as ONE numpy GEMM per bucket (applyInPandas) — same banded
+    hyperplane candidate generation, same (id_a < id_b, cosine >=
+    threshold) output contract.
+
+    Why: the expression-path variant materializes the candidate PAIR
+    stream (explode -> distinct -> two id-joins carrying the vectors ->
+    a per-pair aggregate fold).  Under heavy duplication that stream is
+    orders of magnitude larger than the final output and dominates the
+    wall-clock (measured: 137 s at 16x amplification, SCALE.md).  Here
+    the vectors ride the ONE band-bucket shuffle instead; each bucket
+    (bounded by `max_bucket`) scores all its pairs in a single
+    M @ M.T, and only the >= threshold survivors leave the executor.
+    Cross-band duplicate pairs collapse with a dropDuplicates on the id
+    pair — identical inputs give identical float64 cosines in every
+    band, so any copy carries the same score.
+
+    Trade: the shuffle moves `n_bands` copies of each vector (vs ids
+    only), bought back many times over by never materializing the
+    sub-threshold candidate mass.  Scores are float64 BLAS sums
+    (np.round half-even) — within 1e-6 of the expression path's
+    sequential fold, pytest-pinned pair-identical on the fixture.
+    """
+    band_structs = []
+    for b in range(n_bands):
+        terms = []
+        for r in range(planes_per_band):
+            proj = (
+                f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+                f"(x, i) -> cast(x as double) * "
+                f"(cast(xxhash64(i, {b}, {r}) % 10007 as double) / 1.0007e4)), "
+                f"cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+            terms.append(f"CASE WHEN {proj} >= 0 THEN {2 ** r} ELSE 0 END")
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(" + ".join(terms)).cast("int").alias("bucket"),
+            )
+        )
+    banded = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select("_id", "_vec", "band.band_id", "band.bucket")
+
+    def score_bucket(pdf):
+        n = len(pdf)
+        if n < 2 or n > max_bucket:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+        norm = np.sqrt((mat * mat).sum(axis=1))
+        norm[norm == 0.0] = 1.0
+        sims = (mat @ mat.T) / np.outer(norm, norm)
+        ia, ib = np.triu_indices(n, k=1)
+        cos = np.round(sims[ia, ib], 6)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": cos[keep]}
+        )
+
+    return (
+        banded.groupBy("band_id", "bucket")
+        .applyInPandas(score_bucket, "id_a long, id_b long, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 20,

@@ -268,3 +268,21 @@ def test_gemm_hard_negatives_bit_identical_to_exact(spark, sf_smoke):
         )
     )
     assert exact == gemm16
+
+
+def test_gemm_near_dups_pair_identical_to_expression_lsh(spark, sf_smoke):
+    """Within-bucket GEMM scoring must produce the same pair set and
+    6-decimal cosines as the expression-path LSH variant (identical
+    banded candidates, float64 scoring either way)."""
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    kw = dict(threshold=0.45, n_bands=12, planes_per_band=3)
+    expr_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_near_duplicates_lsh(embs, **kw).collect()
+    }
+    gemm_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_near_duplicates_lsh_gemm(embs, **kw).collect()
+    }
+    assert set(expr_pairs) == set(gemm_pairs)
+    assert all(abs(expr_pairs[k] - gemm_pairs[k]) <= 1e-6 for k in expr_pairs)

@@ -230,6 +230,11 @@ def main() -> int:
         "emb_near_dups_lsh": lambda docs, ev, embs: similarity.cosine_near_duplicates_lsh(
             embs, threshold=0.45, n_bands=8, planes_per_band=10, max_bucket=500
         ),
+        # same candidates, within-bucket GEMM scoring — the probe pair
+        # that motivated the variant (137.6s -> 27.8s at 16x)
+        "emb_near_dups_gemm": lambda docs, ev, embs: similarity.cosine_near_duplicates_lsh_gemm(
+            embs, threshold=0.45, n_bands=8, planes_per_band=10, max_bucket=500
+        ),
     }
 
     results: dict[str, list[tuple[int, float]]] = {k: [] for k in operators}
