@@ -705,6 +705,7 @@ def semantic_dedup(
     kmeans_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means partitions the embedding space, then
@@ -726,6 +727,12 @@ def semantic_dedup(
     left-semi join, so the pair stream is never materialized into the
     output. Cross-cluster near-dups are missed by design — the paper's
     recall/cost trade.
+
+    `scorer='gemm'` routes the within-cluster scoring through one numpy
+    M @ M.T per cluster (applyInPandas) instead of the expression-path
+    pair join — same dropped set (pytest-pinned), but the sub-threshold
+    within-cluster pair mass never leaves the executor (the same trade
+    measured 5x on the banded near-dup path, SCALE.md).
     """
     from . import clustering
 
@@ -733,6 +740,40 @@ def semantic_dedup(
         embeddings, k=n_clusters, max_iter=kmeans_iter, id_col=id_col, vec_col=vec_col
     ).select(F.col(id_col), "cluster")
     vecs = assigned.join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
+
+    if scorer == "gemm":
+
+        def drop_in_cluster(pdf):
+            if len(pdf) < 2:
+                return pd.DataFrame({"_did": []}).astype({"_did": "int64"})
+            pdf = pdf.sort_values(id_col)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norm = np.sqrt((mat * mat).sum(axis=1))
+            norm[norm == 0.0] = 1.0
+            sims = (mat @ mat.T) / np.outer(norm, norm)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            hit = np.round(sims[ia, ib], 6) >= threshold
+            return pd.DataFrame({"_did": np.unique(ids[ib[hit]])})
+
+        dropped = (
+            vecs.groupBy("cluster")
+            .applyInPandas(drop_in_cluster, "_did long")
+            .select(F.col("_did").alias(id_col))
+            .distinct()
+            .withColumn("is_dropped", F.lit(True))
+        )
+        return (
+            assigned.join(dropped, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.col("cluster"),
+                F.coalesce(F.col("is_dropped"), F.lit(False)).alias("is_dropped"),
+                (~F.coalesce(F.col("is_dropped"), F.lit(False))).alias("keep"),
+            )
+        )
+    if scorer != "expr":
+        raise ValueError(f"semantic_dedup: unknown scorer {scorer!r} (expr | gemm)")
 
     a = vecs.select(
         F.col(id_col).alias("id_a"), F.col("cluster"), F.col(vec_col).alias("veca")

@@ -286,3 +286,13 @@ def test_gemm_near_dups_pair_identical_to_expression_lsh(spark, sf_smoke):
     }
     assert set(expr_pairs) == set(gemm_pairs)
     assert all(abs(expr_pairs[k] - gemm_pairs[k]) <= 1e-6 for k in expr_pairs)
+
+
+def test_semantic_dedup_gemm_scorer_matches_expr(spark, sf_smoke):
+    """The GEMM within-cluster scorer must produce the same verdict
+    frame (id, cluster, is_dropped, keep) as the expression path."""
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    kw = dict(n_clusters=8, threshold=0.98, kmeans_iter=3)
+    expr_v = sorted(map(tuple, similarity.semantic_dedup(embs, **kw).collect()))
+    gemm_v = sorted(map(tuple, similarity.semantic_dedup(embs, scorer="gemm", **kw).collect()))
+    assert expr_v == gemm_v
