@@ -365,6 +365,36 @@ def cmd_restore(args) -> int:
     return 0
 
 
+def cmd_rollup(args) -> int:
+    """Maintain / read the incremental sketch rollup (continuous
+    aggregate): `--refresh <parquet>` merges one batch (idempotent per
+    batch id — a replayed id is a no-op), `--show` prints the state with
+    derived estimates (HLL distinct users, histogram p50/p95) at hourly
+    or event-type grain. At scale this verb is the cron/stream driver of
+    `rollup.SketchRollup` — each refresh touches only the new batch."""
+    spark, lake = _spark_and_lake(args)
+    from .rollup import SketchRollup
+
+    roll = SketchRollup(lake)
+    if not args.refresh and not args.show:
+        print("rollup: nothing to do (pass --refresh and/or --show)", file=sys.stderr)
+        return 2
+    if args.refresh:
+        batch = spark.read.parquet(args.refresh)
+        batch_id = args.batch_id or os.path.abspath(args.refresh)
+        applied = roll.refresh(batch, batch_id)
+        print(f"batch {batch_id}: {'applied' if applied else 'replay refused (already applied)'}")
+    if args.show:
+        if args.grain == "type":
+            df = roll.by_event_type().orderBy("event_type")
+        else:
+            df = roll.with_estimates().drop("user_sketch", "value_hist").orderBy(
+                "event_type", "bucket_hour"
+            )
+        df.show(args.rows, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tagmarshal_data_lakehouse_spark")
     p.add_argument(
@@ -464,6 +494,16 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("table")
     rs.add_argument("version", type=int)
     rs.set_defaults(fn=cmd_restore)
+
+    ru = sub.add_parser(
+        "rollup", help="refresh/read the incremental sketch rollup (continuous aggregate)"
+    )
+    ru.add_argument("--refresh", help="events-shaped parquet batch to merge")
+    ru.add_argument("--batch-id", help="idempotency key (default: the batch path)")
+    ru.add_argument("--show", action="store_true", help="print the rollup with estimates")
+    ru.add_argument("--grain", choices=["hour", "type"], default="hour")
+    ru.add_argument("--rows", type=int, default=20)
+    ru.set_defaults(fn=cmd_rollup)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -168,3 +168,24 @@ def test_cli_export(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert json.load(open(f"{out}/manifest.json")) == manifest
+
+
+def test_cli_rollup_refresh_replay_and_show(spark, tmp_path, capsys):
+    """rollup verb: first --refresh applies, same batch id replays as a
+    no-op, --show prints estimates at both grains."""
+    wh = str(tmp_path / "wh")
+    base = ["--warehouse", wh, "--bronze-root", str(tmp_path / "bronze")]
+    batch = str(tmp_path / "events_batch")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(500).write.parquet(batch)
+
+    assert main(base + ["rollup", "--refresh", batch, "--show"]) == 0
+    out = capsys.readouterr().out
+    assert "applied" in out and "approx_users" in out and "value_p50" in out
+
+    assert main(base + ["rollup", "--refresh", batch]) == 0
+    assert "replay refused" in capsys.readouterr().out
+
+    assert main(base + ["rollup", "--show", "--grain", "type"]) == 0
+    assert "n_hourly_buckets" in capsys.readouterr().out
+
+    assert main(base + ["rollup"]) == 2
