@@ -910,6 +910,60 @@ q_doc_weighted_sample = Query(
     "bit-reproducible where A-Res u^(1/w) keys are not.",
 )
 
+_LMS_TARGET_SOURCES = "('src0', 'src1', 'src2', 'src3')"
+
+
+def _build_length_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+    cands = docs.filter(~F.col("source").isin("src0", "src1", "src2", "src3"))
+    return sampling.length_matched_sample(cands, target, total=150).select(
+        "doc_id", "source", F.col("length_bucket").cast("int").alias("length_bucket"), "sort_hash"
+    )
+
+
+q_doc_length_matched_sample = Query(
+    name="doc_length_matched_sample",
+    build=_build_length_matched_sample,
+    # Integer-exact per-bucket quotas ((total * n_b) DIV n_target) and
+    # md5 reservoir order — every step bit-identical across engines.
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT doc_id, source,
+                   LEAST(CAST((CASE WHEN length({_NORM}) = 0 THEN 0
+                               ELSE len({_TOKENS}) END) // 10 AS INT), 9)
+                       AS length_bucket
+            FROM documents
+        ), tgt AS (
+            SELECT length_bucket, COUNT(*) AS n_b
+            FROM bucketed WHERE source IN {_LMS_TARGET_SOURCES}
+            GROUP BY 1
+        ), takes AS (
+            SELECT length_bucket,
+                   CAST((150 * n_b) // (SELECT SUM(n_b) FROM tgt) AS INT) AS take_n
+            FROM tgt
+        ), cand AS (
+            SELECT b.doc_id, b.source, b.length_bucket,
+                   md5(CAST(b.doc_id AS VARCHAR)) AS sort_hash,
+                   ROW_NUMBER() OVER (PARTITION BY b.length_bucket
+                                      ORDER BY md5(CAST(b.doc_id AS VARCHAR))) AS rn
+            FROM bucketed b WHERE b.source NOT IN {_LMS_TARGET_SOURCES}
+        )
+        SELECT c.doc_id, c.source, CAST(c.length_bucket AS INT) AS length_bucket,
+               c.sort_hash
+        FROM cand c JOIN takes t USING (length_bucket)
+        WHERE c.rn <= t.take_n
+    """,
+    doc="Length-distribution-matched subsampling: candidate sources "
+    "sampled so their token-length histogram matches the target "
+    "sources' (per-bucket integer quotas, md5 reservoir per bucket) — "
+    "the domain-matching selection for aligning a pretraining mix with "
+    "a reference distribution (sampling.length_matched_sample; target "
+    "side reduces to <= n_buckets broadcast rows, candidates shuffle "
+    "once on the bucket key).",
+)
+
+
 q_doc_source_drift = Query(
     name="doc_source_drift",
     build=lambda spark, sf_dir: text.source_drift(_docs(spark, sf_dir)),
@@ -1798,6 +1852,7 @@ QUERIES = [
     q_doc_stratified_sample,
     q_doc_hash_sample_k,
     q_doc_weighted_sample,
+    q_doc_length_matched_sample,
     q_doc_mixture_weights,
     q_doc_temperature_mixture,
     q_doc_source_drift,

@@ -306,3 +306,62 @@ def temperature_mixture(
             ),
         )
     )
+
+
+def length_matched_sample(
+    candidates: DataFrame,
+    target: DataFrame,
+    total: int,
+    bucket_width: int = 10,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution-matched subsampling: select ~`total` candidate
+    documents whose token-length DISTRIBUTION matches the target
+    corpus's — the domain-matching selection used to align a pretraining
+    mix with an eval set or a reference domain (importance sampling on
+    the length marginal, the cheapest distribution knob).
+
+    Per fixed-width length bucket b: take_b = (total * target_count_b)
+    div target_total (integer-exact in every engine; floor remainders
+    are dropped, so the output is at most `total`), and the winners are
+    the take_b smallest md5(id) in the candidate bucket — the same
+    deterministic reservoir as `hash_sample_k`, per bucket.
+
+    Scale shape: the target side reduces to <= n_buckets rows
+    (broadcast); candidates shuffle ONCE on the bucket key for the
+    per-bucket row_number. Buckets are few and balanced by construction
+    (length marginals are smooth), so the window partitioning cannot go
+    pathological; at extreme scale swap the window for a per-bucket
+    TakeOrdered loop over n_buckets queries.
+    """
+    from pyspark.sql.window import Window as W
+
+    from . import text
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        n = text.token_count(F.col(text_col))
+        return df.withColumn(
+            "length_bucket",
+            F.least(F.floor(n / bucket_width).cast("int"), F.lit(n_buckets - 1)),
+        )
+
+    tgt_counts = bucketed(target).groupBy("length_bucket").agg(
+        F.count(F.lit(1)).alias("_n_b")
+    )
+    tgt_total = tgt_counts.agg(F.sum("_n_b").alias("_n_target"))
+    takes = tgt_counts.crossJoin(F.broadcast(tgt_total)).select(
+        "length_bucket",
+        F.expr(f"CAST(({int(total)} * _n_b) DIV _n_target AS INT)").alias("_take_n"),
+    )
+    cands = bucketed(candidates).withColumn(
+        "sort_hash", F.md5(F.col(id_col).cast("string"))
+    )
+    w = W.partitionBy("length_bucket").orderBy("sort_hash")
+    return (
+        cands.join(F.broadcast(takes), "length_bucket")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_take_n"))
+        .drop("_rn", "_take_n")
+    )

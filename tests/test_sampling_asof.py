@@ -220,3 +220,39 @@ def test_temperature_mixture_flattens_toward_uniform(docs):
         if abs(natural - uniform) > 1e-9:
             assert lo < r["temp_share"] < hi, (lang, r["temp_share"], natural, uniform)
         assert 0.0 <= r["sample_rate"] <= 1.0
+
+
+def test_length_matched_sample_matches_target_histogram(spark, sf_smoke):
+    """The selected candidate set must carry the target's length-bucket
+    quota exactly wherever candidates suffice, never exceed a bucket's
+    quota, and be deterministic across partitionings."""
+    from pyspark.sql import functions as F
+
+    from tagmarshal_data_lakehouse_spark.training import sampling, text
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    tgt_sources = ("src0", "src1", "src2", "src3")
+    target = docs.filter(F.col("source").isin(*tgt_sources))
+    cands = docs.filter(~F.col("source").isin(*tgt_sources))
+    total = 60
+
+    out = sampling.length_matched_sample(cands, target, total=total)
+    got = {r["length_bucket"]: r["n"] for r in out.groupBy("length_bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    def bucket_counts(df):
+        n = text.token_count(F.col("text"))
+        b = F.least(F.floor(n / 10).cast("int"), F.lit(9))
+        return {r["b"]: r["n"] for r in df.select(b.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    tgt_b = bucket_counts(target)
+    cand_b = bucket_counts(cands)
+    n_target = sum(tgt_b.values())
+    for b, n_b in tgt_b.items():
+        quota = (total * n_b) // n_target
+        expect = min(quota, cand_b.get(b, 0))
+        assert got.get(b, 0) == expect, (b, got.get(b), quota, cand_b.get(b))
+    assert sum(got.values()) <= total
+
+    # deterministic under repartitioning
+    out2 = sampling.length_matched_sample(cands.repartition(13), target, total=total)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(r["doc_id"] for r in out2.collect())
