@@ -395,6 +395,34 @@ def cmd_rollup(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """OPTIMIZE-style small-file compaction, optionally clustering the
+    rewrite (sort or z-order) so parquet min/max stats prune whole
+    files for later predicates."""
+    _, lake = _spark_and_lake(args)
+    n_files = lake.compact(
+        args.table,
+        sort_cols=args.sort_by or None,
+        zorder_by=args.zorder_by or None,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+    )
+    print(f"compacted {args.table} -> {n_files} files")
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    """Reclaim interrupted-swap leftovers, prune quarantine history, and
+    expire old snapshots (the VACUUM / expire_snapshots role)."""
+    _, lake = _spark_and_lake(args)
+    removed = lake.vacuum(
+        quarantine_keep=args.quarantine_keep, snapshot_keep=args.snapshot_keep
+    )
+    for path in removed:
+        print(f"removed {path}")
+    print(f"vacuum: {len(removed)} paths reclaimed")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tagmarshal_data_lakehouse_spark")
     p.add_argument(
@@ -504,6 +532,18 @@ def main(argv: list[str] | None = None) -> int:
     ru.add_argument("--grain", choices=["hour", "type"], default="hour")
     ru.add_argument("--rows", type=int, default=20)
     ru.set_defaults(fn=cmd_rollup)
+
+    co = sub.add_parser("compact", help="small-file compaction with optional clustering")
+    co.add_argument("table")
+    co.add_argument("--sort-by", nargs="+", help="cluster the rewrite by these columns")
+    co.add_argument("--zorder-by", nargs="+", help="z-order the rewrite by these columns")
+    co.add_argument("--target-mb", type=int, default=128, help="target file size (MiB)")
+    co.set_defaults(fn=cmd_compact)
+
+    va = sub.add_parser("vacuum", help="reclaim leftovers, prune quarantine + snapshots")
+    va.add_argument("--quarantine-keep", type=int, default=10)
+    va.add_argument("--snapshot-keep", type=int, default=5)
+    va.set_defaults(fn=cmd_vacuum)
 
     args = p.parse_args(argv)
     return args.fn(args)

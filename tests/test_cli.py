@@ -189,3 +189,22 @@ def test_cli_rollup_refresh_replay_and_show(spark, tmp_path, capsys):
     assert "n_hourly_buckets" in capsys.readouterr().out
 
     assert main(base + ["rollup"]) == 2
+
+
+def test_cli_compact_and_vacuum(spark, tmp_path, capsys):
+    """compact rewrites a fragmented table to few files; vacuum reports
+    reclaimed paths (none on a clean warehouse)."""
+    wh = str(tmp_path / "wh")
+    base = ["--warehouse", wh, "--bronze-root", str(tmp_path / "bronze")]
+    from tagmarshal_data_lakehouse_spark.storage import Lakehouse
+
+    lake = Lakehouse(spark, wh)
+    lake.overwrite("frag", spark.range(2000).repartition(16).selectExpr("id", "id % 7 AS k"))
+
+    assert main(base + ["compact", "frag", "--sort-by", "k"]) == 0
+    out = capsys.readouterr().out
+    assert "compacted frag ->" in out
+    assert lake.read("frag").count() == 2000
+
+    assert main(base + ["vacuum"]) == 0
+    assert "paths reclaimed" in capsys.readouterr().out
