@@ -105,6 +105,12 @@ def main() -> int:
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "48g")
+        # match the production session's runtime re-planning (session.py):
+        # skew splitting and partition coalescing are part of the scale
+        # story being measured, not noise to exclude
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .appName("scale-probe")
         .getOrCreate()
     )
