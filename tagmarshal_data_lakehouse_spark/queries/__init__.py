@@ -167,7 +167,7 @@ def _register_tables(
 
 # The correctness harness sweeps the registry in insertion order under a
 # budget (rounds 2 and 3 each covered exactly the first 50 entries), so
-# ordering is a coverage decision, not cosmetics. With 156 registry
+# ordering is a coverage decision, not cosmetics. With 157 registry
 # entries and a ~50-entry budget, full driver coverage is a ROTATION:
 # each round the head carries (a) the flagship family stripes, (b) every
 # query that is red, was edited after its last green row, or gained a new

@@ -776,6 +776,51 @@ q_scalar_json = Query(
 )
 
 
+q_scalar_variant = Query(
+    name="scalar_variant",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(
+            # VARIANT (Spark 4): parse once, typed path access after —
+            # the open-format semi-structured type that replaces
+            # repeated string re-parsing (GET_JSON_OBJECT) when many
+            # paths read the same column at 100 TB. The filter and agg
+            # both consume the SAME parsed variant.
+            """
+            WITH parsed AS (
+                SELECT event_type, PARSE_JSON(props) AS v FROM events
+            )
+            SELECT event_type,
+                   CAST(VARIANT_GET(v, '$.k', 'int') DIV 10 AS INT) AS k_decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MAX(VARIANT_GET(v, '$.k', 'int')) AS INT) AS max_k
+            FROM parsed
+            WHERE VARIANT_GET(v, '$.k', 'int') IS NOT NULL
+            GROUP BY 1, 2
+            """
+        ),
+    )[1],
+    oracle="""
+        WITH parsed AS (
+            SELECT event_type, CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(k // 10 AS INT) AS k_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(k) AS INT) AS max_k
+        FROM parsed
+        WHERE k IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    doc="Semi-structured VARIANT path access (Spark 4 PARSE_JSON / "
+    "VARIANT_GET): the column parses ONCE and every downstream path "
+    "reads the binary variant — the scale answer to repeated "
+    "GET_JSON_OBJECT string re-parsing; values oracle-checked against "
+    "DuckDB's JSON extraction.",
+)
+
+
 def _build_scalar_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     # Coordinate validity + WKT construction, the quarantine predicate
@@ -1304,4 +1349,5 @@ QUERIES = [
     q_join_full_outer,
     q_agg_skew_profile,
     q_scan_profile,
+    q_scalar_variant,
 ]

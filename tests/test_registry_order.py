@@ -2,7 +2,7 @@
 
 The driver's correctness sweep walks ``registry()`` in insertion order
 under a budget (rounds 2 and 3 each stopped at exactly 50 entries), so
-ordering is a coverage guarantee. With 156 entries and a 50-slot budget,
+ordering is a coverage guarantee. With 157 entries and a 50-slot budget,
 full driver coverage is a ROTATION; this module pins the invariants the
 rotation must keep every round:
 
@@ -138,6 +138,7 @@ _NEW_DEFERRED_TO_NEXT_ROUND = frozenset(
         "emb_cosine_near_dups_gemm",  # rows-only; pair-identical-to-lsh pytest pin
         "doc_bpe_encode",  # rows-only; python-reference-pinned encoder
         "doc_length_matched_sample",  # oracle-green at sf0.001 + sf0.01 (sim)
+        "scalar_variant",  # oracle-green at sf0.001 + sf0.01 (sim)
     }
 )
 
