@@ -785,13 +785,16 @@ q_scalar_variant = Query(
             # the open-format semi-structured type that replaces
             # repeated string re-parsing (GET_JSON_OBJECT) when many
             # paths read the same column at 100 TB. The filter and agg
-            # both consume the SAME parsed variant.
+            # both consume the SAME parsed variant. Decile uses
+            # FLOOR(k/10.0) on BOTH engines — Spark's DIV truncates
+            # toward zero while DuckDB's // floors, so a negative k
+            # would otherwise flip the bucket.
             """
             WITH parsed AS (
                 SELECT event_type, PARSE_JSON(props) AS v FROM events
             )
             SELECT event_type,
-                   CAST(VARIANT_GET(v, '$.k', 'int') DIV 10 AS INT) AS k_decile,
+                   CAST(FLOOR(VARIANT_GET(v, '$.k', 'int') / 10.0) AS INT) AS k_decile,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(MAX(VARIANT_GET(v, '$.k', 'int')) AS INT) AS max_k
             FROM parsed
@@ -806,7 +809,7 @@ q_scalar_variant = Query(
             FROM events
         )
         SELECT event_type,
-               CAST(k // 10 AS INT) AS k_decile,
+               CAST(FLOOR(k / 10.0) AS INT) AS k_decile,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(MAX(k) AS INT) AS max_k
         FROM parsed

@@ -197,8 +197,22 @@ class SketchRollup:
             return False
         partial = self._partial(batch)
         if self.lake.exists(self.table):
+            stored = self.lake.read(self.table)
+            if "value_hist" not in stored.columns:
+                # Migration: rollup state written before the value_hist
+                # column existed. Backfill an all-zero histogram so the
+                # merge schema aligns — the additive-state contract then
+                # holds forward, but quantile estimates cover only
+                # post-migration batches (the pre-migration value mass
+                # was never histogrammed and cannot be reconstructed
+                # without a fact rescan; value_sum/n_events/user_sketch
+                # remain exact/mergeable across the boundary).
+                stored = stored.withColumn(
+                    "value_hist",
+                    F.array_repeat(F.lit(0).cast("bigint"), self.hist_buckets),
+                )
             merged = (
-                self.lake.read(self.table)
+                stored
                 .unionByName(partial)
                 .groupBy("event_type", "bucket_hour")
                 .agg(

@@ -56,6 +56,32 @@ def _guard_query_bound(n_queries: int, bound: int, fn: str) -> None:
         )
 
 
+def _gemm_prune_indices(scores: np.ndarray, c_ids: np.ndarray, t: int) -> np.ndarray:
+    """Per-query top-``t`` column indices under the EXACT output's total
+    order: round(score, 6) desc, candidate id asc.
+
+    Pruning under the same total order the final rescore window uses is
+    what makes the two-stage GEMM paths provably lossless: the union of
+    per-batch top-t sets under a total order always contains the global
+    top-t under that same order.  A plain ``argpartition`` on unrounded
+    float64 scores does NOT have this property — when more than
+    ``margin`` candidates share the rank-k rounded-cosine bin (plausible
+    under duplicate amplification), it can drop the low-candidate-id
+    member the exact baseline keeps.  The only residual divergence risk
+    is a cosine within ~1e-12 (float64 GEMM error) of a 1e-6 bin edge
+    flipping bins between numpy and the decimal rescore — more than
+    ``margin`` simultaneous flips at the boundary would be required to
+    lose a row.
+    """
+    binned = np.round(scores, 6)
+    out = np.empty((scores.shape[0], t), dtype=np.int64)
+    for i in range(scores.shape[0]):
+        # lexsort: last key is primary — -binned asc == rounded score
+        # desc, ties broken by candidate id asc (the window's order).
+        out[i] = np.lexsort((c_ids, -binned[i]))[:t]
+    return out
+
+
 def cosine_topk(
     embeddings: DataFrame,
     n_queries: int = 20,
@@ -206,11 +232,13 @@ def cosine_topk_gemm(
     `cosine_topk_exact`, then the global tie-broken window top-k —
     bit-identical final rows.
 
-    Exactness: the union of per-batch EXACT top-k sets always contains
-    the global top-k, so correctness needs only the float64 batch
-    ordering to agree with the exact ordering down to rank k+margin;
-    float64 GEMM error (~1e-12 relative) would have to flip more than
-    `margin` candidates at the boundary to lose a true neighbor.
+    Exactness: the prune selects per-batch top-(k+margin) under the SAME
+    total order as the final window — round(cosine, 6) desc, candidate id
+    asc (`_gemm_prune_indices`) — and the union of per-batch top sets
+    under a total order always contains the global top-k under that
+    order.  The residual risk is float64 GEMM error (~1e-12) flipping a
+    cosine across a 1e-6 rounding-bin edge; more than `margin` such
+    simultaneous boundary flips would be required to lose a neighbor.
     """
     _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "cosine_topk_gemm")
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
@@ -234,7 +262,7 @@ def cosine_topk_gemm(
             scores = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
             scores[q_ids[:, None] == c_ids[None, :]] = -np.inf
             t = min(take, scores.shape[1])
-            idx = np.argpartition(-scores, t - 1, axis=1)[:, :t]
+            idx = _gemm_prune_indices(scores, c_ids, t)
             out_q = np.repeat(q_ids, t)
             out_c = c_ids[idx].ravel()
             keep = out_q != out_c
@@ -488,6 +516,13 @@ def cosine_near_duplicates_lsh_gemm(
         norm[norm == 0.0] = 1.0
         sims = (mat @ mat.T) / np.outer(norm, norm)
         ia, ib = np.triu_indices(n, k=1)
+        # Rounding-mode caveat (applies to every GEMM thresholder): numpy
+        # rounds half-even over a BLAS-blocked sum while Spark's ROUND is
+        # HALF_UP over a sequential fold, so a cosine within ~1e-12 of a
+        # half-bin edge can flip membership vs the expression path. The
+        # pair-identical pytest pins therefore hold for fixtures whose
+        # cosines keep clear of half-bin edges (the generated testdata
+        # does); this path is rows-only, never oracle-hashed.
         cos = np.round(sims[ia, ib], 6)
         keep = cos >= threshold
         return pd.DataFrame(
@@ -753,6 +788,10 @@ def semantic_dedup(
             norm[norm == 0.0] = 1.0
             sims = (mat @ mat.T) / np.outer(norm, norm)
             ia, ib = np.triu_indices(len(ids), k=1)
+            # Same half-even-vs-HALF_UP caveat as score_bucket in
+            # cosine_near_duplicates_lsh: boundary cosines ~1e-12 from a
+            # half-bin edge may flip vs the expr scorer; dropped-set
+            # equality pins rely on edge-clear fixtures (rows-only path).
             hit = np.round(sims[ia, ib], 6) >= threshold
             return pd.DataFrame({"_did": np.unique(ids[ib[hit]])})
 
@@ -918,7 +957,7 @@ def hard_negatives_gemm(
             scores = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
             scores[q_labels[:, None] == c_labels[None, :]] = -np.inf
             t = min(take, scores.shape[1])
-            idx = np.argpartition(-scores, t - 1, axis=1)[:, :t]
+            idx = _gemm_prune_indices(scores, c_ids, t)
             out_q = np.repeat(q_ids, t)
             out_c = c_ids[idx].ravel()
             out_s = np.take_along_axis(scores, idx, axis=1).ravel()

@@ -246,3 +246,42 @@ def test_hist_quantile_within_one_bucket_width(spark, sf_smoke, events, tmp_path
             est = out[etype][col]
             assert est is not None
             assert abs(est - exact) <= width, (etype, col, est, exact)
+
+
+def test_refresh_migrates_pre_histogram_state(spark, sf_smoke, events, tmp_path):
+    """ADVICE r5 low: rollup state written before the value_hist column
+    existed must still refresh (zero-histogram backfill), with counters
+    and sketches exact across the migration boundary; quantiles then
+    cover only post-migration batches by documented design."""
+    from tagmarshal_data_lakehouse_spark.rollup import SketchRollup
+    from tagmarshal_data_lakehouse_spark.storage import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    roll = SketchRollup(lake)
+    b0 = events.filter(F.col("event_id") % 3 == 0)
+    b1 = events.filter(F.col("event_id") % 3 == 1)
+    assert roll.refresh(b0, "b0")
+
+    # Simulate the legacy layout: drop value_hist from the stored state.
+    legacy = lake.read(roll.table).drop("value_hist")
+    shadow = roll.table + "__legacy"
+    lake.overwrite(shadow, legacy)
+    lake._swap_in(roll.table, shadow)
+    assert "value_hist" not in lake.read(roll.table).columns
+
+    assert roll.refresh(b1, "b1")  # must not raise AnalysisException
+    got = {
+        (r["event_type"], r["bucket_hour"]): r for r in roll.read().collect()
+    }
+    direct = {
+        (r["event_type"], r["bucket_hour"]): r
+        for r in roll._partial(b0.unionByName(b1)).collect()
+    }
+    assert set(got) == set(direct)
+    for k, d in direct.items():
+        assert got[k]["n_events"] == d["n_events"], k
+        assert got[k]["value_sum"] == d["value_sum"], k
+        # histogram counts the post-migration batch only
+        assert sum(got[k]["value_hist"]) <= sum(d["value_hist"]), k
+    # and the migrated state refreshes again as a normal histogrammed table
+    assert roll.refresh(events.filter(F.col("event_id") % 3 == 2), "b2")

@@ -296,3 +296,42 @@ def test_semantic_dedup_gemm_scorer_matches_expr(spark, sf_smoke):
     expr_v = sorted(map(tuple, similarity.semantic_dedup(embs, **kw).collect()))
     gemm_v = sorted(map(tuple, similarity.semantic_dedup(embs, scorer="gemm", **kw).collect()))
     assert expr_v == gemm_v
+
+
+def test_gemm_prune_keeps_low_id_boundary_ties(spark):
+    """ADVICE r5 medium: with >=(k+margin) identical-score candidates in
+    ONE Arrow batch, the prune must keep the same boundary ties the
+    exact window keeps (rounded-cosine desc, candidate id asc) — a
+    score-only argpartition orders ties arbitrarily and can drop the
+    low-id winner, silently diverging from the shared exact oracle."""
+
+    def vec(seed, dim=16):
+        xs, x = [], seed * 2654435761 % 2**32
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) % 2**31
+            xs.append((x / 2**31) - 0.5)
+        return xs
+
+    base = vec(7)
+    rows = [(0, base, 0)]
+    # 20 exact copies of the query (cosine ties at 1.0), ids DESCENDING
+    # in frame order so a prune that follows array position instead of
+    # candidate id keeps the WRONG ties (k=3 + default margin=8 < 20).
+    for i in range(29, 9, -1):
+        rows.append((i, base, 1))
+    for i in range(200, 210):  # sub-boundary distractors
+        rows.append((i, vec(i), 1))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    ).coalesce(1)
+
+    exact = sorted(map(tuple, similarity.cosine_topk_exact(embs, n_queries=1, k=3).collect()))
+    gemm = sorted(map(tuple, similarity.cosine_topk_gemm(embs, n_queries=1, k=3).collect()))
+    assert exact == gemm
+    # and the survivors are specifically the three LOWEST tied ids
+    assert sorted(r[1] for r in gemm) == [10, 11, 12]
+
+    h_exact = sorted(map(tuple, similarity.hard_negatives_exact(embs, n_queries=1, k=3).collect()))
+    h_gemm = sorted(map(tuple, similarity.hard_negatives_gemm(embs, n_queries=1, k=3).collect()))
+    assert h_exact == h_gemm
+    assert sorted(r[2] for r in h_gemm) == [10, 11, 12]
