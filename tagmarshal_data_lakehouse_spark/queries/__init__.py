@@ -196,68 +196,100 @@ _FLAGSHIP_INTERLEAVE = (
     "join_multiway",
 )
 
-# Round-4 sweep priorities (38 entries; slots 13..50 of the head):
-#   - emb_quantize_int8: round-3's one red row (list-column canonicalizer
-#     crash), re-shaped to scalar columns — must re-verify;
-#   - scalar_datetime: text edited (tz fix) AFTER its round-2 green row;
-#   - doc_dedup_clusters / doc_pack_sequences: newly gained DuckDB
-#     oracles (recursive-CTE twins) — first hash rows;
-#   - tpch_q2..q22: the 12 extended TPC-H queries that sat at positions
-#     51-62 and have NEVER had a driver row, plus the 6 round-4 shape
-#     adaptations (q2 q11 q12 q16 q20 q21) that complete the 22-query
-#     suite (q1 = agg_pricing_summary);
-#   - telemetry_*: the reference-parity telemetry library's first driver
-#     rows ever (events->fact bridge, telemetry_bridge.py; 11 texts since
-#     round 4 — the NULL-stripe bridge widening re-verifies all of them);
-#   - doc_incremental_dedup / emb_semantic_dedup / multimodal_resize /
-#     doc_decontaminate_bloom / doc_chunk_windows / doc_epoch_shuffle /
-#     doc_curation_pipeline: new round-4 operators (delta-vs-corpus
-#     dedup, SemDeDup, thumbnail resize, bloom decontamination
-#     prefilter, token-window chunking, epoch shuffle order, the
-#     composed curation pipeline) — first rows;
-#   - emb_ivfpq_topk: round-4 IVF-PQ composite ANN — first row.
-#   The relational stale-rotation slice is fully displaced this round
-#   (45 entries lead the tail — every one r02-green and pytest-oracle-
-#   covered — and rotate into round 5's window first).
+# Round-6 sweep priorities (38 entries; slots 13..50 of the head).
+# Composition is governed by the artifact-driven standing gate in
+# tests/test_registry_order.py: every oracle-backed query that has NEVER
+# had a driver hash row, or whose text was edited after its last green
+# row, must be here; the remaining slots carry the front of the
+# stale-rotation queue (oldest driver-green round first); whatever the
+# queue cannot fit this round leads the tail (_STALE_TAIL) and must fit
+# entirely into NEXT round's priority block.
+#   - the 22 round-4 additions that have never been swept (deferred two
+#     rounds): the three missing-ts telemetry drilldowns, Spark-4
+#     VARIANT access, the five events time-series ops (gapfill /
+#     activity islands / interval join / value histogram /
+#     point-in-interval), seven text-curation ops (tf-cosine pairs,
+#     corpus keywords, source drift, PII redact, token rarity, weighted
+#     + length-matched + temperature sampling, semantic domain profile),
+#     and the four embedding ops (label centroids, hard negatives exact
+#     + GEMM, cosine top-k GEMM);
+#   - 16 of the 45 relational queries whose last green row is round 2
+#     (the stalest vintage in the registry).
 _SWEEP_PRIORITY = (
-    "emb_quantize_int8",
-    "scalar_datetime",
-    "doc_dedup_clusters",
-    "doc_pack_sequences",
-    "telemetry_start_hole_distribution",
-    "telemetry_avg_pace_by_hole",
-    "telemetry_pace_comparison_hole",
-    "telemetry_round_duration",
-    "telemetry_global_overview",
-    "telemetry_events_by_hour",
-    "telemetry_null_correlation",
-    "telemetry_missing_ts_overview",
-    "doc_incremental_dedup",
-    "emb_semantic_dedup",
-    "multimodal_resize",
-    "doc_decontaminate_bloom",
-    "doc_chunk_windows",
-    "doc_epoch_shuffle",
-    "doc_curation_pipeline",
-    "emb_ivfpq_topk",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
+    "telemetry_missing_ts_by_ingest",
+    "telemetry_missing_ts_by_location",
+    "telemetry_missing_ts_trend",
+    "scalar_variant",
+    "events_gapfill",
+    "events_activity_islands",
+    "events_interval_join",
+    "events_value_histogram",
+    "events_point_in_interval",
+    "doc_tf_cosine_pairs",
+    "doc_corpus_keywords",
+    "doc_source_drift",
+    "doc_pii_redact",
+    "doc_token_rarity",
+    "doc_weighted_sample",
+    "doc_length_matched_sample",
+    "doc_temperature_mixture",
+    "doc_semantic_domain_profile",
+    "emb_label_centroids",
+    "emb_hard_negatives",
+    "emb_hard_negatives_gemm",
+    "emb_cosine_topk_gemm",
+    "agg_conditional",
+    "agg_filter_clause",
+    "agg_minmax_duration",
+    "agg_percentile",
+    "agg_stddev",
+    "agg_bool_array",
+    "agg_mode_deterministic",
+    "agg_having",
+    "agg_global",
+    "agg_weighted_score",
+    "distinct_projection",
+    "join_broadcast",
+    "join_range_broadcast",
+    "join_salted_skew",
+    "join_semi",
+    "join_anti",
+)
+
+# The rest of the round-2-vintage stale rotation, in rotation order:
+# these lead the tail (slots 51+), are picked up first if the sweep
+# budget ever grows, and MUST fill the front of round 7's priority
+# block (the standing gate asserts they fit).
+_STALE_TAIL = (
+    "join_coverage_audit",
+    "join_share_of_total",
+    "join_outlier_vs_max",
+    "window_topn",
+    "window_lag_transitions",
+    "window_rank_dense",
+    "window_running_total",
+    "sort_limit_nulls_last",
+    "sort_case_key",
+    "union_by_name",
+    "scalar_string_math",
+    "scalar_json",
+    "scalar_coordinates",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "window_ntile_distribution",
+    "pivot_status_counts",
+    "join_exists_correlated",
+    "scalar_correlated_subquery",
+    "explode_posexplode",
+    "set_intersect_except",
+    "agg_corr_regression",
+    "scalar_array_family",
+    "agg_string_agg",
+    "window_range_frame",
+    "join_full_outer",
+    "agg_skew_profile",
+    "scan_profile",
 )
 
 
@@ -280,10 +312,9 @@ def registry() -> dict[str, Query]:
             by_name[q.name] = q
 
     out: dict[str, Query] = {}
-    for name in _FLAGSHIP_INTERLEAVE + _SWEEP_PRIORITY:
+    for name in _FLAGSHIP_INTERLEAVE + _SWEEP_PRIORITY + _STALE_TAIL:
         out[name] = by_name[name]
-    # Tail: stale relational rotation remainder first, then last-round-
-    # green families (events, training, tpch flagships already placed).
+    # Tail remainder: everything verified in a recent sweep, by family.
     for qs in (
         relational.QUERIES,
         events_ops.QUERIES,

@@ -1,54 +1,78 @@
-"""Registry-order contract.
+"""Registry-order contract — the artifact-driven rotation gate.
 
 The driver's correctness sweep walks ``registry()`` in insertion order
-under a budget (rounds 2 and 3 each stopped at exactly 50 entries), so
-ordering is a coverage guarantee. With 157 entries and a 50-slot budget,
-full driver coverage is a ROTATION; this module pins the invariants the
-rotation must keep every round:
+under a ~50-entry budget, so ordering is a coverage guarantee. With 139
+oracle-backed entries and 38 rotating slots per round (50 minus the 12
+flagship stripes), full coverage is a ROTATION with a best-achievable
+refresh period of ceil(127/38) = 4 rounds. This module enforces that
+rotation MECHANICALLY, computing each query's last driver-green round
+from the checked-in CORRECTNESS_r*.json artifacts instead of trusting a
+hand-maintained list (the round-5 failure mode: the hand-rotated head
+went stale and the backlog silently aged). The invariants:
 
 - the flagship stripes give every family a row even under a tiny budget;
-- every red / edited-since-green / newly-oracled / never-swept query is
-  inside the budget window (the round's _SWEEP_PRIORITY head);
-- no oracle-backed query goes more than one round without a driver row
-  (what's outside this round's window was green last round).
+- every oracle-backed query that has NEVER produced a driver hash row,
+  or whose text was edited after its last green row, is inside this
+  round's budget window;
+- the due-queue (never-green + edited + green longer than STALE_HORIZON
+  rounds ago) fills the priority block oldest-first, with no slot
+  wasted on an already-fresh query;
+- whatever the queue cannot fit this round leads the tail AND fits
+  entirely into next round's priority block — the queue can never grow
+  past one round of lag (`len(overflow) <= PRIORITY_SLOTS`).
+
+No family carve-outs: the round-4/5 "stale relational slice" exemption
+is gone; relational queries rotate under the same horizon as everything
+else.
 """
 
 from __future__ import annotations
 
+import json
+import re
+from pathlib import Path
+
 from tagmarshal_data_lakehouse_spark.queries import (
     _FLAGSHIP_INTERLEAVE,
+    _STALE_TAIL,
     _SWEEP_PRIORITY,
     registry,
 )
 
 SWEEP_BUDGET = 50
+PRIORITY_SLOTS = SWEEP_BUDGET - len(_FLAGSHIP_INTERLEAVE)
 
-# Round-3 sweep = flagship + all events + all training (CORRECTNESS_r03
-# keys). Anything green there may sit past the budget for one round.
-_GREEN_LAST_ROUND = frozenset(
-    {
-        "events_sessionize", "events_tumbling_window", "events_asof_join",
-        "events_funnel", "events_dedup_exact", "events_approx_sketches",
-        "events_time_rollup", "events_retention_cohorts",
-        "events_anomaly_zscore", "events_hll_rollup", "events_approx_topk",
-        "doc_dedup_exact", "doc_token_stats", "emb_cosine_topk",
-        "doc_quality", "doc_lang_id", "doc_ngram_jaccard",
-        "doc_minhash_near_dups", "doc_simhash_near_dups", "emb_label_stats",
-        "emb_cosine_topk_lsh", "emb_cosine_near_dups",
-        "emb_cosine_near_dups_lsh", "emb_ivf_topk", "emb_pq_topk",
-        "emb_kmeans", "doc_train_split", "doc_stratified_sample",
-        "doc_hash_sample_k", "doc_mixture_weights", "doc_decontaminate",
-        "doc_repetition", "doc_pii_scan", "doc_dup_rate_by_source",
-        "doc_token_histogram", "doc_bigram_freqs", "doc_clean_corpus_stats",
-        "multimodal_features", "multimodal_frame_sample", "doc_span_dedup",
-        "doc_cross_source_dups",
-        "tpch_q3", "tpch_q6", "tpch_q18",
-        "agg_pricing_summary", "window_dedup", "join_multiway",
-        # rows-only in r03 but swept; the two that since gained oracles
-        # (doc_dedup_clusters, doc_pack_sequences) are deliberately NOT
-        # listed: their first hash row must come this round.
-    }
-)
+# A query whose last driver-green row is more than this many rounds old
+# is due for re-verification. 4 = ceil((139 oracle-backed - 12 always-
+# swept flagships) / 38 priority slots) — the tightest horizon the
+# budget arithmetic permits; a smaller registry tightens it naturally
+# because fewer queries ever reach the horizon.
+STALE_HORIZON = 4
+
+# Queries whose builder/oracle TEXT changed after their last green row:
+# they must re-verify regardless of vintage. Maintained by hand when
+# editing a query that already has a driver row (the artifact scan
+# cannot see text edits).
+_EDITED_SINCE_GREEN: frozenset[str] = frozenset()
+
+_REPO = Path(__file__).resolve().parent.parent
+
+
+def _latest_green() -> tuple[dict[str, int], int]:
+    """(latest driver-green round per query, current round number),
+    scanned from the committed CORRECTNESS_r*.json artifacts."""
+    latest: dict[str, int] = {}
+    rounds = [0]
+    for p in _REPO.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        if not m:
+            continue
+        r = int(m.group(1))
+        rounds.append(r)
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("hash_match"):
+                latest[name] = max(latest.get(name, 0), r)
+    return latest, max(rounds) + 1
 
 
 def _family(name: str) -> str:
@@ -59,6 +83,27 @@ def _family(name: str) -> str:
     if name.startswith("tpch_"):
         return "tpch"
     return "relational"
+
+
+def _due_queue() -> tuple[list[str], dict[str, int], int]:
+    """The ordered must-verify queue: never-green and edited first, then
+    stale entries oldest-green-round first (stable on registry order)."""
+    latest, current = _latest_green()
+    reg = registry()
+    oracle_backed = [n for n, q in reg.items() if q.oracle is not None]
+    flagships = set(_FLAGSHIP_INTERLEAVE)
+    due = [
+        n
+        for n in oracle_backed
+        if n not in flagships
+        and (
+            latest.get(n, 0) == 0
+            or n in _EDITED_SINCE_GREEN
+            or latest[n] <= current - STALE_HORIZON
+        )
+    ]
+    due.sort(key=lambda n: latest.get(n, 0))  # stable: registry order within a vintage
+    return due, latest, current
 
 
 def test_first_twelve_interleave_every_family():
@@ -82,81 +127,55 @@ def test_head_is_flagship_then_priority_and_fills_budget():
     assert len(head) == SWEEP_BUDGET
 
 
-def test_priority_block_carries_the_must_verify_entries():
+def test_every_never_green_or_edited_query_is_in_the_head():
+    """A query without any driver hash row (or edited after its last
+    one) is unverified by the hard signal — it may not sit outside the
+    sweep window for even one round."""
+    due, latest, _current = _due_queue()
     head = set(list(registry())[:SWEEP_BUDGET])
-    # Round-3 red row (fixed) + text edited after its green row.
-    assert "emb_quantize_int8" in head
-    assert "scalar_datetime" in head
-    # Newly-oracled: first hash row must come this round.
-    assert "doc_dedup_clusters" in head
-    assert "doc_pack_sequences" in head
-    # The 12 extended TPC-H queries that had never been swept.
-    never_swept = {
-        "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-        "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q22",
-        # round-4 shape adaptations completing the 22-query suite
-        "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20", "tpch_q21",
-    }
-    assert never_swept <= head
-    # New round-4 operators: first driver rows must come this round.
-    new_ops = {
-        "doc_incremental_dedup", "emb_semantic_dedup", "multimodal_resize",
-        "doc_decontaminate_bloom", "doc_chunk_windows", "doc_epoch_shuffle",
-        "doc_curation_pipeline", "emb_ivfpq_topk",
-    }
-    assert new_ops <= head
+    hard = [n for n in due if latest.get(n, 0) == 0 or n in _EDITED_SINCE_GREEN]
+    missing = [n for n in hard if n not in head]
+    assert not missing, f"never-green/edited queries outside the sweep window: {missing}"
 
 
-# Added after the round-4 head filled its 50 slots (every head entry is
-# itself a first-row must-verify): pytest-oracle-green at sf0.001 AND
-# sim-verified at sf0.01; their first driver row leads round 5's window.
-_NEW_DEFERRED_TO_NEXT_ROUND = frozenset(
-    {
-        "telemetry_missing_ts_by_ingest",
-        "telemetry_missing_ts_by_location",
-        "telemetry_missing_ts_trend",
-        "doc_bpe_merges",  # rows-only; python-reference-pinned in pytest
-        "doc_token_rarity",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "doc_dedup_eval",  # rows-only; confusion-count pytest pins
-        "doc_tf_cosine_pairs",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "doc_weighted_sample",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "doc_source_drift",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "doc_pii_redact",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "doc_corpus_keywords",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "emb_label_centroids",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "events_gapfill",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "emb_hard_negatives",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "emb_hard_negatives_lsh",  # rows-only; subset-of-exact pytest pin
-        "doc_semantic_domain_profile",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "doc_temperature_mixture",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "events_activity_islands",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "events_interval_join",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "events_value_histogram",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "emb_cosine_topk_gemm",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "emb_hard_negatives_gemm",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "events_point_in_interval",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "emb_cosine_near_dups_gemm",  # rows-only; pair-identical-to-lsh pytest pin
-        "doc_bpe_encode",  # rows-only; python-reference-pinned encoder
-        "doc_length_matched_sample",  # oracle-green at sf0.001 + sf0.01 (sim)
-        "scalar_variant",  # oracle-green at sf0.001 + sf0.01 (sim)
-    }
-)
+def test_priority_block_spends_no_slot_on_a_fresh_query():
+    """While the due-queue overflows the budget, every priority slot
+    must carry a due entry — a fresh (recently-green, unedited) query in
+    the head would waste a rotation slot the backlog needs."""
+    due, _latest, _current = _due_queue()
+    if len(due) < PRIORITY_SLOTS:
+        return  # queue underflows: extra slots may hold anything
+    not_due = [n for n in _SWEEP_PRIORITY if n not in set(due)]
+    assert not not_due, f"priority slots wasted on fresh queries: {not_due}"
 
 
-def test_nothing_goes_two_rounds_without_a_driver_row():
+def test_due_queue_overflow_fits_next_round_and_leads_the_tail():
+    """The standing gate from the round-5 verdict: the due-queue may lag
+    the budget by AT MOST one round (`len(overflow) <= PRIORITY_SLOTS`),
+    and the overflow must sit at the front of the tail so next round's
+    reorder is mechanical (and a grown budget picks it up first)."""
+    due, _latest, _current = _due_queue()
     names = list(registry())
-    beyond = names[SWEEP_BUDGET:]
-    stale = [
-        n
-        for n in beyond
-        if n not in _GREEN_LAST_ROUND and n not in _NEW_DEFERRED_TO_NEXT_ROUND
-    ]
-    # Everything outside this round's window was green last round, except
-    # the explicitly deferred slice-2 of the relational rotation (their
-    # last green is round 2; they MUST lead the tail so round 5's window
-    # picks them up first).
-    assert all(_family(n) == "relational" for n in stale), stale
-    assert beyond[: len(stale)] == stale, "stale relational slice must lead the tail"
+    head = set(names[:SWEEP_BUDGET])
+    overflow = [n for n in due if n not in head]
+    assert len(overflow) <= PRIORITY_SLOTS, (
+        f"due-queue overflow ({len(overflow)}) exceeds next round's "
+        f"priority capacity ({PRIORITY_SLOTS}); stop adding oracle-backed "
+        f"entries or widen this round's head: {overflow}"
+    )
+    tail_front = names[SWEEP_BUDGET : SWEEP_BUDGET + len(overflow)]
+    assert set(tail_front) == set(overflow), (
+        "due-queue overflow must lead the tail; tail front "
+        f"{sorted(set(tail_front) - set(overflow))} vs overflow "
+        f"{sorted(set(overflow) - set(tail_front))}"
+    )
+
+
+def test_stale_tail_matches_declared_rotation():
+    names = list(registry())
+    assert (
+        tuple(names[SWEEP_BUDGET : SWEEP_BUDGET + len(_STALE_TAIL)]) == _STALE_TAIL
+    )
 
 
 def test_registry_complete_and_unique():
