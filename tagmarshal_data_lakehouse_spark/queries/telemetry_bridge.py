@@ -31,11 +31,16 @@ cross-engine exact:
   derive from the raw event time, the reference's keep-and-flag rule —
   no data loss).
 
-Queries chosen are fact-only (no gold DAG to inline) and free of
-approximate aggregates (the driver hashes every output column, and
-percentile sketches are engine-specific).  The rest of the 94-query
-library surface keeps its same-text pytest oracle — inlining the gold
-DAG into single DuckDB statements is not worth the duplication.
+Queries are either fact-only library texts or (since round 6) gold
+MODELS run over the bridged fact: `_gold_on_bridge` materializes a
+model's dependency chain (gold/models.py, the REAL Spark texts) as temp
+views over the bridge, and the oracle inlines the same chain as DuckDB
+CTEs. Gold models needing `dim_facility_topology` (hole-performance,
+coverage-audit chains) stay out: the topology dim has no deterministic
+bridge from TPC-H-shaped events, so their hard check remains the
+two-engine pytest oracle (tests/test_gold_oracle.py). Everything here
+is free of approximate aggregates (the driver hashes every output
+column, and percentile sketches are engine-specific).
 """
 
 from __future__ import annotations
@@ -85,7 +90,25 @@ _SPARK_BRIDGE = """
             END                                                         AS longitude,
             CASE WHEN event_id % 13 = 0 THEN CAST(NULL AS DOUBLE)
                  ELSE CAST(CAST(FLOOR(value * 1000) AS BIGINT) % 1800 AS DOUBLE)
-            END                                                         AS latitude
+            END                                                         AS latitude,
+            CASE WHEN event_id % 47 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(CAST(FLOOR(value * 600) AS BIGINT) % 90 + 10 AS DOUBLE)
+            END                                                         AS goal_time,
+            CASE WHEN event_id % 41 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(CAST(FLOOR(value * 500) AS BIGINT) % 120 AS DOUBLE)
+            END                                                         AS pace_gap,
+            CASE WHEN event_id % 43 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(CAST(FLOOR(value * 700) AS BIGINT) % 300 AS DOUBLE)
+            END                                                         AS positional_gap,
+            CAST(event_id % 3 + 1 AS INT)                               AS hole_section,
+            CASE WHEN event_id % 53 = 0 THEN CAST(NULL AS INT)
+                 ELSE CAST(event_id % 2 + 1 AS INT) END                 AS current_nine,
+            CAST(user_id % 54 + 1 AS INT)                               AS start_section,
+            CAST(event_id % 54 + 1 AS INT)                              AS end_section,
+            event_id % 5 = 0                                            AS is_complete,
+            event_id % 17 = 0                                           AS is_projected,
+            event_id % 19 = 0                                           AS is_problem,
+            event_id % 21 = 0                                           AS is_cache
         FROM events
     )
     SELECT base.*,
@@ -439,6 +462,320 @@ q_telemetry_missing_ts_trend = Query(
     "(exploration/null_patterns.sql; month-truncated ingest partitions).",
 )
 
+def _gold_on_bridge(spark: SparkSession, sf_dir: str, model: str) -> DataFrame:
+    """Materialize a gold model's dependency chain over the bridged
+    fact view and return the model frame — the REAL gold texts
+    (gold/models.py, Trino->Spark ports), not restatements."""
+    from ..gold import models as gold_models
+
+    load_views(spark, sf_dir)
+    spark.sql(_SPARK_BRIDGE).createOrReplaceTempView("fact_telemetry_event")
+    by_name = {m.name: m for m in gold_models.MODELS}
+
+    def build(name: str) -> DataFrame:
+        m = by_name[name]
+        for d in m.deps:
+            if d in by_name:
+                build(d).createOrReplaceTempView(d)
+            elif d != "fact_telemetry_event":
+                raise ValueError(f"gold bridge: unbridgeable dep {d!r} of {name!r}")
+        return spark.sql(m.sql)
+
+    return build(model)
+
+
+def _decimals_as_double(df: DataFrame) -> DataFrame:
+    """Transport shim for gold texts with decimal-literal percentage
+    arithmetic (ROUND(100.0 * x / y, 2)): exact on both engines, but
+    Spark ships DECIMAL while DuckDB's scale rules differ — a double
+    cast on both sides carries the identical IEEE value."""
+    from pyspark.sql import types as T
+
+    cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)]
+    return _cast_cols(df, "double", *cols)
+
+
+# The fact_rounds projection shared by the Spark build and the oracle:
+# every column whose value is cross-engine exact by construction —
+# integer counts/sections, BOOL_ORs, dates and date parts, duration from
+# second-truncated epochs, averages over INTEGER-VALUED doubles (double
+# sums of integers are exact below 2^53, so AVG = the identical IEEE
+# division on both engines), and integer-ratio rates. Excluded:
+# round_duration_minutes alone — ROUND(dur/60.0, 1) lands on exact
+# .x5 halves whenever duration_sec ≡ 3 (mod 6), where Spark's
+# shortest-decimal HALF_UP and DuckDB's binary-product rounding can
+# disagree; its signal is fully carried by duration_sec.
+_FACT_ROUNDS_COLS = (
+    "course_id", "round_id", "round_date", "round_year", "round_month",
+    "round_day", "round_weekday", "round_length", "fix_count",
+    "ts_missing_fix_count", "holes_played", "nines_played",
+    "min_section_number", "max_section_number", "first_tee_section_number",
+    "start_hole", "start_section", "end_section", "is_nine_hole",
+    "is_complete", "duration_sec", "avg_pace_sec", "max_pace_sec",
+    "avg_pace_gap_sec", "avg_positional_gap", "projected_fix_count",
+    "problem_fix_count", "cached_fix_count", "min_battery_pct",
+    "avg_battery_pct", "low_battery_fix_count",
+    "critical_battery_fix_count", "projected_rate", "problem_rate",
+    "cached_rate", "ts_missing_rate",
+)
+
+# DuckDB spelling of the fact_rounds rollup over the bridge (the oracle
+# re-derivation of gold/models.py FACT_ROUNDS; reference
+# pipeline/gold/models/gold/fact_rounds.sql). Dialect deltas:
+# UNIX_TIMESTAMP diff -> date_diff('second'), Spark's ISO day-of-week
+# arithmetic -> isodow(), int-typed date parts, HUGEINT sums pinned
+# back to BIGINT.
+_DUCK_FACT_ROUNDS = """
+    base AS (
+        SELECT * FROM fact_telemetry_event WHERE is_location_padding = FALSE
+    ),
+    round_rollup AS (
+        SELECT
+            course_id, round_id,
+            MIN(fix_timestamp) AS round_start_ts,
+            date_diff('second', MIN(fix_timestamp), MAX(fix_timestamp)) AS duration_sec,
+            COUNT(*) AS fix_count,
+            CAST(SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_fix_count,
+            COUNT(DISTINCT hole_number) AS holes_played,
+            COUNT(DISTINCT nine_number) AS nines_played,
+            MIN(section_number) AS min_section_number,
+            MAX(section_number) AS max_section_number,
+            MIN(CASE WHEN hole_section = 1 THEN section_number END) AS first_tee_section_number,
+            MAX(start_hole) AS start_hole,
+            MAX(start_section) AS start_section,
+            MAX(end_section) AS end_section,
+            BOOL_OR(COALESCE(is_nine_hole, FALSE)) AS is_nine_hole,
+            BOOL_OR(COALESCE(is_complete, FALSE)) AS is_complete,
+            AVG(pace) AS avg_pace_sec,
+            MAX(pace) AS max_pace_sec,
+            AVG(pace_gap) AS avg_pace_gap_sec,
+            AVG(positional_gap) AS avg_positional_gap,
+            CAST(SUM(CASE WHEN is_projected THEN 1 ELSE 0 END) AS BIGINT) AS projected_fix_count,
+            CAST(SUM(CASE WHEN is_problem THEN 1 ELSE 0 END) AS BIGINT) AS problem_fix_count,
+            MIN(battery_percentage) AS min_battery_pct,
+            AVG(battery_percentage) AS avg_battery_pct,
+            CAST(SUM(CASE WHEN battery_percentage < 20 THEN 1 ELSE 0 END) AS BIGINT) AS low_battery_fix_count,
+            CAST(SUM(CASE WHEN battery_percentage < 10 THEN 1 ELSE 0 END) AS BIGINT) AS critical_battery_fix_count,
+            CAST(SUM(CASE WHEN is_cache THEN 1 ELSE 0 END) AS BIGINT) AS cached_fix_count
+        FROM base GROUP BY course_id, round_id
+    ),
+    fact_rounds AS (
+        SELECT r.*,
+            CAST(projected_fix_count AS DOUBLE) / NULLIF(fix_count, 0) AS projected_rate,
+            CAST(problem_fix_count AS DOUBLE) / NULLIF(fix_count, 0) AS problem_rate,
+            CAST(cached_fix_count AS DOUBLE) / NULLIF(fix_count, 0) AS cached_rate,
+            CAST(ts_missing_fix_count AS DOUBLE) / NULLIF(fix_count, 0) AS ts_missing_rate,
+            CASE
+                WHEN nines_played >= 3 OR max_section_number > 54 THEN '27'
+                WHEN nines_played = 2 OR max_section_number > 27 THEN '18'
+                WHEN nines_played = 1 THEN '9'
+                ELSE 'unknown'
+            END AS round_length,
+            CAST(round_start_ts AS DATE) AS round_date,
+            CAST(YEAR(round_start_ts) AS INT) AS round_year,
+            CAST(MONTH(round_start_ts) AS INT) AS round_month,
+            CAST(DAY(round_start_ts) AS INT) AS round_day,
+            CAST(ISODOW(round_start_ts) AS INT) AS round_weekday
+        FROM round_rollup r
+    )
+"""
+
+
+q_gold_fact_rounds = Query(
+    name="gold_fact_rounds",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _gold_on_bridge(spark, sf_dir, "fact_rounds"),
+        "round_date",
+    )
+    .select(*_FACT_ROUNDS_COLS)
+    .orderBy("course_id", "round_id"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        {_DUCK_FACT_ROUNDS}
+        SELECT course_id, round_id,
+               CAST(round_date AS TIMESTAMP) AS round_date,
+               round_year, round_month, round_day, round_weekday,
+               round_length, fix_count, ts_missing_fix_count, holes_played,
+               nines_played, min_section_number, max_section_number,
+               first_tee_section_number, start_hole, start_section,
+               end_section, is_nine_hole, is_complete, duration_sec,
+               avg_pace_sec, max_pace_sec, avg_pace_gap_sec,
+               avg_positional_gap, projected_fix_count, problem_fix_count,
+               cached_fix_count, min_battery_pct, avg_battery_pct,
+               low_battery_fix_count, critical_battery_fix_count,
+               projected_rate, problem_rate, cached_rate, ts_missing_rate
+        FROM fact_rounds
+        ORDER BY course_id, round_id
+    """,
+    doc="The canonical round-grain gold fact (gold/models.py FACT_ROUNDS "
+    "— the real Trino->Spark text of reference "
+    "pipeline/gold/models/gold/fact_rounds.sql) over the events->"
+    "telemetry bridge; every cross-engine-exact column driver-hashed "
+    "(round_duration_minutes excluded: its half-decimal ROUND is "
+    "engine-ambiguous by construction — see _FACT_ROUNDS_COLS).",
+)
+
+q_gold_rounds_by_month = Query(
+    name="gold_rounds_by_month",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _gold_on_bridge(spark, sf_dir, "course_rounds_by_month"),
+        "month_start",
+    ).orderBy("course_id", "month_start"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        {_DUCK_FACT_ROUNDS},
+        rounds_with_month_keys AS (
+            SELECT course_id, round_id,
+                CASE WHEN round_start_ts IS NULL THEN DATE '1900-01-01'
+                     ELSE CAST(DATE_TRUNC('month', round_start_ts) AS DATE) END AS month_start,
+                CASE WHEN round_start_ts IS NULL THEN 0
+                     ELSE CAST(MONTH(round_start_ts) AS INT) END AS month_number,
+                CASE WHEN round_start_ts IS NULL THEN 'Unknown (missing timestamp)'
+                     ELSE STRFTIME(round_start_ts, '%B') END AS month_name
+            FROM fact_rounds
+        ),
+        monthly_rounds AS (
+            SELECT course_id, month_start, month_number, month_name,
+                   COUNT(DISTINCT round_id) AS rounds
+            FROM rounds_with_month_keys
+            GROUP BY course_id, month_start, month_number, month_name
+        ),
+        total_rounds_per_course AS (
+            SELECT course_id, CAST(SUM(rounds) AS BIGINT) AS total_rounds
+            FROM monthly_rounds GROUP BY course_id
+        )
+        SELECT mr.course_id, CAST(mr.month_start AS TIMESTAMP) AS month_start,
+               mr.month_number, mr.month_name, mr.rounds,
+               ROUND(CAST(mr.rounds AS DOUBLE) / tr.total_rounds * 100, 2) AS pct_total
+        FROM monthly_rounds mr
+        JOIN total_rounds_per_course tr ON mr.course_id = tr.course_id
+        ORDER BY mr.course_id, month_start
+    """,
+    doc="Monthly seasonality gold model (gold/models.py "
+    "COURSE_ROUNDS_BY_MONTH, reference course_rounds_by_month.sql) over "
+    "the bridged fact — a two-level gold DAG (fact_rounds -> by_month) "
+    "driver-verified end-to-end.",
+)
+
+q_gold_data_quality_overview = Query(
+    name="gold_data_quality_overview",
+    build=lambda spark, sf_dir: _decimals_as_double(
+        _gold_on_bridge(spark, sf_dir, "data_quality_overview")
+    ).orderBy("course_id"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        base AS (
+            SELECT * FROM fact_telemetry_event WHERE is_location_padding = FALSE
+        ),
+        course_stats AS (
+            SELECT course_id,
+                COUNT(*) AS total_events,
+                COUNT(DISTINCT round_id) AS total_rounds,
+                CAST(SUM(CASE WHEN pace IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pace,
+                CAST(SUM(CASE WHEN pace_gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pace_gap,
+                CAST(SUM(CASE WHEN positional_gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_positional_gap,
+                CAST(SUM(CASE WHEN goal_time IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_goal_time,
+                CAST(SUM(CASE WHEN latitude IS NULL OR longitude IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_coordinates,
+                CAST(SUM(CASE WHEN fix_timestamp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_fix_timestamp,
+                CAST(SUM(CASE WHEN hole_number IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_hole_number,
+                CAST(SUM(CASE WHEN section_number IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_section_number,
+                CAST(SUM(CASE WHEN hole_section IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_hole_section,
+                CAST(SUM(CASE WHEN nine_number IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_nine_number,
+                CAST(SUM(CASE WHEN current_nine IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_current_nine,
+                CAST(SUM(CASE WHEN battery_percentage IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_battery,
+                CAST(SUM(CASE WHEN is_cache IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_is_cache,
+                CAST(SUM(CASE WHEN is_projected IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_is_projected,
+                CAST(SUM(CASE WHEN is_problem IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_is_problem,
+                CAST(SUM(CASE WHEN is_timestamp_missing = TRUE THEN 1 ELSE 0 END) AS BIGINT) AS timestamp_missing_flag,
+                CAST(SUM(CASE WHEN start_hole IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_start_hole,
+                CAST(SUM(CASE WHEN start_section IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_start_section,
+                CAST(SUM(CASE WHEN end_section IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_end_section,
+                CAST(SUM(CASE WHEN is_nine_hole IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_is_nine_hole,
+                CAST(SUM(CASE WHEN is_complete IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_is_complete,
+                CAST(SUM(CASE WHEN battery_percentage < 20 THEN 1 ELSE 0 END) AS BIGINT) AS low_battery_events,
+                CAST(SUM(CASE WHEN is_problem = TRUE THEN 1 ELSE 0 END) AS BIGINT) AS problem_events
+            FROM base GROUP BY course_id
+        ),
+        final AS (
+        SELECT course_id, total_events, total_rounds,
+            CAST(ROUND(100.0 * null_pace / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_pace,
+            CAST(ROUND(100.0 * null_pace_gap / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_pace_gap,
+            CAST(ROUND(100.0 * null_positional_gap / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_positional_gap,
+            CAST(ROUND(100.0 * null_goal_time / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_goal_time,
+            CAST(ROUND(100.0 * null_coordinates / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_coordinates,
+            CAST(ROUND(100.0 * null_fix_timestamp / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_fix_timestamp,
+            CAST(ROUND(100.0 * null_hole_number / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_hole_number,
+            CAST(ROUND(100.0 * null_section_number / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_section_number,
+            CAST(ROUND(100.0 * null_hole_section / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_hole_section,
+            CAST(ROUND(100.0 * null_nine_number / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_nine_number,
+            CAST(ROUND(100.0 * null_current_nine / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_current_nine,
+            CAST(ROUND(100.0 * null_battery / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_battery,
+            CAST(ROUND(100.0 * null_is_cache / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_is_cache,
+            CAST(ROUND(100.0 * null_is_projected / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_is_projected,
+            CAST(ROUND(100.0 * null_is_problem / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_is_problem,
+            CAST(ROUND(100.0 * timestamp_missing_flag / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_timestamp_missing_flag,
+            CAST(ROUND(100.0 * null_start_hole / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_start_hole,
+            CAST(ROUND(100.0 * null_start_section / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_start_section,
+            CAST(ROUND(100.0 * null_end_section / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_end_section,
+            CAST(ROUND(100.0 * null_is_nine_hole / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_is_nine_hole,
+            CAST(ROUND(100.0 * null_is_complete / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_is_complete,
+            CAST(ROUND(100 - ((COALESCE(100.0 * null_pace / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_pace_gap / NULLIF(total_events, 0), 0) +
+                 COALESCE(100.0 * null_positional_gap / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_goal_time / NULLIF(total_events, 0), 0)) / 4), 1) AS DOUBLE) AS score_tier_1_pace,
+            CAST(ROUND(100 - ((COALESCE(100.0 * null_coordinates / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_fix_timestamp / NULLIF(total_events, 0), 0) +
+                 COALESCE(100.0 * null_hole_number / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_section_number / NULLIF(total_events, 0), 0)) / 4), 1) AS DOUBLE) AS score_tier_2_location,
+            CAST(ROUND(100 - ((COALESCE(100.0 * null_battery / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_is_cache / NULLIF(total_events, 0), 0) +
+                 COALESCE(100.0 * timestamp_missing_flag / NULLIF(total_events, 0), 0)) / 3), 1) AS DOUBLE) AS score_tier_3_device,
+            CAST(ROUND(100 - ((COALESCE(100.0 * null_start_hole / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_is_nine_hole / NULLIF(total_events, 0), 0) +
+                 COALESCE(100.0 * null_is_complete / NULLIF(total_events, 0), 0)) / 3), 1) AS DOUBLE) AS score_tier_4_config,
+            CAST(ROUND((
+              (100 - ((COALESCE(100.0 * null_pace / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_pace_gap / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_positional_gap / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_goal_time / NULLIF(total_events, 0), 0)) / 4)) +
+              (100 - ((COALESCE(100.0 * null_coordinates / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_fix_timestamp / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_hole_number / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_section_number / NULLIF(total_events, 0), 0)) / 4)) +
+              (100 - ((COALESCE(100.0 * null_battery / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_is_cache / NULLIF(total_events, 0), 0) + COALESCE(100.0 * timestamp_missing_flag / NULLIF(total_events, 0), 0)) / 3)) +
+              (100 - ((COALESCE(100.0 * null_start_hole / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_is_nine_hole / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_is_complete / NULLIF(total_events, 0), 0)) / 3))
+            ) / 4, 1) AS DOUBLE) AS data_quality_score,
+            low_battery_events, problem_events
+        FROM course_stats
+        )
+        SELECT final.*, data_quality_score AS overall_quality_score
+        FROM final ORDER BY course_id
+    """,
+    doc="Per-course null audit + tier scores gold model (gold/models.py "
+    "DATA_QUALITY_OVERVIEW, reference data_quality_overview.sql) over "
+    "the bridged fact — the bridge's deterministic NULL stripes give "
+    "every tier a non-trivial score; decimal percentage columns ship as "
+    "double on both engines (_decimals_as_double).",
+)
+
+q_gold_completeness_summary = Query(
+    name="gold_completeness_summary",
+    build=lambda spark, sf_dir: _decimals_as_double(
+        _gold_on_bridge(spark, sf_dir, "telemetry_completeness_summary")
+    ).orderBy("course_id"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        per_course AS (
+            SELECT course_id,
+                COUNT(*) AS total_rows,
+                CAST(SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS padding_rows,
+                CAST(SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS non_padding_rows,
+                CAST(SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_rows,
+                CAST(SUM(CASE WHEN is_timestamp_missing AND NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_non_padding_rows
+            FROM fact_telemetry_event
+            GROUP BY course_id
+        )
+        SELECT course_id, total_rows, padding_rows, non_padding_rows,
+               ts_missing_rows, ts_missing_non_padding_rows,
+               CAST(ROUND(100.0 * padding_rows / NULLIF(total_rows, 0), 2) AS DOUBLE) AS pct_padding_total,
+               CAST(ROUND(100.0 * ts_missing_rows / NULLIF(total_rows, 0), 2) AS DOUBLE) AS pct_ts_missing_total,
+               CAST(ROUND(100.0 * ts_missing_non_padding_rows / NULLIF(non_padding_rows, 0), 2) AS DOUBLE) AS pct_ts_missing_non_padding
+        FROM per_course ORDER BY course_id
+    """,
+    doc="Padding/timestamp coverage gold model (gold/models.py "
+    "TELEMETRY_COMPLETENESS_SUMMARY, reference "
+    "telemetry_completeness_summary.sql) over the bridged fact.",
+)
+
+
 QUERIES = [
     q_telemetry_start_hole_distribution,
     q_telemetry_avg_pace_by_hole,
@@ -451,4 +788,8 @@ QUERIES = [
     q_telemetry_missing_ts_by_ingest,
     q_telemetry_missing_ts_by_location,
     q_telemetry_missing_ts_trend,
+    q_gold_fact_rounds,
+    q_gold_rounds_by_month,
+    q_gold_data_quality_overview,
+    q_gold_completeness_summary,
 ]

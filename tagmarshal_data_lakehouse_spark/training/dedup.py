@@ -478,6 +478,7 @@ def tf_cosine_pairs(
     threshold: float = 0.3,
     max_doc_freq: int = 100,
     max_doc_frac: float | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Sparse LEXICAL cosine similarity: term-frequency vectors over the
     df-capped vocabulary, pair similarity via an inverted-index join.
@@ -561,13 +562,88 @@ def tf_cosine_pairs(
     # term-keyed pair join below).
     kept = postings.join(F.broadcast(overcap.select("term")), "term", "left_anti")
     norms = kept.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("norm_sq"))
-    pairs = (
-        kept.alias("a")
-        .join(kept.alias("b"), on="term")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
-    )
+    # Candidate generation — two lossless plans, selected by output
+    # DENSITY (measured head-to-head in SCALE.md round 6):
+    #
+    # - Default (dense outputs / loose thresholds): the direct
+    #   inverted-index self-join. Its fan-out Σ_t df_t² collapses into
+    #   the pair aggregation in one shuffle; when most co-occurring
+    #   pairs actually qualify (duplicate-heavy corpora, threshold
+    #   ~0.3), that fan-out is within a small factor of |output| ×
+    #   avg-shared-terms — already optimal, nothing to prune.
+    # - `prefix_filter=True` (sparse outputs / selective thresholds):
+    #   the PREFIX FILTER (Bayardo, Ma, Srikant, "Scaling Up All Pairs
+    #   Similarity Search", WWW 2007). Process each document's terms in
+    #   one GLOBAL order and leave UNINDEXED the longest prefix whose
+    #   cumulative best-case contribution Σ w_t·maxw_t stays under the
+    #   threshold (w = tf/√Σtf², maxw_t = the corpus max of w over t).
+    #   For any pair, if y indexed no shared term then cos(x,y) ≤
+    #   Σ_{t∈unindexed(y)} maxw_t·w_y(t) < t — so joining FULL postings
+    #   (probe side) against INDEXED postings (index side) still yields
+    #   every qualifying pair, while the index side sheds the
+    #   high-fanout low-signal postings (global order = df desc, so
+    #   boilerplate terms go unindexed first). Exact dots are then
+    #   recomputed over candidates from full postings. The extra
+    #   index-construction shuffles and the per-candidate verification
+    #   join only pay off when candidates ≪ the unfiltered fan-out —
+    #   NOT when the output itself is a large fraction of it (candidates
+    #   can never drop below the true output).
+    #
+    # Both plans produce identical rows (pytest-pinned); the bound is
+    # evaluated against threshold - 2e-6: the final filter is
+    # ROUND(cosine, 6) >= threshold, which admits true cosines down to
+    # threshold - 5e-7, and the double-precision cumulative bound needs
+    # slack of its own.
+    t_bound = float(threshold) - 2e-6
+    if prefix_filter and t_bound > 0.0:
+        term_stats = kept.join(
+            norms.select(F.col(id_col), F.col("norm_sq")), id_col
+        ).withColumn("w", F.col("tf") / F.sqrt(F.col("norm_sq").cast("double")))
+        maxw = term_stats.groupBy("term").agg(
+            F.max("w").alias("maxw"), F.count(F.lit(1)).alias("kept_df")
+        )
+        cum_w = W.partitionBy(id_col).orderBy(
+            F.col("kept_df").desc(), F.col("term").asc()
+        ).rowsBetween(W.unboundedPreceding, W.currentRow)
+        indexed = (
+            term_stats.join(maxw, "term")
+            .withColumn("cum_bound", F.sum(F.col("w") * F.col("maxw")).over(cum_w))
+            .filter(F.col("cum_bound") >= F.lit(t_bound))
+            .select(F.col(id_col), F.col("term"))
+        )
+        cands = (
+            kept.alias("a")
+            .join(indexed.alias("b"), on="term")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
+        )
+        pairs = (
+            cands.join(
+                kept.select(
+                    F.col(id_col).alias("id_a"), "term", F.col("tf").alias("tf_a")
+                ),
+                "id_a",
+            )
+            .join(
+                kept.select(
+                    F.col(id_col).alias("id_b"), "term", F.col("tf").alias("tf_b")
+                ),
+                ["id_b", "term"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+        )
+    else:
+        pairs = (
+            kept.alias("a")
+            .join(kept.alias("b"), on="term")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+        )
     cosine = F.round(
         F.col("dot").cast("double")
         / (F.sqrt(F.col("norm_a").cast("double")) * F.sqrt(F.col("norm_b").cast("double"))),

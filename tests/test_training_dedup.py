@@ -384,3 +384,42 @@ def test_ngram_fractional_cap_scales_with_corpus(spark):
     assert base, "fixture must pair at 1x"
     for k, v in base.items():
         assert k in grown and abs(grown[k] - v) < 1e-9, k
+
+
+def test_tf_cosine_prefix_filter_lossless_vs_unfiltered(spark, sf_smoke):
+    """prefix_filter=True routes through the Bayardo prefix-filtered
+    candidate generation (the sparse-output plan); its output must be
+    IDENTICAL (pairs, integer dots, rounded cosines) to filtering the
+    default inverted-index join — including pairs whose cosine sits
+    exactly on the threshold."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    kw = dict(max_doc_freq=100, max_doc_frac=0.2)
+    full = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["cosine"])
+        for r in dedup.tf_cosine_pairs(docs, threshold=0.0, **kw).collect()
+        if r["cosine"] >= 0.3
+    }
+    pruned = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["cosine"])
+        for r in dedup.tf_cosine_pairs(
+            docs, threshold=0.3, prefix_filter=True, **kw
+        ).collect()
+    }
+    assert full == pruned
+    assert pruned  # non-vacuous: the fixture does contain pairs >= 0.3
+
+    # Boundary: two equal-norm docs engineered to cosine exactly 0.5
+    # (dot 2, norms 2) plus distractors; threshold 0.5 must keep them.
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta epsilon zeta"),
+        (3, "eta theta iota kappa"),
+    ]
+    tiny = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.tf_cosine_pairs(
+            tiny, threshold=0.5, max_doc_freq=100, prefix_filter=True
+        ).collect()
+    }
+    assert got == {(1, 2): 0.5}

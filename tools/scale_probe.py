@@ -208,6 +208,20 @@ def main() -> int:
         "tf_cosine": lambda docs, ev: dedup.tf_cosine_pairs(
             docs, max_doc_freq=50, max_doc_frac=0.08
         ),
+        # prefix-filter head-to-head (SCALE.md round 6): at the loose
+        # default threshold the output is DENSE (candidates ≈ outputs)
+        # and the Bayardo filter only adds shuffles; at a selective
+        # threshold the output is sparse and the filter's index-side
+        # shedding pays. Same oracle-pinned rows either way.
+        "tf_cosine_hi": lambda docs, ev: dedup.tf_cosine_pairs(
+            docs, threshold=0.7, max_doc_freq=50, max_doc_frac=0.08
+        ),
+        "tf_cosine_hi_prefix": lambda docs, ev: dedup.tf_cosine_pairs(
+            docs, threshold=0.7, max_doc_freq=50, max_doc_frac=0.08, prefix_filter=True
+        ),
+        "tf_cosine_prefix": lambda docs, ev: dedup.tf_cosine_pairs(
+            docs, max_doc_freq=50, max_doc_frac=0.08, prefix_filter=True
+        ),
         "token_quality": lambda docs, ev: text.quality_features(docs),
         "epoch_shuffle": lambda docs, ev: sampling.epoch_shuffle(docs),
         "sessionize": lambda docs, ev: sessionize(ev),
@@ -242,6 +256,19 @@ def main() -> int:
             embs, threshold=0.45, n_bands=8, planes_per_band=10, max_bucket=500
         ),
     }
+
+    # Optional operator filter for targeted re-measurement after an
+    # optimization: SCALE_PROBE_OPS="tf_cosine,minhash_lsh" runs only
+    # those rows (full sweep otherwise).
+    import os
+
+    only = os.environ.get("SCALE_PROBE_OPS")
+    if only:
+        wanted = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = wanted - set(operators)
+        if unknown:
+            raise SystemExit(f"SCALE_PROBE_OPS unknown operators: {sorted(unknown)}")
+        operators = {k: v for k, v in operators.items() if k in wanted}
 
     results: dict[str, list[tuple[int, float]]] = {k: [] for k in operators}
     for reps in reps_list:
