@@ -56,30 +56,33 @@ def _guard_query_bound(n_queries: int, bound: int, fn: str) -> None:
         )
 
 
-def _gemm_prune_indices(scores: np.ndarray, c_ids: np.ndarray, t: int) -> np.ndarray:
-    """Per-query top-``t`` column indices under the EXACT output's total
-    order: round(score, 6) desc, candidate id asc.
+def _gemm_prune_mask(scores: np.ndarray, t: int) -> np.ndarray:
+    """Boolean keep-mask: per query row, every candidate whose ROUNDED
+    score ties or beats the row's t-th-largest rounded score.
 
-    Pruning under the same total order the final rescore window uses is
-    what makes the two-stage GEMM paths provably lossless: the union of
-    per-batch top-t sets under a total order always contains the global
-    top-t under that same order.  A plain ``argpartition`` on unrounded
-    float64 scores does NOT have this property — when more than
-    ``margin`` candidates share the rank-k rounded-cosine bin (plausible
-    under duplicate amplification), it can drop the low-candidate-id
-    member the exact baseline keeps.  The only residual divergence risk
-    is a cosine within ~1e-12 (float64 GEMM error) of a 1e-6 bin edge
-    flipping bins between numpy and the decimal rescore — more than
-    ``margin`` simultaneous flips at the boundary would be required to
-    lose a row.
+    This is a superset of the per-batch top-t under the exact output's
+    total order (round(score, 6) desc, candidate id asc), because the
+    rounded-order top-t all sit in bins >= the t-th-largest bin and the
+    mask keeps those bins WHOLE — so the batch-union provably contains
+    the global top-t under that order, boundary ties included.  A plain
+    ``argpartition`` on unrounded float64 scores does NOT have this
+    property: when more than ``margin`` candidates share the rank-k
+    rounded-cosine bin (plausible under duplicate amplification), it
+    orders ties arbitrarily and can drop the low-candidate-id member
+    the exact baseline keeps.  Keeping whole bins instead of
+    per-row lexsorting is also ~10x cheaper (O(n) round+partition, no
+    sort) — the handful of extra boundary-tie survivors is noise to the
+    decimal rescore stage, and in the adversarial all-tied batch the
+    full emission is exactly what correctness requires.  The only
+    residual divergence risk is a cosine within ~1e-12 (float64 GEMM
+    error) of a 1e-6 bin edge flipping bins between numpy and the
+    decimal rescore — more than ``margin`` simultaneous flips at the
+    boundary would be required to lose a row.
     """
     binned = np.round(scores, 6)
-    out = np.empty((scores.shape[0], t), dtype=np.int64)
-    for i in range(scores.shape[0]):
-        # lexsort: last key is primary — -binned asc == rounded score
-        # desc, ties broken by candidate id asc (the window's order).
-        out[i] = np.lexsort((c_ids, -binned[i]))[:t]
-    return out
+    n = binned.shape[1]
+    kth = np.partition(binned, n - t, axis=1)[:, n - t]
+    return binned >= kth[:, None]
 
 
 def cosine_topk(
@@ -232,12 +235,14 @@ def cosine_topk_gemm(
     `cosine_topk_exact`, then the global tie-broken window top-k —
     bit-identical final rows.
 
-    Exactness: the prune selects per-batch top-(k+margin) under the SAME
-    total order as the final window — round(cosine, 6) desc, candidate id
-    asc (`_gemm_prune_indices`) — and the union of per-batch top sets
-    under a total order always contains the global top-k under that
-    order.  The residual risk is float64 GEMM error (~1e-12) flipping a
-    cosine across a 1e-6 rounding-bin edge; more than `margin` such
+    Exactness: the prune keeps every candidate whose ROUNDED score ties
+    or beats the batch's (k+margin)-th largest rounded score
+    (`_gemm_prune_mask`) — a bin-complete superset of the per-batch
+    top-(k+margin) under the final window's own total order
+    (round(cosine, 6) desc, candidate id asc), so the batch-union
+    provably contains the global top-k under that order, boundary ties
+    included.  The residual risk is float64 GEMM error (~1e-12) flipping
+    a cosine across a 1e-6 rounding-bin edge; more than `margin` such
     simultaneous boundary flips would be required to lose a neighbor.
     """
     _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "cosine_topk_gemm")
@@ -262,9 +267,9 @@ def cosine_topk_gemm(
             scores = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
             scores[q_ids[:, None] == c_ids[None, :]] = -np.inf
             t = min(take, scores.shape[1])
-            idx = _gemm_prune_indices(scores, c_ids, t)
-            out_q = np.repeat(q_ids, t)
-            out_c = c_ids[idx].ravel()
+            qi, ci = np.nonzero(_gemm_prune_mask(scores, t))
+            out_q = q_ids[qi]
+            out_c = c_ids[ci]
             keep = out_q != out_c
             yield pd.DataFrame(
                 {"query_id": out_q[keep], "candidate_id": out_c[keep]}
@@ -957,13 +962,10 @@ def hard_negatives_gemm(
             scores = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
             scores[q_labels[:, None] == c_labels[None, :]] = -np.inf
             t = min(take, scores.shape[1])
-            idx = _gemm_prune_indices(scores, c_ids, t)
-            out_q = np.repeat(q_ids, t)
-            out_c = c_ids[idx].ravel()
-            out_s = np.take_along_axis(scores, idx, axis=1).ravel()
-            keep = np.isfinite(out_s)  # drop same-label fillers
+            qi, ci = np.nonzero(_gemm_prune_mask(scores, t))
+            keep = np.isfinite(scores[qi, ci])  # drop same-label fillers
             yield pd.DataFrame(
-                {"query_id": out_q[keep], "candidate_id": out_c[keep]}
+                {"query_id": q_ids[qi[keep]], "candidate_id": c_ids[ci[keep]]}
             )
 
     surv = vecs.mapInPandas(prune, "query_id long, candidate_id long")
