@@ -215,10 +215,11 @@ _FLAGSHIP_INTERLEAVE = (
 #     + length-matched + temperature sampling, semantic domain profile),
 #     and the four embedding ops (label centroids, hard negatives exact
 #     + GEMM, cosine top-k GEMM);
-#   - 12 of the 45 relational queries whose last green row is round 2
+#   - 11 of the 45 relational queries whose last green row is round 2
 #     (the stalest vintage in the registry);
-#   - the 4 new round-6 gold-DAG bridge queries (never-green by
-#     definition — first driver rows must come this round).
+#   - the 5 new round-6 gold-DAG bridge queries (never-green by
+#     definition — first driver rows must come this round), including
+#     the six-model gold_coverage_audit reconciliation chain.
 _SWEEP_PRIORITY = (
     "telemetry_missing_ts_by_ingest",
     "telemetry_missing_ts_by_location",
@@ -253,11 +254,11 @@ _SWEEP_PRIORITY = (
     "agg_global",
     "agg_weighted_score",
     "distinct_projection",
-    "join_broadcast",
     "gold_fact_rounds",
     "gold_rounds_by_month",
     "gold_data_quality_overview",
     "gold_completeness_summary",
+    "gold_coverage_audit",
 )
 
 # The rest of the round-2-vintage stale rotation, in rotation order:
@@ -265,6 +266,7 @@ _SWEEP_PRIORITY = (
 # budget ever grows, and MUST fill the front of round 7's priority
 # block (the standing gate asserts they fit).
 _STALE_TAIL = (
+    "join_broadcast",
     "join_range_broadcast",
     "join_salted_skew",
     "join_semi",

@@ -469,19 +469,53 @@ def _gold_on_bridge(spark: SparkSession, sf_dir: str, model: str) -> DataFrame:
     from ..gold import models as gold_models
 
     load_views(spark, sf_dir)
-    spark.sql(_SPARK_BRIDGE).createOrReplaceTempView("fact_telemetry_event")
+    # Materialize the bridge frame (localCheckpoint) instead of
+    # registering the live windowed SQL as the fact view: gold models
+    # self-join the fact many times (courses x fact_rounds x
+    # hole-performance ...), and duplicating a window-bearing view
+    # through those joins trips Spark 4.1's DeduplicateRelations
+    # ([INTERNAL_ERROR] exprId on unresolved object). Materializing is
+    # also the reference's real shape — dbt gold models read a
+    # MATERIALIZED silver table, not a live view (at 100 TB the bridge
+    # equivalent is the stored fact_telemetry_event table itself).
+    spark.sql(_SPARK_BRIDGE).localCheckpoint(eager=True).createOrReplaceTempView(
+        "fact_telemetry_event"
+    )
     by_name = {m.name: m for m in gold_models.MODELS}
+    built: dict[str, DataFrame] = {}
 
     def build(name: str) -> DataFrame:
+        # Memoized: diamond dependencies (fact_rounds feeds several
+        # models in the dim_course/coverage-audit chain) must register
+        # their temp view exactly ONCE — re-replacing a view that
+        # already-built plans reference trips Spark's
+        # DeduplicateRelations on the stale lineage.
+        if name in built:
+            return built[name]
         m = by_name[name]
         for d in m.deps:
             if d in by_name:
-                build(d).createOrReplaceTempView(d)
+                if d not in built:
+                    build(d).createOrReplaceTempView(d)
+            elif d == "dim_facility_topology":
+                # Deterministic topology over the bridge: one unit per
+                # (course, nine) — the exact SQL the DuckDB oracle
+                # inlines, so the whole 1:1-join contract is shared.
+                spark.sql(_SPARK_TOPOLOGY).createOrReplaceTempView(d)
             elif d != "fact_telemetry_event":
                 raise ValueError(f"gold bridge: unbridgeable dep {d!r} of {name!r}")
-        return spark.sql(m.sql)
+        built[name] = spark.sql(m.sql)
+        return built[name]
 
     return build(model)
+
+
+_SPARK_TOPOLOGY = """
+    SELECT DISTINCT course_id AS facility_id, nine_number,
+           'unit_' || CAST(nine_number AS STRING) AS unit_name
+    FROM fact_telemetry_event WHERE nine_number IS NOT NULL
+"""
+_DUCK_TOPOLOGY = _SPARK_TOPOLOGY.replace("AS STRING)", "AS VARCHAR)")
 
 
 def _decimals_as_double(df: DataFrame) -> DataFrame:
@@ -776,6 +810,109 @@ q_gold_completeness_summary = Query(
 )
 
 
+q_gold_coverage_audit = Query(
+    name="gold_coverage_audit",
+    build=lambda spark, sf_dir: _gold_on_bridge(
+        spark, sf_dir, "gold_coverage_audit"
+    ).orderBy("course_id"),
+    # The audit-by-construction model: silver counts reconciled against
+    # fact_rounds, fact_round_hole_performance, both seasonality models
+    # and dim_course — a SIX-model gold DAG (via dim_course's own deps)
+    # materialized on the Spark side and re-derived below as DuckDB
+    # CTEs. Every projected column is a count, a distinct-count, or the
+    # dim-course presence/unit scalars, so the whole chain is
+    # cross-engine exact; the hole-performance and dim_course branches
+    # join the deterministic bridge topology 1:1 (one unit per
+    # (course, nine)), which both engines build from the SAME SQL text.
+    # Seasonality sums collapse algebraically (Σ per-bucket COUNT ==
+    # total COUNT; the unknown-timestamp bucket == NULL-start rounds) —
+    # the DuckDB text uses the collapsed form, the Spark side runs the
+    # real model chain.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        {_DUCK_FACT_ROUNDS},
+        dim_facility_topology AS ({_DUCK_TOPOLOGY}),
+        courses AS (
+            SELECT DISTINCT course_id FROM fact_telemetry_event WHERE course_id IS NOT NULL
+        ),
+        silver_event_counts AS (
+            SELECT course_id,
+                COUNT(*) AS silver_total_rows,
+                CAST(SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS silver_padding_rows,
+                CAST(SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS silver_non_padding_rows,
+                CAST(SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS BIGINT) AS silver_ts_missing_rows,
+                CAST(SUM(CASE WHEN is_timestamp_missing AND NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS silver_ts_missing_non_padding_rows,
+                COUNT(DISTINCT round_id) AS silver_distinct_rounds_all,
+                COUNT(DISTINCT CASE WHEN NOT is_location_padding THEN round_id END) AS silver_distinct_rounds_non_padding
+            FROM fact_telemetry_event
+            WHERE course_id IS NOT NULL
+            GROUP BY course_id
+        ),
+        gold_fact_rounds_agg AS (
+            SELECT course_id, COUNT(*) AS gold_fact_rounds_rows,
+                   COUNT(DISTINCT round_id) AS gold_fact_rounds_distinct_rounds,
+                   CAST(SUM(fix_count) AS BIGINT) AS gold_fact_rounds_sum_fix_count
+            FROM fact_rounds GROUP BY course_id
+        ),
+        hole_groups AS (
+            SELECT course_id, round_id, hole_number, nine_number
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE AND hole_number IS NOT NULL
+            GROUP BY course_id, round_id, hole_number, nine_number
+        ),
+        gold_hole_perf AS (
+            SELECT course_id, COUNT(*) AS gold_hole_perf_rows,
+                   COUNT(DISTINCT round_id) AS gold_hole_perf_distinct_rounds,
+                   COUNT(DISTINCT CAST(round_id AS VARCHAR) || ':' || CAST(hole_number AS VARCHAR) || ':' || CAST(nine_number AS VARCHAR))
+                       AS gold_hole_perf_distinct_round_hole_nine
+            FROM hole_groups GROUP BY course_id
+        ),
+        gold_seasonality_month AS (
+            SELECT course_id,
+                   CAST(COUNT(*) AS BIGINT) AS gold_rounds_by_month_sum_rounds,
+                   CAST(SUM(CASE WHEN round_start_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS gold_rounds_by_month_unknown_ts_rounds
+            FROM fact_rounds GROUP BY course_id
+        ),
+        gold_seasonality_weekday AS (
+            SELECT course_id,
+                   CAST(COUNT(*) AS BIGINT) AS gold_rounds_by_weekday_sum_rounds,
+                   CAST(SUM(CASE WHEN round_start_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS gold_rounds_by_weekday_unknown_ts_rounds
+            FROM fact_rounds GROUP BY course_id
+        ),
+        gold_dim_course AS (
+            SELECT facility_id AS course_id, 1 AS gold_dim_course_present,
+                   CAST(COUNT(DISTINCT unit_name) AS INT) AS unit_count
+            FROM dim_facility_topology
+            WHERE unit_name IS NOT NULL
+            GROUP BY facility_id
+        )
+        SELECT c.course_id,
+            s.silver_total_rows, s.silver_padding_rows, s.silver_non_padding_rows,
+            s.silver_ts_missing_rows, s.silver_ts_missing_non_padding_rows,
+            s.silver_distinct_rounds_all, s.silver_distinct_rounds_non_padding,
+            fr.gold_fact_rounds_rows, fr.gold_fact_rounds_distinct_rounds, fr.gold_fact_rounds_sum_fix_count,
+            hp.gold_hole_perf_rows, hp.gold_hole_perf_distinct_rounds, hp.gold_hole_perf_distinct_round_hole_nine,
+            sm.gold_rounds_by_month_sum_rounds, sm.gold_rounds_by_month_unknown_ts_rounds,
+            sw.gold_rounds_by_weekday_sum_rounds, sw.gold_rounds_by_weekday_unknown_ts_rounds,
+            dc.gold_dim_course_present, dc.unit_count
+        FROM courses c
+        LEFT JOIN silver_event_counts s ON c.course_id = s.course_id
+        LEFT JOIN gold_fact_rounds_agg fr ON c.course_id = fr.course_id
+        LEFT JOIN gold_hole_perf hp ON c.course_id = hp.course_id
+        LEFT JOIN gold_seasonality_month sm ON c.course_id = sm.course_id
+        LEFT JOIN gold_seasonality_weekday sw ON c.course_id = sw.course_id
+        LEFT JOIN gold_dim_course dc ON c.course_id = dc.course_id
+        ORDER BY c.course_id
+    """,
+    doc="Audit-by-construction reconciliation (gold/models.py "
+    "GOLD_COVERAGE_AUDIT, reference gold_coverage_audit.sql — the "
+    "reference's cheapest correctness tripwire, SURVEY §5.4) over the "
+    "bridged fact: the deepest driver-verified chain (fact_rounds, "
+    "hole-performance, both seasonality models, dim_course and its "
+    "three summary deps, plus the deterministic bridge topology).",
+)
+
+
 QUERIES = [
     q_telemetry_start_hole_distribution,
     q_telemetry_avg_pace_by_hole,
@@ -792,4 +929,5 @@ QUERIES = [
     q_gold_rounds_by_month,
     q_gold_data_quality_overview,
     q_gold_completeness_summary,
+    q_gold_coverage_audit,
 ]
