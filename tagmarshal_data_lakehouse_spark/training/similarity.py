@@ -56,33 +56,51 @@ def _guard_query_bound(n_queries: int, bound: int, fn: str) -> None:
         )
 
 
-def _gemm_prune_mask(scores: np.ndarray, t: int) -> np.ndarray:
+def _gemm_prune_mask(scores: np.ndarray, c_ids: np.ndarray, t: int) -> np.ndarray:
     """Boolean keep-mask: per query row, every candidate whose ROUNDED
     score ties or beats the row's t-th-largest rounded score.
 
-    This is a superset of the per-batch top-t under the exact output's
-    total order (round(score, 6) desc, candidate id asc), because the
-    rounded-order top-t all sit in bins >= the t-th-largest bin and the
-    mask keeps those bins WHOLE — so the batch-union provably contains
-    the global top-t under that order, boundary ties included.  A plain
-    ``argpartition`` on unrounded float64 scores does NOT have this
-    property: when more than ``margin`` candidates share the rank-k
-    rounded-cosine bin (plausible under duplicate amplification), it
-    orders ties arbitrarily and can drop the low-candidate-id member
-    the exact baseline keeps.  Keeping whole bins instead of
-    per-row lexsorting is also ~10x cheaper (O(n) round+partition, no
-    sort) — the handful of extra boundary-tie survivors is noise to the
-    decimal rescore stage, and in the adversarial all-tied batch the
-    full emission is exactly what correctness requires.  The only
-    residual divergence risk is a cosine within ~1e-12 (float64 GEMM
-    error) of a 1e-6 bin edge flipping bins between numpy and the
-    decimal rescore — more than ``margin`` simultaneous flips at the
-    boundary would be required to lose a row.
+    This equals the per-batch top-t under the exact output's total
+    order (round(score, 6) desc, candidate id asc): the rounded-order
+    top-t all sit in bins >= the t-th-largest bin, and within the
+    boundary bin the t lowest candidate ids are kept — so the
+    batch-union provably contains the global top-t under that order,
+    boundary ties included (the global boundary-bin winners are by
+    definition among the union of per-batch t-lowest-id members).  A
+    plain ``argpartition`` on unrounded float64 scores does NOT have
+    this property: when more than ``margin`` candidates share the
+    rank-k rounded-cosine bin (plausible under duplicate
+    amplification), it orders ties arbitrarily and can drop the
+    low-candidate-id member the exact baseline keeps.  Cost: one O(n)
+    round+partition per row; the id-order lexsort runs only on rows
+    whose boundary bin overflows t, and only over their masked columns
+    — on duplicate-heavy corpora this also caps the rescore stage at
+    t survivors per (query, batch) where a bin-complete mask would
+    balloon with whole replica sets.  The only residual divergence
+    risk is a cosine within ~1e-12 (float64 GEMM error) of a 1e-6 bin
+    edge flipping bins between numpy and the decimal rescore — more
+    than ``margin`` simultaneous flips at the boundary would be
+    required to lose a row.
     """
     binned = np.round(scores, 6)
     n = binned.shape[1]
     kth = np.partition(binned, n - t, axis=1)[:, n - t]
-    return binned >= kth[:, None]
+    mask = binned >= kth[:, None]
+    # Boundary-tie bound: a bin-complete mask can balloon when the
+    # corpus is duplicate-heavy (whole replica sets share one rounded
+    # bin), inflating the decimal rescore stage. Keeping only the t
+    # LOWEST-ID members per row under the (bin desc, id asc) order is
+    # still lossless — the global top-t's bin-B members are by
+    # definition among the union of per-batch t-lowest-id bin-B
+    # members — so prune the rare overflowing rows with a small
+    # lexsort over just their masked columns.
+    counts = mask.sum(axis=1)
+    for i in np.where(counts > t)[0]:
+        cols = np.nonzero(mask[i])[0]
+        order = np.lexsort((c_ids[cols], -binned[i, cols]))
+        mask[i] = False
+        mask[i, cols[order[:t]]] = True
+    return mask
 
 
 def cosine_topk(
@@ -267,7 +285,7 @@ def cosine_topk_gemm(
             scores = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
             scores[q_ids[:, None] == c_ids[None, :]] = -np.inf
             t = min(take, scores.shape[1])
-            qi, ci = np.nonzero(_gemm_prune_mask(scores, t))
+            qi, ci = np.nonzero(_gemm_prune_mask(scores, c_ids, t))
             out_q = q_ids[qi]
             out_c = c_ids[ci]
             keep = out_q != out_c
@@ -962,7 +980,7 @@ def hard_negatives_gemm(
             scores = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
             scores[q_labels[:, None] == c_labels[None, :]] = -np.inf
             t = min(take, scores.shape[1])
-            qi, ci = np.nonzero(_gemm_prune_mask(scores, t))
+            qi, ci = np.nonzero(_gemm_prune_mask(scores, c_ids, t))
             keep = np.isfinite(scores[qi, ci])  # drop same-label fillers
             yield pd.DataFrame(
                 {"query_id": q_ids[qi[keep]], "candidate_id": c_ids[ci[keep]]}
