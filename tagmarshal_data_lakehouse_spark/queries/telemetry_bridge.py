@@ -485,26 +485,38 @@ def _gold_on_bridge(spark: SparkSession, sf_dir: str, model: str) -> DataFrame:
     built: dict[str, DataFrame] = {}
 
     def build(name: str) -> DataFrame:
-        # Memoized: diamond dependencies (fact_rounds feeds several
-        # models in the dim_course/coverage-audit chain) must register
-        # their temp view exactly ONCE — re-replacing a view that
-        # already-built plans reference trips Spark's
-        # DeduplicateRelations on the stale lineage.
+        # Memoized AND materialized: diamond dependencies (fact_rounds
+        # feeds several models in the dim_course/coverage-audit chain)
+        # register their temp view exactly once, and every intermediate
+        # model is localCheckpoint'ed before downstream models read it.
+        # Composing the deep chain as live views instead flakes in
+        # Spark 4.1's DeduplicateRelations ([INTERNAL_ERROR] exprId on
+        # unresolved object, sensitive to the session's exprId history)
+        # — and materializing is the reference's real dbt shape anyway:
+        # each model is a stored table, not a view stack. Frames here
+        # are course-grain or round-grain (thousands of rows at driver
+        # scale), so the checkpoints are trivially small.
         if name in built:
             return built[name]
         m = by_name[name]
         for d in m.deps:
             if d in by_name:
                 if d not in built:
-                    build(d).createOrReplaceTempView(d)
+                    build(d)
             elif d == "dim_facility_topology":
                 # Deterministic topology over the bridge: one unit per
                 # (course, nine) — the exact SQL the DuckDB oracle
                 # inlines, so the whole 1:1-join contract is shared.
-                spark.sql(_SPARK_TOPOLOGY).createOrReplaceTempView(d)
+                if d not in built:
+                    built[d] = spark.sql(_SPARK_TOPOLOGY).localCheckpoint(eager=True)
+                    built[d].createOrReplaceTempView(d)
             elif d != "fact_telemetry_event":
                 raise ValueError(f"gold bridge: unbridgeable dep {d!r} of {name!r}")
-        built[name] = spark.sql(m.sql)
+        df = spark.sql(m.sql)
+        if name != model:
+            df = df.localCheckpoint(eager=True)
+            df.createOrReplaceTempView(name)
+        built[name] = df
         return built[name]
 
     return build(model)

@@ -50,3 +50,33 @@ def test_round_grain_durations_fit_validity_window(spark, sf_oracle):
     rows = df.collect()
     assert len(rows) > 0
     assert all(0 < r["duration_minutes"] < 600 for r in rows)
+
+
+def test_gold_coverage_audit_reconciles_by_construction(spark, sf_oracle):
+    """The audit model's whole point: every gold aggregate must
+    reconcile against the silver counts it was derived from. These are
+    the reference's own tripwire identities (gold_coverage_audit.sql),
+    asserted on the bridged chain — a drift anywhere in the six-model
+    DAG (fact_rounds grain, hole-performance grouping, seasonality
+    sums, dim_course presence) breaks one of them."""
+    rows = telemetry_bridge._gold_on_bridge(
+        spark, sf_oracle, "gold_coverage_audit"
+    ).collect()
+    assert len(rows) == 3  # user_id % 3 courses
+    for r in rows:
+        # fact_rounds partitions the non-padding fact exactly
+        assert r["gold_fact_rounds_sum_fix_count"] == r["silver_non_padding_rows"]
+        assert (
+            r["gold_fact_rounds_distinct_rounds"]
+            == r["silver_distinct_rounds_non_padding"]
+            == r["gold_fact_rounds_rows"]  # one row per round (grain)
+        )
+        # each seasonality model re-buckets every fact_rounds row once
+        assert r["gold_rounds_by_month_sum_rounds"] == r["gold_fact_rounds_rows"]
+        assert r["gold_rounds_by_weekday_sum_rounds"] == r["gold_fact_rounds_rows"]
+        # hole-perf grain: (round, hole, nine) groups are distinct keys
+        assert r["gold_hole_perf_rows"] == r["gold_hole_perf_distinct_round_hole_nine"]
+        assert r["gold_hole_perf_distinct_rounds"] <= r["gold_fact_rounds_rows"]
+        # dim_course present with the bridge topology's two nines
+        assert r["gold_dim_course_present"] == 1
+        assert r["unit_count"] == 2
