@@ -33,13 +33,14 @@ cross-engine exact:
 
 Queries are either fact-only library texts or (since round 6) gold
 MODELS run over the bridged fact: `_gold_on_bridge` materializes a
-model's dependency chain (gold/models.py, the REAL Spark texts) as temp
-views over the bridge, and the oracle inlines the same chain as DuckDB
-CTEs. Gold models needing `dim_facility_topology` (hole-performance,
-coverage-audit chains) stay out: the topology dim has no deterministic
-bridge from TPC-H-shaped events, so their hard check remains the
-two-engine pytest oracle (tests/test_gold_oracle.py). Everything here
-is free of approximate aggregates (the driver hashes every output
+model's dependency chain (gold/models.py, the REAL Spark texts) as
+localCheckpoint'ed temp views over the bridge — the reference's dbt
+shape, where every model is a stored table — and the oracle inlines
+the same chain as DuckDB CTEs. A deterministic topology view
+(`_SPARK_TOPOLOGY`, one unit per (course, nine), identical SQL text on
+both engines) unlocks the chains that join `dim_facility_topology`,
+up to the six-model `gold_coverage_audit` reconciliation. Everything
+here is free of approximate aggregates (the driver hashes every output
 column, and percentile sketches are engine-specific).
 """
 
