@@ -183,6 +183,15 @@ def _register_tables(
 #   3. the tail: the rest of the stale rotation first (_STALE_TAIL —
 #      next round's priority, picked up first if the budget ever grows),
 #      then the families green in the most recent sweep.
+# The round this head layout was designed for. The rotation gate
+# (tests/test_registry_order.py) evaluates the staleness queue AS OF
+# this round, so the suite stays green when the driver's next
+# CORRECTNESS artifact lands before the next rotation — and a separate
+# test fails loudly if this marker ever falls more than one round
+# behind the artifacts (the round-5 zero-commit failure mode). Bump it
+# when rotating the head.
+HEAD_DESIGNED_FOR_ROUND = 6
+
 _FLAGSHIP_INTERLEAVE = (
     "events_sessionize",
     "doc_dedup_exact",

@@ -33,6 +33,7 @@ import re
 from pathlib import Path
 
 from tagmarshal_data_lakehouse_spark.queries import (
+    HEAD_DESIGNED_FOR_ROUND,
     _FLAGSHIP_INTERLEAVE,
     _STALE_TAIL,
     _SWEEP_PRIORITY,
@@ -71,19 +72,44 @@ _REPO = Path(__file__).resolve().parent.parent
 
 def _latest_green() -> tuple[dict[str, int], int]:
     """(latest driver-green round per query, current round number),
-    scanned from the committed CORRECTNESS_r*.json artifacts."""
+    scanned from the committed CORRECTNESS_r*.json artifacts. The
+    "current" round is pinned to HEAD_DESIGNED_FOR_ROUND so a freshly
+    landed driver artifact does not redden the suite before the next
+    rotation; `test_head_design_tracks_the_artifacts` separately bounds
+    how far the marker may lag."""
     latest: dict[str, int] = {}
-    rounds = [0]
     for p in _REPO.glob("CORRECTNESS_r*.json"):
         m = re.search(r"_r(\d+)\.json$", p.name)
         if not m:
             continue
         r = int(m.group(1))
-        rounds.append(r)
         for name, row in json.loads(p.read_text()).items():
             if row.get("hash_match"):
                 latest[name] = max(latest.get(name, 0), r)
-    return latest, max(rounds) + 1
+    return latest, HEAD_DESIGNED_FOR_ROUND
+
+
+def _max_artifact_round() -> int:
+    rounds = [0]
+    for p in _REPO.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds)
+
+
+def test_head_design_tracks_the_artifacts():
+    """The head layout may lag the newest driver artifact by at most
+    one round (the artifact for round N lands before round N+1's
+    rotation). Two rounds behind = a whole round passed without the
+    rotation being executed — the round-5 zero-commit failure mode this
+    gate exists to catch."""
+    assert HEAD_DESIGNED_FOR_ROUND >= _max_artifact_round(), (
+        f"head designed for round {HEAD_DESIGNED_FOR_ROUND} but "
+        f"CORRECTNESS_r{_max_artifact_round():02d}.json already exists: "
+        "rotate queries/__init__.py (_SWEEP_PRIORITY/_STALE_TAIL) and "
+        "bump HEAD_DESIGNED_FOR_ROUND"
+    )
 
 
 def _family(name: str) -> str:
