@@ -224,9 +224,9 @@ _FLAGSHIP_INTERLEAVE = (
 #     + length-matched + temperature sampling, semantic domain profile),
 #     and the four embedding ops (label centroids, hard negatives exact
 #     + GEMM, cosine top-k GEMM);
-#   - 11 of the 45 relational queries whose last green row is round 2
+#   - 9 of the 45 relational queries whose last green row is round 2
 #     (the stalest vintage in the registry);
-#   - the 5 new round-6 gold-DAG bridge queries (never-green by
+#   - the 7 new round-6 gold-DAG bridge queries (never-green by
 #     definition — first driver rows must come this round), including
 #     the six-model gold_coverage_audit reconciliation chain.
 _SWEEP_PRIORITY = (
@@ -261,8 +261,8 @@ _SWEEP_PRIORITY = (
     "agg_mode_deterministic",
     "agg_having",
     "agg_global",
-    "agg_weighted_score",
-    "distinct_projection",
+    "gold_rounds_by_weekday",
+    "gold_start_hole_distribution",
     "gold_fact_rounds",
     "gold_rounds_by_month",
     "gold_data_quality_overview",
@@ -275,6 +275,8 @@ _SWEEP_PRIORITY = (
 # budget ever grows, and MUST fill the front of round 7's priority
 # block (the standing gate asserts they fit).
 _STALE_TAIL = (
+    "agg_weighted_score",
+    "distinct_projection",
     "join_broadcast",
     "join_range_broadcast",
     "join_salted_skew",

@@ -823,6 +823,84 @@ q_gold_completeness_summary = Query(
 )
 
 
+q_gold_rounds_by_weekday = Query(
+    name="gold_rounds_by_weekday",
+    build=lambda spark, sf_dir: _gold_on_bridge(
+        spark, sf_dir, "course_rounds_by_weekday"
+    ).orderBy("course_id", "weekday_number"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        {_DUCK_FACT_ROUNDS}
+        SELECT course_id,
+               CASE WHEN round_start_ts IS NULL THEN 0
+                    ELSE CAST(ISODOW(round_start_ts) AS INT) END AS weekday_number,
+               CASE WHEN round_start_ts IS NULL THEN 'Unknown (missing timestamp)'
+                    ELSE STRFTIME(round_start_ts, '%A') END AS weekday_name,
+               COUNT(*) AS rounds
+        FROM fact_rounds
+        GROUP BY course_id,
+               CASE WHEN round_start_ts IS NULL THEN 0
+                    ELSE CAST(ISODOW(round_start_ts) AS INT) END,
+               CASE WHEN round_start_ts IS NULL THEN 'Unknown (missing timestamp)'
+                    ELSE STRFTIME(round_start_ts, '%A') END
+        ORDER BY course_id, weekday_number
+    """,
+    doc="Weekday seasonality gold model (gold/models.py "
+    "COURSE_ROUNDS_BY_WEEKDAY, reference course_rounds_by_weekday.sql; "
+    "Trino day_of_week 1=Mon == DuckDB isodow) over the bridged "
+    "fact_rounds chain, explicit unknown-timestamp bucket included.",
+)
+
+q_gold_start_hole_distribution = Query(
+    name="gold_start_hole_distribution",
+    build=lambda spark, sf_dir: _decimals_as_double(
+        _gold_on_bridge(spark, sf_dir, "course_start_hole_distribution")
+    ).orderBy("course_id", "start_hole"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        {_DUCK_FACT_ROUNDS},
+        rounds AS (
+            SELECT course_id, round_id, start_hole, start_section,
+                   min_section_number, first_tee_section_number, is_complete
+            FROM fact_rounds WHERE start_hole IS NOT NULL
+        ),
+        start_stats AS (
+            SELECT course_id, start_hole,
+                   COUNT(*) AS rounds_with_this_start,
+                   CAST(SUM(CASE WHEN is_complete THEN 1 ELSE 0 END) AS BIGINT) AS complete_rounds_with_this_start,
+                   MIN(min_section_number) AS min_min_section_number,
+                   MAX(min_section_number) AS max_min_section_number,
+                   MIN(start_section) AS min_start_section,
+                   MAX(start_section) AS max_start_section,
+                   MIN(first_tee_section_number) AS min_first_tee_section_number,
+                   MAX(first_tee_section_number) AS max_first_tee_section_number
+            FROM rounds GROUP BY course_id, start_hole
+        ),
+        course_totals AS (
+            SELECT course_id,
+                   CAST(SUM(rounds_with_this_start) AS BIGINT) AS total_rounds,
+                   CAST(SUM(complete_rounds_with_this_start) AS BIGINT) AS total_complete_rounds,
+                   COUNT(DISTINCT start_hole) AS distinct_start_holes
+            FROM start_stats GROUP BY course_id
+        )
+        SELECT s.course_id, s.start_hole, s.rounds_with_this_start,
+               s.complete_rounds_with_this_start, t.total_rounds, t.total_complete_rounds,
+               t.distinct_start_holes,
+               CAST(ROUND(100.0 * s.rounds_with_this_start / NULLIF(t.total_rounds, 0), 2) AS DOUBLE) AS pct_rounds_with_this_start,
+               CAST(ROUND(100.0 * s.complete_rounds_with_this_start / NULLIF(t.total_complete_rounds, 0), 2) AS DOUBLE) AS pct_complete_rounds_with_this_start,
+               s.min_min_section_number, s.max_min_section_number,
+               s.min_start_section, s.max_start_section,
+               s.min_first_tee_section_number, s.max_first_tee_section_number
+        FROM start_stats s
+        JOIN course_totals t ON s.course_id = t.course_id
+        ORDER BY s.course_id, s.start_hole
+    """,
+    doc="Shotgun-start analysis gold model (gold/models.py "
+    "COURSE_START_HOLE_DISTRIBUTION, reference "
+    "course_start_hole_distribution.sql) over the bridged fact_rounds "
+    "chain; decimal percentage columns ship as double on both engines.",
+)
+
 q_gold_coverage_audit = Query(
     name="gold_coverage_audit",
     build=lambda spark, sf_dir: _gold_on_bridge(
@@ -943,4 +1021,6 @@ QUERIES = [
     q_gold_data_quality_overview,
     q_gold_completeness_summary,
     q_gold_coverage_audit,
+    q_gold_rounds_by_weekday,
+    q_gold_start_hole_distribution,
 ]
