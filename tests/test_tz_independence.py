@@ -37,6 +37,14 @@ TS_QUERIES = [
     "events_retention_cohorts",
     "scalar_datetime",
     "window_dedup",  # emits raw ts — LTZ coercion anywhere upstream shifts it
+    # gold bridge chain (r6): duration_sec subtracts UNIX_TIMESTAMP of
+    # two NTZ stamps — session-tz enters and must cancel (both ends of a
+    # (user, day, hour) round share one offset, DST transitions land on
+    # hour boundaries); round_date/year/weekday and the seasonality
+    # bucketing must stay NTZ-pure.
+    "gold_fact_rounds",
+    "gold_rounds_by_month",
+    "gold_rounds_by_weekday",
 ]
 
 # Three adversarial zones, each catching a different leak class:
