@@ -664,10 +664,20 @@ q_gold_fact_rounds = Query(
 
 q_gold_rounds_by_month = Query(
     name="gold_rounds_by_month",
+    # pct_total is EXCLUDED from the hashed projection: the model text
+    # computes ROUND(rounds/total*100, 2) on a DOUBLE, which is the
+    # Spark shortest-decimal-HALF_UP vs DuckDB binary-product rounding
+    # divergence class this module otherwise bans (see the
+    # round_duration_minutes note at _FACT_ROUNDS_COLS) — a ratio like
+    # 107/4000*100 = 2.675 rounds differently per engine, so the hash
+    # would flake data-dependently at other scale factors. Its signal is
+    # fully carried by `rounds` (the per-course total is their sum).
     build=lambda spark, sf_dir: _dates_as_ntz(
         _gold_on_bridge(spark, sf_dir, "course_rounds_by_month"),
         "month_start",
-    ).orderBy("course_id", "month_start"),
+    )
+    .drop("pct_total")
+    .orderBy("course_id", "month_start"),
     oracle=f"""
         WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
         {_DUCK_FACT_ROUNDS},
@@ -680,28 +690,19 @@ q_gold_rounds_by_month = Query(
                 CASE WHEN round_start_ts IS NULL THEN 'Unknown (missing timestamp)'
                      ELSE STRFTIME(round_start_ts, '%B') END AS month_name
             FROM fact_rounds
-        ),
-        monthly_rounds AS (
-            SELECT course_id, month_start, month_number, month_name,
-                   COUNT(DISTINCT round_id) AS rounds
-            FROM rounds_with_month_keys
-            GROUP BY course_id, month_start, month_number, month_name
-        ),
-        total_rounds_per_course AS (
-            SELECT course_id, CAST(SUM(rounds) AS BIGINT) AS total_rounds
-            FROM monthly_rounds GROUP BY course_id
         )
-        SELECT mr.course_id, CAST(mr.month_start AS TIMESTAMP) AS month_start,
-               mr.month_number, mr.month_name, mr.rounds,
-               ROUND(CAST(mr.rounds AS DOUBLE) / tr.total_rounds * 100, 2) AS pct_total
-        FROM monthly_rounds mr
-        JOIN total_rounds_per_course tr ON mr.course_id = tr.course_id
-        ORDER BY mr.course_id, month_start
+        SELECT course_id, CAST(month_start AS TIMESTAMP) AS month_start,
+               month_number, month_name,
+               COUNT(DISTINCT round_id) AS rounds
+        FROM rounds_with_month_keys
+        GROUP BY course_id, month_start, month_number, month_name
+        ORDER BY course_id, month_start
     """,
     doc="Monthly seasonality gold model (gold/models.py "
     "COURSE_ROUNDS_BY_MONTH, reference course_rounds_by_month.sql) over "
     "the bridged fact — a two-level gold DAG (fact_rounds -> by_month) "
-    "driver-verified end-to-end.",
+    "driver-verified end-to-end; pct_total excluded (double-ROUND "
+    "half-boundary ambiguity, see the build note).",
 )
 
 q_gold_data_quality_overview = Query(
@@ -971,11 +972,22 @@ q_gold_coverage_audit = Query(
             FROM fact_rounds GROUP BY course_id
         ),
         gold_dim_course AS (
-            SELECT facility_id AS course_id, 1 AS gold_dim_course_present,
-                   CAST(COUNT(DISTINCT unit_name) AS INT) AS unit_count
-            FROM dim_facility_topology
-            WHERE unit_name IS NOT NULL
-            GROUP BY facility_id
+            -- Mirrors the Spark dim_course shape exactly: courses come
+            -- from the fact (dim_course emits a row for EVERY base
+            -- course, present=1 unconditionally), and unit_count is
+            -- COALESCE'd to 0 when the topology has no units for the
+            -- course (the model's CASE WHEN unit_names IS NULL THEN 0).
+            -- Deriving courses from the topology instead would silently
+            -- drop a NULL-nine course stripe if one is ever added.
+            SELECT c.course_id, 1 AS gold_dim_course_present,
+                   CAST(COALESCE(u.unit_count, 0) AS INT) AS unit_count
+            FROM courses c
+            LEFT JOIN (
+                SELECT facility_id, COUNT(DISTINCT unit_name) AS unit_count
+                FROM dim_facility_topology
+                WHERE unit_name IS NOT NULL
+                GROUP BY facility_id
+            ) u ON c.course_id = u.facility_id
         )
         SELECT c.course_id,
             s.silver_total_rows, s.silver_padding_rows, s.silver_non_padding_rows,
