@@ -167,15 +167,16 @@ def _register_tables(
 
 # The correctness harness sweeps the registry in insertion order under a
 # budget (rounds 2 and 3 each covered exactly the first 50 entries), so
-# ordering is a coverage decision, not cosmetics. With 161 registry
-# entries and a ~50-entry budget, full driver coverage is a ROTATION,
-# enforced mechanically by tests/test_registry_order.py (which computes
-# every query's last driver-green round from the committed
-# CORRECTNESS_r*.json artifacts): each round the head carries (a) the
+# ordering is a coverage decision, not cosmetics. With far more registry
+# entries than the budget, full driver coverage is a ROTATION, enforced
+# mechanically by tests/test_registry_order.py (which computes every
+# query's last driver-green round from the committed CORRECTNESS_r*.json
+# artifacts, and its edited-since-green state from the oracle-text
+# ledger QUERY_TEXT_HASHES.json): each round the head carries (a) the
 # flagship family stripes, (b) every query that has never produced a
 # driver hash row or was edited after its last green row, (c) the front
-# of the stale-rotation queue (oldest green round first, horizon 4
-# rounds). Layout:
+# of the stale-rotation queue (oldest green round first, horizon
+# derived from the live registry size). Layout:
 #   1. flagship interleave — one query per family every 4 slots, so even
 #      a severely truncated sweep produces a row for every family;
 #   2. the round's sweep-priority block (_SWEEP_PRIORITY, slots 13..50):
@@ -190,7 +191,7 @@ def _register_tables(
 # test fails loudly if this marker ever falls more than one round
 # behind the artifacts (the round-5 zero-commit failure mode). Bump it
 # when rotating the head.
-HEAD_DESIGNED_FOR_ROUND = 6
+HEAD_DESIGNED_FOR_ROUND = 7
 
 _FLAGSHIP_INTERLEAVE = (
     "events_sessionize",
@@ -207,74 +208,33 @@ _FLAGSHIP_INTERLEAVE = (
     "join_multiway",
 )
 
-# Round-6 sweep priorities (38 entries; slots 13..50 of the head).
+# Round-7 sweep priorities (38 entries; slots 13..50 of the head).
 # Composition is governed by the artifact-driven standing gate in
 # tests/test_registry_order.py: every oracle-backed query that has NEVER
 # had a driver hash row, or whose text was edited after its last green
-# row, must be here; the remaining slots carry the front of the
-# stale-rotation queue (oldest driver-green round first); whatever the
-# queue cannot fit this round leads the tail (_STALE_TAIL) and must fit
-# entirely into NEXT round's priority block.
-#   - the 22 round-4 additions that have never been swept (deferred two
-#     rounds): the three missing-ts telemetry drilldowns, Spark-4
-#     VARIANT access, the five events time-series ops (gapfill /
-#     activity islands / interval join / value histogram /
-#     point-in-interval), seven text-curation ops (tf-cosine pairs,
-#     corpus keywords, source drift, PII redact, token rarity, weighted
-#     + length-matched + temperature sampling, semantic domain profile),
-#     and the four embedding ops (label centroids, hard negatives exact
-#     + GEMM, cosine top-k GEMM);
-#   - 9 of the 45 relational queries whose last green row is round 2
-#     (the stalest vintage in the registry);
-#   - the 7 new round-6 gold-DAG bridge queries (never-green by
-#     definition — first driver rows must come this round), including
-#     the six-model gold_coverage_audit reconciliation chain.
+# row (mechanically derived from QUERY_TEXT_HASHES.json), must be here;
+# the remaining slots carry the front of the stale-rotation queue
+# (oldest driver-green round first); whatever the queue cannot fit this
+# round leads the tail (_STALE_TAIL) and must fit entirely into NEXT
+# round's priority block.
+#   - the 8 telemetry entries whose shared bridge SQL was widened in
+#     round 6 AFTER their r05-green rows (the last carve-out from the
+#     round-6 verdict — their current text gets real driver rows now),
+#     plus gold_rounds_by_month / gold_coverage_audit, re-edited this
+#     round for the ADVICE rounding/shape findings;
+#   - the front of the r02-vintage relational backlog (oldest-first, in
+#     rotation order).
 _SWEEP_PRIORITY = (
-    "telemetry_missing_ts_by_ingest",
-    "telemetry_missing_ts_by_location",
-    "telemetry_missing_ts_trend",
-    "scalar_variant",
-    "events_gapfill",
-    "events_activity_islands",
-    "events_interval_join",
-    "events_value_histogram",
-    "events_point_in_interval",
-    "doc_tf_cosine_pairs",
-    "doc_corpus_keywords",
-    "doc_source_drift",
-    "doc_pii_redact",
-    "doc_token_rarity",
-    "doc_weighted_sample",
-    "doc_length_matched_sample",
-    "doc_temperature_mixture",
-    "doc_semantic_domain_profile",
-    "emb_label_centroids",
-    "emb_hard_negatives",
-    "emb_hard_negatives_gemm",
-    "emb_cosine_topk_gemm",
-    "agg_conditional",
-    "agg_filter_clause",
-    "agg_minmax_duration",
-    "agg_percentile",
-    "agg_stddev",
-    "agg_bool_array",
-    "agg_mode_deterministic",
-    "agg_having",
-    "agg_global",
-    "gold_rounds_by_weekday",
-    "gold_start_hole_distribution",
-    "gold_fact_rounds",
+    "telemetry_start_hole_distribution",
+    "telemetry_avg_pace_by_hole",
+    "telemetry_pace_comparison_hole",
+    "telemetry_round_duration",
+    "telemetry_global_overview",
+    "telemetry_events_by_hour",
+    "telemetry_null_correlation",
+    "telemetry_missing_ts_overview",
     "gold_rounds_by_month",
-    "gold_data_quality_overview",
-    "gold_completeness_summary",
     "gold_coverage_audit",
-)
-
-# The rest of the round-2-vintage stale rotation, in rotation order:
-# these lead the tail (slots 51+), are picked up first if the sweep
-# budget ever grows, and MUST fill the front of round 7's priority
-# block (the standing gate asserts they fit).
-_STALE_TAIL = (
     "agg_weighted_score",
     "distinct_projection",
     "join_broadcast",
@@ -303,6 +263,14 @@ _STALE_TAIL = (
     "join_exists_correlated",
     "scalar_correlated_subquery",
     "explode_posexplode",
+)
+
+# The rest of the stale rotation (8 r02-vintage relational, then the 25
+# r03-vintage training/events entries), in rotation order: these lead
+# the tail (slots 51+), are picked up first if the sweep budget ever
+# grows, and MUST fill the front of round 8's priority block (the
+# standing gate asserts they fit).
+_STALE_TAIL = (
     "set_intersect_except",
     "agg_corr_regression",
     "scalar_array_family",
@@ -311,6 +279,31 @@ _STALE_TAIL = (
     "join_full_outer",
     "agg_skew_profile",
     "scan_profile",
+    "events_funnel",
+    "events_dedup_exact",
+    "events_time_rollup",
+    "events_retention_cohorts",
+    "events_anomaly_zscore",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_ngram_jaccard",
+    "emb_label_stats",
+    "emb_cosine_near_dups",
+    "doc_train_split",
+    "doc_stratified_sample",
+    "doc_hash_sample_k",
+    "doc_mixture_weights",
+    "doc_decontaminate",
+    "doc_repetition",
+    "doc_pii_scan",
+    "doc_dup_rate_by_source",
+    "doc_token_histogram",
+    "doc_bigram_freqs",
+    "doc_clean_corpus_stats",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "doc_span_dedup",
+    "doc_cross_source_dups",
 )
 
 

@@ -1,19 +1,26 @@
 """Registry-order contract — the artifact-driven rotation gate.
 
 The driver's correctness sweep walks ``registry()`` in insertion order
-under a ~50-entry budget, so ordering is a coverage guarantee. With 139
+under a ~50-entry budget, so ordering is a coverage guarantee. With N
 oracle-backed entries and 38 rotating slots per round (50 minus the 12
 flagship stripes), full coverage is a ROTATION with a best-achievable
-refresh period of ceil(127/38) = 4 rounds. This module enforces that
-rotation MECHANICALLY, computing each query's last driver-green round
-from the checked-in CORRECTNESS_r*.json artifacts instead of trusting a
-hand-maintained list (the round-5 failure mode: the hand-rotated head
-went stale and the backlog silently aged). The invariants:
+refresh period of ceil((N - 12) / 38) rounds — STALE_HORIZON, derived
+below from the LIVE registry so it can never drift from the arithmetic
+(round-6 ADVICE: the hand-written "139/127" constants were already
+stale at 146). This module enforces the rotation MECHANICALLY,
+computing each query's last driver-green round from the checked-in
+CORRECTNESS_r*.json artifacts and each query's edited-since-green state
+from the checked-in oracle-text ledger (QUERY_TEXT_HASHES.json,
+maintained by tools/update_query_text_hashes.py) instead of trusting
+hand-maintained lists (the round-5 failure mode: a hand-rotated head
+silently aged; the round-6 failure mode: a shared-SQL edit under 8
+green entries that the hand list never recorded). The invariants:
 
 - the flagship stripes give every family a row even under a tiny budget;
 - every oracle-backed query that has NEVER produced a driver hash row,
-  or whose text was edited after its last green row, is inside this
-  round's budget window;
+  or whose oracle text changed after its last green row (ledger-derived
+  or hand-listed for builder-only edits), is inside this round's budget
+  window;
 - the due-queue (never-green + edited + green longer than STALE_HORIZON
   rounds ago) fills the priority block oldest-first, with no slot
   wasted on an already-fresh query;
@@ -29,6 +36,7 @@ else.
 from __future__ import annotations
 
 import json
+import math
 import re
 from pathlib import Path
 
@@ -43,31 +51,33 @@ from tagmarshal_data_lakehouse_spark.queries import (
 SWEEP_BUDGET = 50
 PRIORITY_SLOTS = SWEEP_BUDGET - len(_FLAGSHIP_INTERLEAVE)
 
-# A query whose last driver-green row is more than this many rounds old
-# is due for re-verification. 4 = ceil((139 oracle-backed - 12 always-
-# swept flagships) / 38 priority slots) — the tightest horizon the
-# budget arithmetic permits; a smaller registry tightens it naturally
-# because fewer queries ever reach the horizon.
-STALE_HORIZON = 4
-
-# Queries whose builder/oracle TEXT changed after their last green row:
-# they must re-verify regardless of vintage. Maintained by hand when
-# editing a query that already has a driver row (the artifact scan
-# cannot see text edits).
-#
-# Round-6 note: widening the events->telemetry bridge (gold-model
-# columns) changed the shared bridge SQL under 8 r05-green telemetry
-# entries. They are NOT listed here because the head has no room
-# (adding them would push the stale overflow past next round's
-# capacity, which this module forbids); their re-verification is
-# instead carried by (a) the committed SIM_r06.json full-registry
-# sweep, which re-hashed all 8 against the widened bridge, and (b) the
-# 7 bridged entries that ARE in the round-6 head (3 missing-ts + 4
-# gold) exercising the same bridge SQL under the real driver. They
-# rotate due normally at round 9 under the staleness horizon.
+# Builder-side-only edits after a green row (Spark code paths whose
+# ORACLE text is unchanged — the ledger below cannot see those, and a
+# result-changing builder edit is caught red by the driver hash anyway).
+# Shared-SQL and oracle edits are detected mechanically instead: every
+# oracle f-string-inlines its shared texts, so QUERY_TEXT_HASHES.json
+# (sha of each oracle + the round its current text was recorded for)
+# flags them without hand discipline.
 _EDITED_SINCE_GREEN: frozenset[str] = frozenset()
 
 _REPO = Path(__file__).resolve().parent.parent
+
+
+def _stale_horizon(n_oracle_backed: int) -> int:
+    """ceil((oracle-backed - always-swept flagships) / priority slots):
+    the tightest refresh period the budget arithmetic permits. Derived,
+    not hand-written, so registry growth adjusts it automatically."""
+    return max(1, math.ceil((n_oracle_backed - len(_FLAGSHIP_INTERLEAVE)) / PRIORITY_SLOTS))
+
+
+def _oracle_sha(text: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()[:16]
+
+
+def _ledger() -> dict[str, dict]:
+    return json.loads((_REPO / "QUERY_TEXT_HASHES.json").read_text())
 
 
 def _latest_green() -> tuple[dict[str, int], int]:
@@ -87,6 +97,23 @@ def _latest_green() -> tuple[dict[str, int], int]:
             if row.get("hash_match"):
                 latest[name] = max(latest.get(name, 0), r)
     return latest, HEAD_DESIGNED_FOR_ROUND
+
+
+def _edited_since_green(latest: dict[str, int]) -> set[str]:
+    """Ledger-derived edited set: oracle text unrecorded/changed, or
+    recorded for a round no driver row has confirmed yet — plus the
+    hand list for builder-only edits."""
+    ledger = _ledger()
+    edited = set(_EDITED_SINCE_GREEN)
+    for name, q in registry().items():
+        if q.oracle is None:
+            continue
+        rec = ledger.get(name)
+        if rec is None or rec["sha"] != _oracle_sha(q.oracle):
+            edited.add(name)  # un-recorded edit (also fails test_ledger_is_current)
+        elif rec["round"] > latest.get(name, 0):
+            edited.add(name)  # recorded edit awaiting a driver row
+    return edited
 
 
 def _max_artifact_round() -> int:
@@ -112,6 +139,34 @@ def test_head_design_tracks_the_artifacts():
     )
 
 
+def test_ledger_is_current():
+    """Every oracle-backed query's CURRENT oracle text must be recorded
+    in QUERY_TEXT_HASHES.json. A mismatch means an oracle (or shared
+    SQL it inlines) was edited without re-recording — run
+    `python tools/update_query_text_hashes.py --round <current>`, which
+    marks the entry edited-since-green until the driver re-verifies it."""
+    ledger = _ledger()
+    stale = []
+    for name, q in registry().items():
+        if q.oracle is None:
+            continue
+        rec = ledger.get(name)
+        if rec is None or rec["sha"] != _oracle_sha(q.oracle):
+            stale.append(name)
+    assert not stale, (
+        "oracle text changed without re-recording (run "
+        f"tools/update_query_text_hashes.py --round {HEAD_DESIGNED_FOR_ROUND}): {stale}"
+    )
+
+
+def test_ledger_has_no_ghost_entries():
+    """The ledger may not carry names that left the registry (renames
+    must re-record, not inherit a stale row)."""
+    reg = registry()
+    ghosts = [n for n in _ledger() if n not in reg or reg[n].oracle is None]
+    assert not ghosts, f"ledger entries without a live oracle-backed query: {ghosts}"
+
+
 def _family(name: str) -> str:
     if name.startswith("events_"):
         return "events"
@@ -128,6 +183,8 @@ def _due_queue() -> tuple[list[str], dict[str, int], int]:
     latest, current = _latest_green()
     reg = registry()
     oracle_backed = [n for n, q in reg.items() if q.oracle is not None]
+    horizon = _stale_horizon(len(oracle_backed))
+    edited = _edited_since_green(latest)
     flagships = set(_FLAGSHIP_INTERLEAVE)
     due = [
         n
@@ -135,8 +192,8 @@ def _due_queue() -> tuple[list[str], dict[str, int], int]:
         if n not in flagships
         and (
             latest.get(n, 0) == 0
-            or n in _EDITED_SINCE_GREEN
-            or latest[n] <= current - STALE_HORIZON
+            or n in edited
+            or latest[n] <= current - horizon
         )
     ]
     due.sort(key=lambda n: latest.get(n, 0))  # stable: registry order within a vintage
@@ -169,8 +226,9 @@ def test_every_never_green_or_edited_query_is_in_the_head():
     one) is unverified by the hard signal — it may not sit outside the
     sweep window for even one round."""
     due, latest, _current = _due_queue()
+    edited = _edited_since_green(latest)
     head = set(list(registry())[:SWEEP_BUDGET])
-    hard = [n for n in due if latest.get(n, 0) == 0 or n in _EDITED_SINCE_GREEN]
+    hard = [n for n in due if latest.get(n, 0) == 0 or n in edited]
     missing = [n for n in hard if n not in head]
     assert not missing, f"never-green/edited queries outside the sweep window: {missing}"
 
