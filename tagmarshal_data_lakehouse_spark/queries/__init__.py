@@ -262,7 +262,7 @@ _SWEEP_PRIORITY = (
     "pivot_status_counts",
     "join_exists_correlated",
     "scalar_correlated_subquery",
-    "explode_posexplode",
+    "doc_minhash_dedup_verdict",
 )
 
 # The rest of the stale rotation (8 r02-vintage relational, then the 25
@@ -271,6 +271,7 @@ _SWEEP_PRIORITY = (
 # grows, and MUST fill the front of round 8's priority block (the
 # standing gate asserts they fit).
 _STALE_TAIL = (
+    "explode_posexplode",
     "set_intersect_except",
     "agg_corr_regression",
     "scalar_array_family",

@@ -345,6 +345,114 @@ def minhash_near_duplicates(
     return verify_jaccard(cands, hashed_sets, id_col, threshold, set_col="gram_hashes")
 
 
+def minhash_dedup_verdicts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verdict-only MinHash dedup: ONE row per document (keep / dup_of),
+    never a pair-grain frame.
+
+    The 64x scale probe (SCALE.md) proved the honest 100 TB limit of
+    `minhash_near_duplicates` is not the LSH join — it is the pair
+    OUTPUT mass itself, which grows as replica² (10.6M pairs at 64x).
+    A dedup pipeline rarely needs the pairs; it needs each document's
+    keep/drop verdict. This operator fuses banding into the verdict the
+    way `semantic_dedup` does for embeddings:
+
+    - band minima -> bucket key, one shuffle on (band_id, band_hash);
+    - each bucket elects its lowest-id member as representative via a
+      window MIN over the SAME partitioning (no second shuffle);
+    - every non-representative member is verified against its bucket
+      representative(s) ONLY — at most num_bands candidates per doc, so
+      the verify join is O(N·bands) whatever the duplicate density;
+    - exact gram-set Jaccard >= threshold confirms the drop; dup_of is
+      the lowest verified representative.
+
+    Semantics are the greedy single-round representative election: a
+    doc is dropped iff some band bucket holds a lower-id doc whose
+    exact Jaccard clears the threshold. (Chains collapse over repeated
+    application; one round is the streaming-friendly contract.)
+    Degenerate buckets need no cap here — a million-member bucket still
+    produces one candidate per member, which is exactly why this is
+    the 100 TB default over the pair-materializing path.
+
+    Portability: signatures are LEXICOGRAPHIC minima of md5 hex digests
+    (seeded per permutation as md5('p:' || gram)) and band keys are
+    md5 over the '|'-joined minima — pure ANSI string operations with
+    bit-identical twins in DuckDB, so unlike the xxhash64 pair path the
+    whole pipeline is oracle-checkable end-to-end. md5-as-minhash is
+    uniform over the gram set; the string min is taken over fixed-width
+    lowercase hex, so lexicographic order == numeric order.
+    """
+    from pyspark import StorageLevel
+
+    rows_per_band = num_perm // bands
+    shingled = (
+        with_token_grams(ensure_parallelism(df), text_col=text_col, n=ngram, out="grams")
+        .select(F.col(id_col), "grams")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # One nested-transform expression, not num_perm independent columns
+    # (see minhash_signatures: codegen compiles the loop once this way).
+    seeds = F.array(*[F.lit(f"{p}:") for p in range(num_perm)])
+    signed = shingled.withColumn(
+        "sig",
+        F.transform(
+            seeds,
+            lambda sd: F.array_min(F.transform(F.col("grams"), lambda g: F.md5(F.concat(sd, g)))),
+        ),
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))).alias(
+                "band_hash"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = signed.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band")).select(
+        id_col, "band.band_id", "band.band_hash"
+    )
+    # Representative election and membership share one hash partitioning:
+    # the window MIN runs on the bucket shuffle the banding needs anyway.
+    w = W.partitionBy("band_id", "band_hash")
+    cand = (
+        banded.withColumn("rep_id", F.min(F.col(id_col)).over(w))
+        .filter(F.col("rep_id") < F.col(id_col))
+        .select(id_col, "rep_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            shingled.select(F.col(id_col).alias("rep_id"), F.col("grams").alias("rep_grams")),
+            "rep_id",
+        )
+        .join(shingled, id_col)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("grams", "rep_grams"))
+                / F.size(F.array_union("grams", "rep_grams")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy(id_col)
+        .agg(F.min("rep_id").alias("dup_of"))
+    )
+    return (
+        shingled.select(id_col)
+        .join(verified, id_col, "left")
+        .select(F.col(id_col), F.col("dup_of"), F.col("dup_of").isNull().alias("keep"))
+    )
+
+
 def ngram_dropped_gram_metrics(
     df: DataFrame,
     id_col: str = "doc_id",

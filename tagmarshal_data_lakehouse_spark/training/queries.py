@@ -371,6 +371,63 @@ q_doc_minhash_near_dups = Query(
     "100 TB dedup path: shuffle O(candidates), never O(n^2).",
 )
 
+q_doc_minhash_dedup_verdict = Query(
+    name="doc_minhash_dedup_verdict",
+    build=lambda spark, sf_dir: dedup.minhash_dedup_verdicts(
+        _docs(spark, sf_dir), num_perm=16, bands=4, ngram=3, threshold=0.5
+    ).orderBy("doc_id"),
+    # Unlike the xxhash64 pair path (doc_minhash_near_dups, rows-only),
+    # the verdict path is portable by design: md5-string minhash minima
+    # and '|'-joined md5 band keys have bit-identical DuckDB twins, so
+    # the WHOLE banding + election + verify pipeline is oracle-checked
+    # — not just the exact-Jaccard scores.
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS tokens FROM documents
+        ), gram_lists AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(tokens) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS grams
+            FROM toks
+        ), inv AS (
+            SELECT doc_id, unnest(grams) AS gram FROM gram_lists
+        ), sigs AS (
+            SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || gram)) AS mh
+            FROM inv CROSS JOIN range(16) perms(p)
+            GROUP BY doc_id, p
+        ), bands AS (
+            SELECT doc_id, p // 4 AS band_id,
+                   md5(string_agg(mh, '|' ORDER BY p)) AS band_hash
+            FROM sigs GROUP BY doc_id, p // 4
+        ), cand AS (
+            SELECT DISTINCT b.doc_id, m.rep_id
+            FROM bands b
+            JOIN (SELECT band_id, band_hash, MIN(doc_id) AS rep_id
+                  FROM bands GROUP BY band_id, band_hash) m
+              USING (band_id, band_hash)
+            WHERE m.rep_id < b.doc_id
+        ), verified AS (
+            SELECT c.doc_id, MIN(c.rep_id) AS dup_of
+            FROM cand c
+            JOIN gram_lists ga ON ga.doc_id = c.doc_id
+            JOIN gram_lists gb ON gb.doc_id = c.rep_id
+            WHERE ROUND(len(list_intersect(ga.grams, gb.grams))
+                        / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE),
+                        6) >= 0.5
+            GROUP BY c.doc_id
+        )
+        SELECT g.doc_id, v.dup_of, v.dup_of IS NULL AS keep
+        FROM gram_lists g LEFT JOIN verified v ON g.doc_id = v.doc_id
+        ORDER BY g.doc_id
+    """,
+    doc="Verdict-only MinHash dedup (keep / dup_of per document, "
+    "verified against bucket representatives only): the 100 TB dedup "
+    "default — candidate volume is O(N·bands) whatever the duplicate "
+    "density, where the pair path's output grows as replica² (SCALE.md "
+    "64x probe).",
+)
+
 q_doc_simhash_near_dups = Query(
     name="doc_simhash_near_dups",
     build=lambda spark, sf_dir: simhash_near_duplicates(
@@ -1832,6 +1889,7 @@ QUERIES = [
     q_doc_tf_cosine_pairs,
     q_doc_corpus_keywords,
     q_doc_minhash_near_dups,
+    q_doc_minhash_dedup_verdict,
     q_doc_simhash_near_dups,
     q_emb_label_stats,
     q_emb_label_centroids,

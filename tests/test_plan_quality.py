@@ -268,6 +268,27 @@ def test_minhash_signatures_shuffle_free(spark, sf_smoke):
     assert plans.count_exchanges(sigs) <= 1
 
 
+def test_minhash_verdict_never_pair_grain(spark, sf_smoke, reg):
+    """The verdict-only dedup path's 100 TB contract: no pair-grain
+    frame exists anywhere in the plan. Banding shuffles once on the
+    bucket key and the representative election is a window MIN over
+    that same partitioning; the verify join fans each doc out to at
+    most `bands` bucket representatives (O(N·bands) rows), so — unlike
+    the pair path, whose OUTPUT grows as replica² (SCALE.md 64x probe)
+    — no operator here can go quadratic: no CartesianProduct, no
+    nested loop, and a fixed exchange inventory (parallelism spread,
+    band bucket window, candidate distinct, verify join + final
+    verdict aggregation/join sides)."""
+    df = reg["doc_minhash_dedup_verdict"].build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    strategies = plans.join_strategies(df)
+    assert strategies and all("NestedLoop" not in s for s in strategies)
+    assert plans.scale_lint(df) == []
+    assert plans.count_exchanges(df) <= 7
+
+
 def test_span_dedup_row_local_generation(spark, sf_smoke, reg):
     """Span generation must stay inside the scan projection (one explode
     of per-doc span arrays, never a token-grain shuffle); the only wide

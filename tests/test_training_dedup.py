@@ -226,6 +226,55 @@ def test_incremental_dedup_verdicts(spark):
     assert set(rows) == {10, 11, 12, 13}
 
 
+def test_minhash_verdict_semantics(spark):
+    """Greedy representative election: exact dups drop toward the lowest
+    id, unique docs keep, and a below-threshold doc keeps even when it
+    shares a bucket (the exact-Jaccard verify is load-bearing)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base),                                       # canonical
+            (2, base),                                       # exact dup of 1
+            (3, "totally different text about astronomy and telescopes"),
+            (4, "ALPHA  beta gamma delta epsilon zeta eta theta iota kappa"),  # normalizes to 1
+            (5, base.replace("eta theta iota kappa", "one two three four")),   # below 0.5 Jaccard
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.minhash_dedup_verdicts(df).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}  # exactly one verdict per doc
+    assert rows[1]["keep"] and rows[1]["dup_of"] is None
+    assert not rows[2]["keep"] and rows[2]["dup_of"] == 1
+    assert rows[3]["keep"]
+    assert not rows[4]["keep"] and rows[4]["dup_of"] == 1
+    assert rows[5]["keep"]  # collision or not, the verify rejects the drop
+
+
+def test_minhash_verdict_consistent_with_pair_path(spark, sf_smoke):
+    """On the real corpus: every dropped doc must have a true-Jaccard
+    near-dup partner below its id (soundness — the verdict never drops
+    on LSH evidence alone), and verdicts are one row per input doc."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    verdicts = dedup.minhash_dedup_verdicts(docs, num_perm=16, bands=4, threshold=0.5)
+    out = verdicts.collect()
+    assert len(out) == docs.count()
+    dropped = {r["doc_id"]: r["dup_of"] for r in out if not r["keep"]}
+    assert all(rep < d for d, rep in dropped.items())
+    if dropped:
+        # spot-verify the first few drops against exact gram Jaccard
+        import itertools
+
+        grams = {
+            r["doc_id"]: set(r["grams"])
+            for r in dedup.with_token_grams(docs, out="grams")
+            .select("doc_id", "grams")
+            .collect()
+        }
+        for d, rep in itertools.islice(sorted(dropped.items()), 5):
+            a, b = grams[d], grams[rep]
+            assert round(len(a & b) / len(a | b), 6) >= 0.5
+
+
 def test_dedup_eval_report_confusion_counts(spark):
     """Planted near-dups: high recall, consistent confusion counts."""
     base = "the quick brown fox jumps over the lazy dog near the river bank today"

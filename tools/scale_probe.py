@@ -202,6 +202,12 @@ def main() -> int:
         "exact_dedup": lambda docs, ev: dedup.exact_duplicates(docs),
         "interval_join": lambda docs, ev: interval_join(ev),
         "minhash_lsh": lambda docs, ev: dedup.minhash_near_duplicates(docs),
+        # verdict-only counterpart: output is ONE row per doc, so where
+        # the pair path's output grows as replica² (0.6M/10.6M pairs at
+        # 16x/64x), this row count stays exactly N — the designed fix
+        # for the round-6 probe's "pair stream is the scale-killer"
+        # finding
+        "minhash_verdict": lambda docs, ev: dedup.minhash_dedup_verdicts(docs),
         # fractional df cap: the absolute form empties the vocabulary
         # under amplification (every term's df grows with the corpus
         # while a fixed cap stands still) — measured here first
