@@ -258,11 +258,11 @@ _SWEEP_PRIORITY = (
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "window_ntile_distribution",
-    "pivot_status_counts",
-    "join_exists_correlated",
-    "scalar_correlated_subquery",
     "doc_minhash_dedup_verdict",
+    "gold_device_health_errors",
+    "gold_pace_summary_by_round",
+    "gold_hole_performance",
+    "gold_dim_course",
 )
 
 # The rest of the stale rotation (8 r02-vintage relational, then the 25
@@ -271,6 +271,10 @@ _SWEEP_PRIORITY = (
 # grows, and MUST fill the front of round 8's priority block (the
 # standing gate asserts they fit).
 _STALE_TAIL = (
+    "window_ntile_distribution",
+    "pivot_status_counts",
+    "join_exists_correlated",
+    "scalar_correlated_subquery",
     "explode_posexplode",
     "set_intersect_except",
     "agg_corr_regression",

@@ -1016,6 +1016,261 @@ q_gold_coverage_audit = Query(
 )
 
 
+def _arrays_as_joined(df: DataFrame, *cols: str) -> DataFrame:
+    """Transport shim for array<string> outputs: ship as a '+'-joined
+    string on both engines (the agg_bool_array precedent) — the driver's
+    value hash of raw array cells is engine-sensitive."""
+    from pyspark.sql import functions as F
+
+    for c in cols:
+        df = df.withColumn(c, F.array_join(F.col(c), "+"))
+    return df
+
+
+q_gold_device_health_errors = Query(
+    name="gold_device_health_errors",
+    build=lambda spark, sf_dir: _gold_on_bridge(
+        spark, sf_dir, "device_health_errors"
+    ).orderBy("course_id", "round_id", "fix_timestamp", "battery_percentage"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT course_id, round_id, fix_timestamp, battery_percentage,
+               CASE WHEN battery_percentage IS NULL THEN NULL
+                    WHEN battery_percentage < 10 THEN 'battery_critical'
+                    WHEN battery_percentage < 20 THEN 'battery_low'
+                    ELSE NULL END AS health_flag
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+          AND battery_percentage IS NOT NULL
+          AND battery_percentage < 20
+        ORDER BY course_id, round_id, fix_timestamp, battery_percentage
+    """,
+    doc="Low/critical battery event log gold model (gold/models.py "
+    "DEVICE_HEALTH_ERRORS, reference device_health_errors.sql) over the "
+    "bridged fact — event-grain (not aggregated) driver row, including "
+    "NULL fix_timestamp stripes under the keep-and-flag rule.",
+)
+
+q_gold_pace_summary_by_round = Query(
+    name="gold_pace_summary_by_round",
+    build=lambda spark, sf_dir: _gold_on_bridge(
+        spark, sf_dir, "pace_summary_by_round"
+    ).orderBy("course_id", "round_id"),
+    # round_end_ts is not part of the shared fact_rounds oracle CTE;
+    # re-derived here from the same padding-filtered base (identical
+    # MAX(fix_timestamp) by construction) so the shared text under the
+    # other gold oracles stays untouched.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        {_DUCK_FACT_ROUNDS},
+        ends AS (
+            SELECT course_id, round_id, MAX(fix_timestamp) AS round_end_ts
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE
+            GROUP BY course_id, round_id
+        )
+        SELECT f.course_id, f.round_id, f.round_start_ts, e.round_end_ts,
+               f.fix_count,
+               f.avg_pace_sec AS avg_pace,
+               f.avg_pace_gap_sec AS avg_pace_gap,
+               f.avg_positional_gap AS avg_positional_gap
+        FROM fact_rounds f JOIN ends e USING (course_id, round_id)
+        ORDER BY f.course_id, f.round_id
+    """,
+    doc="Thin pace projection gold model (gold/models.py "
+    "PACE_SUMMARY_BY_ROUND, reference pace_summary_by_round.sql) over "
+    "the bridged fact_rounds chain; averages are over integer-valued "
+    "doubles (cross-engine exact, see _FACT_ROUNDS_COLS).",
+)
+
+q_gold_hole_performance = Query(
+    name="gold_hole_performance",
+    build=lambda spark, sf_dir: _gold_on_bridge(
+        spark, sf_dir, "fact_round_hole_performance"
+    ).orderBy("course_id", "round_id", "hole_number", "nine_number"),
+    # The J2 topology join under the driver: hole grain x the
+    # deterministic (course, nine) unit view — 1:1 by construction,
+    # both engines build the topology from the SAME SQL text.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        dim_facility_topology AS ({_DUCK_TOPOLOGY}),
+        hole_stats AS (
+            SELECT course_id, round_id, hole_number, nine_number,
+                   MIN(fix_timestamp) AS hole_start_time,
+                   MAX(fix_timestamp) AS hole_end_time,
+                   date_diff('second', MIN(fix_timestamp), MAX(fix_timestamp)) AS duration_sec,
+                   AVG(pace) AS avg_pace_sec,
+                   MAX(pace) AS max_pace_sec,
+                   AVG(pace_gap) AS avg_pace_gap_sec,
+                   BOOL_OR(is_complete) AS round_was_completed
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE AND hole_number IS NOT NULL
+            GROUP BY course_id, round_id, hole_number, nine_number
+        )
+        SELECT h.course_id, h.round_id, h.hole_number, h.nine_number,
+               t.unit_name AS course_unit,
+               h.hole_start_time, h.hole_end_time, h.duration_sec,
+               h.avg_pace_sec, h.max_pace_sec, h.avg_pace_gap_sec,
+               h.round_was_completed
+        FROM hole_stats h
+        LEFT JOIN dim_facility_topology t
+            ON h.course_id = t.facility_id AND h.nine_number = t.nine_number
+        ORDER BY h.course_id, h.round_id, h.hole_number, h.nine_number
+    """,
+    doc="Per (round, hole, nine) performance gold model (gold/models.py "
+    "FACT_ROUND_HOLE_PERFORMANCE, reference "
+    "fact_round_hole_performance.sql:52-55) over the bridged fact — "
+    "the hole-grain topology join (SURVEY J2) driver-verified with "
+    "unit names, second-truncated durations and exact pace averages.",
+)
+
+q_gold_dim_course = Query(
+    name="gold_dim_course",
+    build=lambda spark, sf_dir: _cast_cols(
+        _arrays_as_joined(
+            _decimals_as_double(_gold_on_bridge(spark, sf_dir, "dim_course")),
+            "playable_round_lengths",
+            "unit_names",
+        ),
+        "bigint",
+        "course_complexity_score",
+    ).orderBy("course_id"),
+    # The five-way stitch (reference dim_course.sql:89-99): base courses
+    # x configuration analysis x data-quality scores x completeness x
+    # round range x topology units. Every intermediate CTE below is the
+    # trimmed-to-projected-columns DuckDB re-derivation of the matching
+    # gold model text, reusing the exact decimal-percentage expressions
+    # already driver-green under gold_data_quality_overview /
+    # gold_completeness_summary; arrays ship '+'-joined on both engines.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        {_DUCK_FACT_ROUNDS},
+        dim_facility_topology AS ({_DUCK_TOPOLOGY}),
+        base_courses AS (
+            SELECT DISTINCT course_id FROM fact_telemetry_event WHERE course_id IS NOT NULL
+        ),
+        config AS (
+            SELECT course_id,
+                COUNT(DISTINCT round_id) AS total_rounds,
+                MAX(max_section_number) AS max_section_seen,
+                MAX(holes_played) AS max_holes_in_round,
+                CASE WHEN MAX(max_section_number) > 54 THEN '27-hole'
+                     WHEN MAX(max_section_number) > 27 THEN '18-hole'
+                     ELSE '9-hole' END AS likely_course_type,
+                CAST(SUM(CASE WHEN is_nine_hole = TRUE THEN 1 ELSE 0 END) AS BIGINT) AS nine_hole_rounds,
+                CAST(SUM(CASE WHEN is_nine_hole = FALSE OR is_nine_hole IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS full_rounds,
+                CAST(SUM(CASE WHEN is_complete = TRUE THEN 1 ELSE 0 END) AS BIGINT) AS complete_rounds,
+                CAST(SUM(CASE WHEN is_complete = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS incomplete_rounds,
+                COUNT(DISTINCT start_hole) AS unique_start_holes,
+                CAST(SUM(CASE WHEN start_hole != 1 AND start_hole IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS shotgun_start_rounds
+            FROM fact_rounds GROUP BY course_id
+        ),
+        config_final AS (
+            SELECT course_id, likely_course_type, max_section_seen, max_holes_in_round,
+                unique_start_holes,
+                CAST(ROUND(100.0 * shotgun_start_rounds / NULLIF(total_rounds, 0), 1) AS DOUBLE) AS pct_shotgun_starts,
+                CAST(ROUND(100.0 * nine_hole_rounds / NULLIF(total_rounds, 0), 1) AS DOUBLE) AS pct_nine_hole,
+                CAST(ROUND(100.0 * full_rounds / NULLIF(total_rounds, 0), 1) AS DOUBLE) AS pct_full_rounds,
+                CAST(unique_start_holes * 10 +
+                     CASE likely_course_type WHEN '27-hole' THEN 30 WHEN '18-hole' THEN 20 ELSE 10 END +
+                     CASE WHEN 100.0 * nine_hole_rounds / NULLIF(total_rounds, 0) > 20 THEN 10 ELSE 0 END +
+                     CASE WHEN 100.0 * incomplete_rounds / NULLIF(total_rounds, 0) > 10 THEN 5 ELSE 0 END
+                     AS BIGINT) AS course_complexity_score
+            FROM config
+        ),
+        dq_base AS (
+            SELECT * FROM fact_telemetry_event WHERE is_location_padding = FALSE
+        ),
+        dq_stats AS (
+            SELECT course_id,
+                COUNT(*) AS total_events,
+                CAST(SUM(CASE WHEN pace IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pace,
+                CAST(SUM(CASE WHEN pace_gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pace_gap,
+                CAST(SUM(CASE WHEN positional_gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_positional_gap,
+                CAST(SUM(CASE WHEN goal_time IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_goal_time,
+                CAST(SUM(CASE WHEN latitude IS NULL OR longitude IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_coordinates,
+                CAST(SUM(CASE WHEN fix_timestamp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_fix_timestamp,
+                CAST(SUM(CASE WHEN hole_number IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_hole_number,
+                CAST(SUM(CASE WHEN section_number IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_section_number,
+                CAST(SUM(CASE WHEN battery_percentage IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_battery,
+                CAST(SUM(CASE WHEN is_cache IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_is_cache,
+                CAST(SUM(CASE WHEN is_timestamp_missing = TRUE THEN 1 ELSE 0 END) AS BIGINT) AS timestamp_missing_flag,
+                CAST(SUM(CASE WHEN start_hole IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_start_hole,
+                CAST(SUM(CASE WHEN is_nine_hole IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_is_nine_hole,
+                CAST(SUM(CASE WHEN is_complete IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_is_complete
+            FROM dq_base GROUP BY course_id
+        ),
+        dq AS (
+            SELECT course_id,
+                CAST(ROUND(100.0 * null_pace / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_pace,
+                CAST(ROUND(100.0 * null_pace_gap / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_pace_gap,
+                CAST(ROUND(100.0 * null_hole_number / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_hole_number,
+                CAST(ROUND(100.0 * null_section_number / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_section_number,
+                CAST(ROUND(100.0 * null_fix_timestamp / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_fix_timestamp,
+                CAST(ROUND(100.0 * null_start_hole / NULLIF(total_events, 0), 2) AS DOUBLE) AS pct_missing_start_hole,
+                CAST(ROUND((
+                  (100 - ((COALESCE(100.0 * null_pace / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_pace_gap / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_positional_gap / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_goal_time / NULLIF(total_events, 0), 0)) / 4)) +
+                  (100 - ((COALESCE(100.0 * null_coordinates / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_fix_timestamp / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_hole_number / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_section_number / NULLIF(total_events, 0), 0)) / 4)) +
+                  (100 - ((COALESCE(100.0 * null_battery / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_is_cache / NULLIF(total_events, 0), 0) + COALESCE(100.0 * timestamp_missing_flag / NULLIF(total_events, 0), 0)) / 3)) +
+                  (100 - ((COALESCE(100.0 * null_start_hole / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_is_nine_hole / NULLIF(total_events, 0), 0) + COALESCE(100.0 * null_is_complete / NULLIF(total_events, 0), 0)) / 3))
+                ) / 4, 1) AS DOUBLE) AS data_quality_score
+            FROM dq_stats
+        ),
+        tc AS (
+            SELECT course_id,
+                COUNT(*) AS total_rows,
+                CAST(SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS padding_rows,
+                CAST(SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS non_padding_rows,
+                CAST(ROUND(100.0 * SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) / NULLIF(COUNT(*), 0), 2) AS DOUBLE) AS pct_padding_total,
+                CAST(ROUND(100.0 * SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) / NULLIF(COUNT(*), 0), 2) AS DOUBLE) AS pct_ts_missing_total,
+                CAST(ROUND(100.0 * SUM(CASE WHEN is_timestamp_missing AND NOT is_location_padding THEN 1 ELSE 0 END) / NULLIF(SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END), 0), 2) AS DOUBLE) AS pct_ts_missing_non_padding
+            FROM fact_telemetry_event GROUP BY course_id
+        ),
+        round_range AS (
+            SELECT course_id,
+                COUNT(*) AS rounds_observed,
+                CAST(SUM(CASE WHEN is_complete THEN 1 ELSE 0 END) AS BIGINT) AS complete_rounds_observed,
+                MIN(round_start_ts) AS first_round_start_ts,
+                MAX(round_start_ts) AS last_round_start_ts,
+                array_to_string(list_sort(list_distinct(list(round_length))), '+') AS playable_round_lengths
+            FROM fact_rounds GROUP BY course_id
+        ),
+        units AS (
+            SELECT facility_id AS course_id,
+                   list_sort(list_distinct(list(unit_name))) AS unit_names
+            FROM dim_facility_topology
+            WHERE unit_name IS NOT NULL
+            GROUP BY facility_id
+        )
+        SELECT bc.course_id,
+            c.likely_course_type, c.max_section_seen, c.max_holes_in_round,
+            c.unique_start_holes, c.pct_shotgun_starts, c.pct_nine_hole,
+            c.pct_full_rounds, c.course_complexity_score,
+            r.rounds_observed, r.complete_rounds_observed,
+            r.first_round_start_ts, r.last_round_start_ts, r.playable_round_lengths,
+            dq.data_quality_score, dq.data_quality_score AS overall_quality_score,
+            dq.pct_missing_pace, dq.pct_missing_pace_gap, dq.pct_missing_hole_number,
+            dq.pct_missing_section_number, dq.pct_missing_fix_timestamp, dq.pct_missing_start_hole,
+            tc.total_rows, tc.padding_rows, tc.non_padding_rows,
+            tc.pct_padding_total, tc.pct_ts_missing_total, tc.pct_ts_missing_non_padding,
+            array_to_string(u.unit_names, '+') AS unit_names,
+            CAST(COALESCE(len(u.unit_names), 0) AS INT) AS unit_count
+        FROM base_courses bc
+        LEFT JOIN config_final c ON bc.course_id = c.course_id
+        LEFT JOIN dq ON bc.course_id = dq.course_id
+        LEFT JOIN tc ON bc.course_id = tc.course_id
+        LEFT JOIN round_range r ON bc.course_id = r.course_id
+        LEFT JOIN units u ON bc.course_id = u.course_id
+        ORDER BY bc.course_id
+    """,
+    doc="Course dimension gold model (gold/models.py DIM_COURSE, "
+    "reference dim_course.sql:89-99 — the five-summary stitch) over the "
+    "bridged fact: the widest driver-verified gold projection "
+    "(configuration, quality tiers, completeness, round range, topology "
+    "units), decimal percentages as double, arrays '+'-joined.",
+)
+
+
 QUERIES = [
     q_telemetry_start_hole_distribution,
     q_telemetry_avg_pace_by_hole,
@@ -1035,4 +1290,8 @@ QUERIES = [
     q_gold_coverage_audit,
     q_gold_rounds_by_weekday,
     q_gold_start_hole_distribution,
+    q_gold_device_health_errors,
+    q_gold_pace_summary_by_round,
+    q_gold_hole_performance,
+    q_gold_dim_course,
 ]

@@ -45,6 +45,13 @@ TS_QUERIES = [
     "gold_fact_rounds",
     "gold_rounds_by_month",
     "gold_rounds_by_weekday",
+    # r7 bridge additions: raw NTZ stamps (device log, round/hole
+    # start+end), a second UNIX_TIMESTAMP-subtraction duration at hole
+    # grain, and dim_course's round-range MIN/MAX stamps.
+    "gold_device_health_errors",
+    "gold_pace_summary_by_round",
+    "gold_hole_performance",
+    "gold_dim_course",
 ]
 
 # Three adversarial zones, each catching a different leak class:
