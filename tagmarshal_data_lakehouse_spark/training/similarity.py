@@ -389,6 +389,33 @@ def cosine_near_duplicates(
     )
 
 
+def _hyperplane_band_structs(n_bands: int, planes_per_band: int, vec_col: str) -> list:
+    """The banded hyperplane sketch shared by every angular-LSH path:
+    plane (b, r) is a deterministic pseudo-random normal via
+    xxhash64(position, band, plane), each band packs planes_per_band
+    sign bits into a bucket key. One definition so the expression,
+    GEMM and auto variants band IDENTICALLY (pair-identity depends on
+    it)."""
+    band_structs = []
+    for b in range(n_bands):
+        terms = []
+        for r in range(planes_per_band):
+            proj = (
+                f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+                f"(x, i) -> cast(x as double) * "
+                f"(cast(xxhash64(i, {b}, {r}) % 10007 as double) / 1.0007e4)), "
+                f"cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+            terms.append(f"CASE WHEN {proj} >= 0 THEN {2 ** r} ELSE 0 END")
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(" + ".join(terms)).cast("int").alias("bucket"),
+            )
+        )
+    return band_structs
+
+
 def cosine_near_duplicates_lsh(
     embeddings: DataFrame,
     threshold: float = 0.45,
@@ -415,22 +442,7 @@ def cosine_near_duplicates_lsh(
     re-scored through an id-keyed join — the n² cross product is never
     materialized.
     """
-    band_structs = []
-    for b in range(n_bands):
-        # plane (b, r) is a deterministic pseudo-random normal via
-        # xxhash64(position, band, plane) — same trick as _bucket_col
-        terms = []
-        for r in range(planes_per_band):
-            proj = (
-                f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-                f"(x, i) -> cast(x as double) * "
-                f"(cast(xxhash64(i, {b}, {r}) % 10007 as double) / 1.0007e4)), "
-                f"cast(0.0 as double), (acc, v) -> acc + v)"
-            )
-            terms.append(f"CASE WHEN {proj} >= 0 THEN {2 ** r} ELSE 0 END")
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_id"), F.expr(" + ".join(terms)).cast("int").alias("bucket"))
-        )
+    band_structs = _hyperplane_band_structs(n_bands, planes_per_band, vec_col)
     banded = embeddings.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "band.band_id", "band.bucket")
@@ -503,23 +515,7 @@ def cosine_near_duplicates_lsh_gemm(
     (np.round half-even) — within 1e-6 of the expression path's
     sequential fold, pytest-pinned pair-identical on the fixture.
     """
-    band_structs = []
-    for b in range(n_bands):
-        terms = []
-        for r in range(planes_per_band):
-            proj = (
-                f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-                f"(x, i) -> cast(x as double) * "
-                f"(cast(xxhash64(i, {b}, {r}) % 10007 as double) / 1.0007e4)), "
-                f"cast(0.0 as double), (acc, v) -> acc + v)"
-            )
-            terms.append(f"CASE WHEN {proj} >= 0 THEN {2 ** r} ELSE 0 END")
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.expr(" + ".join(terms)).cast("int").alias("bucket"),
-            )
-        )
+    band_structs = _hyperplane_band_structs(n_bands, planes_per_band, vec_col)
     banded = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
@@ -556,6 +552,90 @@ def cosine_near_duplicates_lsh_gemm(
         banded.groupBy("band_id", "bucket")
         .applyInPandas(score_bucket, "id_a long, id_b long, cosine double")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def near_dup_candidate_density(
+    embeddings: DataFrame,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    max_bucket: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Candidate pairs per vector of the banded hyperplane sketch:
+    sum(c·(c-1)/2) over valid buckets (2 <= c <= max_bucket), divided
+    by the corpus size. THE scorer-selection statistic — it is exactly
+    the pair-stream mass the expression path would materialize,
+    computed from an ids-only pass over the same banding (one bucket
+    aggregate, no vectors shuffled, no pairs formed)."""
+    band_structs = _hyperplane_band_structs(n_bands, planes_per_band, vec_col)
+    banded = embeddings.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.bucket")
+    row = (
+        banded.groupBy("band_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter((F.col("c") >= 2) & (F.col("c") <= max_bucket))
+        .agg(
+            F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)).alias("cand_pairs"),
+        )
+        .collect()[0]
+    )
+    n = embeddings.count()
+    return float(row["cand_pairs"]) / max(n, 1)
+
+
+def cosine_near_duplicates_lsh_auto(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    max_bucket: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    gemm_density_cutover: float = 50.0,
+) -> DataFrame:
+    """Density-adaptive near-dup scorer: measure the candidate-pair mass
+    the banding will produce, then pick the scorer the round-6 probe
+    showed wins in that regime (SCALE.md):
+
+    - SPARSE (few candidate pairs per vector): the expression path —
+      its pair stream is small, and it avoids the GEMM path's Arrow
+      serialization + vector-carrying shuffle (measured 5.9 vs 10.2 s
+      at 1x amplification).
+    - DENSE (duplication-heavy): the within-bucket GEMM path — the
+      expression path's candidate stream dominates wall-clock
+      (measured 19.7 vs 6.3 s at 16x; the timing crossover sits at ~4x
+      amplification). Measured densities at the probe's banding shape
+      (8 bands x 10 planes, max_bucket 500): 10.2 at 1x, 52.9 at 4x,
+      223.7 at 16x — hence the default cutover of 50 candidate pairs
+      per vector.
+
+    The decision statistic is computed from an ids-only aggregate over
+    the SAME banding the chosen scorer then applies (deterministic
+    hyperplanes — see _hyperplane_band_structs), the same move as
+    AQE's runtime re-planning: one cheap eager pass buys the right
+    physical strategy. Both scorers emit the identical (id_a < id_b,
+    round(cosine,6) >= threshold) pair set (pytest-pinned), so the
+    choice changes the plan, never the result.
+    """
+    density = near_dup_candidate_density(
+        embeddings, n_bands, planes_per_band, max_bucket, id_col, vec_col
+    )
+    scorer = (
+        cosine_near_duplicates_lsh_gemm
+        if density >= gemm_density_cutover
+        else cosine_near_duplicates_lsh
+    )
+    return scorer(
+        embeddings,
+        threshold=threshold,
+        n_bands=n_bands,
+        planes_per_band=planes_per_band,
+        max_bucket=max_bucket,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 

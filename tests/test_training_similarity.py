@@ -288,6 +288,60 @@ def test_gemm_near_dups_pair_identical_to_expression_lsh(spark, sf_smoke):
     assert all(abs(expr_pairs[k] - gemm_pairs[k]) <= 1e-6 for k in expr_pairs)
 
 
+def test_auto_scorer_selects_by_density_and_is_pair_identical(spark, sf_smoke):
+    """The density-adaptive selector must (a) pick the expression path
+    on a sparse corpus and the GEMM path on a duplication-heavy one —
+    pinned by the physical plan (the GEMM path is the only one with a
+    FlatMapGroupsInPandas / ArrowEvalPython operator — and (b) emit the
+    same pair set as both underlying scorers regardless of choice."""
+    from tagmarshal_data_lakehouse_spark import plans
+
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    kw = dict(threshold=0.45, n_bands=12, planes_per_band=3)
+
+    sparse_density = similarity.near_dup_candidate_density(
+        embs, n_bands=12, planes_per_band=3, max_bucket=200
+    )
+    auto_sparse = similarity.cosine_near_duplicates_lsh_auto(embs, **kw)
+    plan_sparse = plans.physical_plan(auto_sparse)
+    if sparse_density < 50.0:
+        assert "InPandas" not in plan_sparse  # expression path chosen
+    expr_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_near_duplicates_lsh(embs, **kw).collect()
+    }
+    auto_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in auto_sparse.collect()
+    }
+    assert set(expr_pairs) == set(auto_pairs)
+    assert all(abs(expr_pairs[k] - auto_pairs[k]) <= 1e-6 for k in expr_pairs)
+
+    # duplication-heavy corpus: 40 near-copies of each of 6 base vectors
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for base in range(6):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        for c in range(40):
+            w = list(v)
+            w[0] += c * 1e-5
+            rows.append((base * 1000 + c, w))
+    dense = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dense_kw = dict(threshold=0.9, n_bands=4, planes_per_band=2, max_bucket=500)
+    assert (
+        similarity.near_dup_candidate_density(
+            dense, n_bands=4, planes_per_band=2, max_bucket=500
+        )
+        >= 50.0
+    )
+    auto_dense = similarity.cosine_near_duplicates_lsh_auto(dense, **dense_kw)
+    assert "InPandas" in plans.physical_plan(auto_dense)  # GEMM path chosen
+    gemm_pairs = _pairs(similarity.cosine_near_duplicates_lsh_gemm(dense, **dense_kw))
+    assert _pairs(auto_dense) == gemm_pairs
+
+
 def test_semantic_dedup_gemm_scorer_matches_expr(spark, sf_smoke):
     """The GEMM within-cluster scorer must produce the same verdict
     frame (id, cluster, is_dropped, keep) as the expression path."""
