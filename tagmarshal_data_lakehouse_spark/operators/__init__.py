@@ -269,6 +269,48 @@ def bloom_semi_join(
     return big.filter(~hit if anti else hit)
 
 
+def derive_chunk_micros(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    floor_micros: int = 60_000_000,
+) -> int:
+    """Derive the interval-join chunk width from the data: the larger of
+    the two sides' MEDIAN interval lengths (one-row percentile aggregate
+    per side, nothing shuffled at interval grain).
+
+    The skew probe measured chunk ≈ interval length worth 1.7x on a
+    hot-both-sides workload (SCALE.md round 6): chunks much longer than
+    the intervals concentrate unrelated intervals on one join key, while
+    much shorter chunks explode every interval into length/chunk rows.
+    Taking the MAX of the two medians bounds the typical-longer side's
+    explosion factor at ~2 rows per interval and keeps the key space as
+    fine as that bound allows. The floor guards degenerate data
+    (sub-second intervals must not produce micro-chunks whose key count
+    explodes the sequence()).
+    """
+    def median_len(df: DataFrame, s: str, e: str) -> int:
+        row = (
+            df.filter(F.col(e) > F.col(s))
+            .agg(
+                F.expr(
+                    f"percentile_approx(TIMESTAMPDIFF(MICROSECOND, {s}, {e}), 0.5)"
+                ).alias("m")
+            )
+            .collect()[0]
+        )
+        return int(row["m"] or 0)
+
+    return max(
+        median_len(left, l_start, l_end),
+        median_len(right, r_start, r_end),
+        floor_micros,
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -276,7 +318,7 @@ def interval_overlap_join(
     l_end: str,
     r_start: str,
     r_end: str,
-    chunk_micros: int = 86_400_000_000,
+    chunk_micros: int | None = 86_400_000_000,
 ) -> DataFrame:
     """Overlap join of two half-open NTZ-interval sets — `[l_start,
     l_end) ∩ [r_start, r_end) ≠ ∅` — as an EQUI-join shuffle instead of
@@ -301,10 +343,19 @@ def interval_overlap_join(
     Pick `chunk_micros` near the typical interval length: intervals
     explode into `O(length/chunk + 1)` rows, and chunks much smaller
     than the data's span keep any single join key from going hot.
+    `chunk_micros=None` derives that choice from the data
+    (`derive_chunk_micros`: the larger of the two sides' median
+    interval lengths, one-row aggregates — the skew probe measured the
+    matched chunk worth 1.7x on hot workloads). The chunk width NEVER
+    affects the result (each pair is emitted exactly once from the
+    overlap-start chunk, whatever the chunking), so auto-derivation is
+    a pure plan decision.
     Contract: interval columns are NTZ timestamps, empty intervals
     (end <= start) are dropped, and the two frames' column names must
     be disjoint (the output carries both sides' columns unchanged).
     """
+    if chunk_micros is None:
+        chunk_micros = derive_chunk_micros(left, right, l_start, l_end, r_start, r_end)
 
     def us(col: str):
         return F.expr(

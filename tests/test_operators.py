@@ -121,3 +121,51 @@ def test_interval_overlap_join_matches_naive_nonequi(spark):
     assert (3, 12) in got and got.count((3, 12)) == 1
     assert (1, 14) not in got
     assert all(l != 5 and r != 14 for l, r in got)
+
+    # chunk_micros=None derives the width from the data and, because a
+    # matching pair is emitted exactly once from its overlap-start chunk
+    # under ANY chunking, yields the identical pair set
+    auto = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "l_start", "l_end", "r_start", "r_end", chunk_micros=None
+        ).collect()
+    )
+    assert auto == naive
+
+
+def test_derive_chunk_micros_takes_the_larger_median(spark):
+    """The derived chunk is the larger side's MEDIAN interval length
+    (explosion factor of the typical-longer side bounded at ~2 rows per
+    interval), with empty intervals excluded and a 1-minute floor for
+    degenerate data."""
+    from tagmarshal_data_lakehouse_spark.operators import derive_chunk_micros
+
+    def ntz(minutes_col):
+        return F.expr(
+            f"TIMESTAMPADD(MINUTE, CAST({minutes_col} AS INT), "
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+        )
+
+    def frame(rows, prefix):
+        return spark.createDataFrame(rows, "id long, s long, e long").select(
+            "id", ntz("s").alias(f"{prefix}_start"), ntz("e").alias(f"{prefix}_end")
+        )
+
+    # left: 30-minute sessions (one empty row must not skew the median);
+    # right: 120-minute islands
+    left = frame([(i, i * 100, i * 100 + 30) for i in range(5)] + [(99, 7, 7)], "l")
+    right = frame([(i, i * 500, i * 500 + 120) for i in range(5)], "r")
+    got = derive_chunk_micros(left, right, "l_start", "l_end", "r_start", "r_end")
+    assert got == 120 * 60_000_000
+
+    # medians below the floor clamp to it (degenerate-data guard)
+    tiny_l = frame([(1, 0, 1)], "l")
+    tiny_r = frame([(1, 0, 1)], "r")
+    assert (
+        derive_chunk_micros(
+            tiny_l, tiny_r, "l_start", "l_end", "r_start", "r_end",
+            floor_micros=300_000_000,
+        )
+        == 300_000_000
+    )
