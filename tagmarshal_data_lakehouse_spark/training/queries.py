@@ -710,6 +710,20 @@ q_emb_cosine_near_dups_gemm = Query(
     "amplification (SCALE.md), pair-identical output (pytest-pinned).",
 )
 
+q_emb_cosine_near_dups_auto = Query(
+    name="emb_cosine_near_dups_auto",
+    build=lambda spark, sf_dir: similarity.cosine_near_duplicates_lsh_auto(
+        _embs(spark, sf_dir), threshold=0.45, n_bands=12, planes_per_band=3
+    ),
+    oracle=None,  # same banded-sketch recall as the underlying scorers
+    doc="Density-adaptive near-dup scorer: an ids-only aggregate over "
+    "the same deterministic banding measures candidate pairs per vector "
+    "(the pair-stream mass the expression path would materialize) and "
+    "picks expr below / GEMM above the measured 50-pairs/vector "
+    "crossover (SCALE.md r7) — AQE-style runtime strategy choice; "
+    "pair-identical to both scorers (pytest-pinned).",
+)
+
 q_emb_ivf_topk = Query(
     name="emb_ivf_topk",
     build=lambda spark, sf_dir: similarity.ivf_topk(
@@ -1902,6 +1916,7 @@ QUERIES = [
     q_emb_cosine_near_dups,
     q_emb_cosine_near_dups_lsh,
     q_emb_cosine_near_dups_gemm,
+    q_emb_cosine_near_dups_auto,
     q_emb_ivf_topk,
     q_emb_pq_topk,
     q_emb_ivfpq_topk,
