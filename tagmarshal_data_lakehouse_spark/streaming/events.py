@@ -424,6 +424,74 @@ def stream_semantic_dedup(
     return stream_b.join(corpus_b, cond, "left_anti").drop("_bucket")
 
 
+def stream_minhash_dedup(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming NEAR-dup dedup vs a static corpus: the continuous-ingest
+    face of `training.dedup.minhash_dedup_verdicts` — new documents are
+    dropped when the accepted corpus already holds a document that (a)
+    shares a MinHash band bucket and (b) clears the exact token-gram
+    Jaccard threshold.
+
+    Stateless by construction, like the exact and semantic variants
+    above: the md5-minhash signature and band keys are row-local
+    expressions (dedup.md5_minhash_sig — no model, no extra pass), and
+    the band membership test is spelled as a CHAIN of `bands`
+    stream-static LEFT ANTI joins, one per band, instead of exploding
+    the stream into band rows. An exploded stream would need a per-doc
+    count aggregate to recombine the band verdicts (state + watermark);
+    the anti-join chain removes a doc at the FIRST band whose bucket
+    holds a verified near-dup and needs no state at all. Each link is a
+    plain equi-join on that band's key with the Jaccard predicate as
+    the join filter — Catalyst extracts the equality, so no nested
+    loop. At 100 TB the static side is the accepted-corpus band table
+    written at last ingest, bucketed on the band key; broadcast kicks
+    in below the threshold.
+
+    Approximate exactly like the batch verdict path (a near-dup pair
+    that collides in no band is missed; recall = the standard banded
+    curve), and batch parity is pytest-pinned: the kept set equals the
+    same chain evaluated on static frames.
+
+    Within-batch repeats are out of scope for the same reason as in
+    `stream_dedup_against_corpus`: chain
+    `stream_dedup_within_watermark` downstream on `content_md5` (or a
+    band key) for sibling-row dedup.
+    """
+    from ..training.dedup import md5_band_hash, md5_minhash_sig, with_token_grams
+
+    rows_per_band = num_perm // bands
+    stream_g = with_token_grams(docs_stream, text_col=text_col, n=ngram, out="_grams")
+    stream_g = stream_g.withColumn("_sig", md5_minhash_sig("_grams", num_perm))
+    corpus_g = with_token_grams(corpus, text_col=text_col, n=ngram, out="_cgrams")
+    corpus_g = corpus_g.withColumn("_csig", md5_minhash_sig("_cgrams", num_perm))
+
+    jacc = F.round(
+        F.size(F.array_intersect(F.col("_grams"), F.col("_cgrams")))
+        / F.size(F.array_union(F.col("_grams"), F.col("_cgrams"))).cast("double"),
+        6,
+    )
+    out = stream_g
+    for b in range(bands):
+        out = out.withColumn(f"_band_{b}", md5_band_hash("_sig", b, rows_per_band))
+        side = corpus_g.select(
+            md5_band_hash("_csig", b, rows_per_band).alias("_cband"),
+            F.col("_cgrams"),
+        )
+        out = out.join(
+            side,
+            (F.col(f"_band_{b}") == F.col("_cband")) & (jacc >= threshold),
+            "left_anti",
+        )
+    return out.drop("_grams", "_sig", *[f"_band_{b}" for b in range(bands)])
+
+
 def stream_curate(
     docs_stream: DataFrame,
     corpus: DataFrame,

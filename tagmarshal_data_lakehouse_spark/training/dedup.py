@@ -345,6 +345,33 @@ def minhash_near_duplicates(
     return verify_jaccard(cands, hashed_sets, id_col, threshold, set_col="gram_hashes")
 
 
+def md5_minhash_sig(grams_col: str, num_perm: int):
+    """Portable minhash signature: per permutation p, the LEXICOGRAPHIC
+    minimum of md5('p:' || gram) over the gram set — array<string> of
+    length num_perm. Pure ANSI string ops (md5 + string min over
+    fixed-width lowercase hex, where lexicographic order == numeric
+    order), so the signature has a bit-identical DuckDB twin — unlike
+    the xxhash64 signatures of minhash_signatures. One nested-transform
+    expression, not num_perm columns (codegen compiles the loop once)."""
+    seeds = F.array(*[F.lit(f"{p}:") for p in range(num_perm)])
+    return F.transform(
+        seeds,
+        lambda sd: F.array_min(
+            F.transform(F.col(grams_col), lambda g: F.md5(F.concat(sd, g)))
+        ),
+    )
+
+
+def md5_band_hash(sig_col: str, band: int, rows_per_band: int):
+    """Band key for a materialized md5-minhash signature column: md5
+    over the '|'-joined minima of the band's slice. Slices a COLUMN
+    (materialize the signature once; slicing the raw expression would
+    recompute it per band)."""
+    return F.md5(
+        F.concat_ws("|", F.slice(F.col(sig_col), band * rows_per_band + 1, rows_per_band))
+    )
+
+
 def minhash_dedup_verdicts(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -397,22 +424,11 @@ def minhash_dedup_verdicts(
         .select(F.col(id_col), "grams")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # One nested-transform expression, not num_perm independent columns
-    # (see minhash_signatures: codegen compiles the loop once this way).
-    seeds = F.array(*[F.lit(f"{p}:") for p in range(num_perm)])
-    signed = shingled.withColumn(
-        "sig",
-        F.transform(
-            seeds,
-            lambda sd: F.array_min(F.transform(F.col("grams"), lambda g: F.md5(F.concat(sd, g)))),
-        ),
-    )
+    signed = shingled.withColumn("sig", md5_minhash_sig("grams", num_perm))
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))).alias(
-                "band_hash"
-            ),
+            md5_band_hash("sig", b, rows_per_band).alias("band_hash"),
         )
         for b in range(bands)
     ]
