@@ -292,23 +292,23 @@ def derive_chunk_micros(
     (sub-second intervals must not produce micro-chunks whose key count
     explodes the sequence()).
     """
-    def median_len(df: DataFrame, s: str, e: str) -> int:
-        row = (
-            df.filter(F.col(e) > F.col(s))
-            .agg(
-                F.expr(
-                    f"percentile_approx(TIMESTAMPDIFF(MICROSECOND, {s}, {e}), 0.5)"
-                ).alias("m")
-            )
-            .collect()[0]
+    def lens(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.filter(F.col(e) > F.col(s)).select(
+            F.expr(f"TIMESTAMPDIFF(MICROSECOND, {s}, {e})").alias("_len")
         )
-        return int(row["m"] or 0)
 
-    return max(
-        median_len(left, l_start, l_end),
-        median_len(right, r_start, r_end),
-        floor_micros,
+    # both medians in ONE Spark job (a tagged union + grouped
+    # percentile), not one eager collect per side
+    row = (
+        lens(left, l_start, l_end)
+        .withColumn("_side", F.lit("l"))
+        .unionByName(lens(right, r_start, r_end).withColumn("_side", F.lit("r")))
+        .groupBy("_side")
+        .agg(F.expr("percentile_approx(_len, 0.5)").alias("m"))
+        .agg(F.max("m").alias("m"))
+        .collect()[0]
     )
+    return max(int(row["m"] or 0), floor_micros)
 
 
 def interval_overlap_join(

@@ -466,11 +466,26 @@ def stream_minhash_dedup(
     """
     from ..training.dedup import md5_band_hash, md5_minhash_sig, with_token_grams
 
+    if bands <= 0 or num_perm % bands != 0:
+        # bands > num_perm would make every band key md5('') — one
+        # bucket per band and a single hot anti-join partition
+        raise ValueError(f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})")
     rows_per_band = num_perm // bands
     stream_g = with_token_grams(docs_stream, text_col=text_col, n=ngram, out="_grams")
     stream_g = stream_g.withColumn("_sig", md5_minhash_sig("_grams", num_perm))
+    # The corpus band table is computed ONCE (all band keys in one
+    # projection over one signature pass) and persisted, so the chain's
+    # `bands` join branches — and every micro-batch — read the
+    # materialized table instead of re-hashing the whole corpus per
+    # link per trigger. This is the in-operator stand-in for the real
+    # 100 TB shape: a band table written at last ingest.
+    from pyspark import StorageLevel
+
     corpus_g = with_token_grams(corpus, text_col=text_col, n=ngram, out="_cgrams")
-    corpus_g = corpus_g.withColumn("_csig", md5_minhash_sig("_cgrams", num_perm))
+    corpus_bands = corpus_g.withColumn("_csig", md5_minhash_sig("_cgrams", num_perm)).select(
+        F.col("_cgrams"),
+        *[md5_band_hash("_csig", b, rows_per_band).alias(f"_cband_{b}") for b in range(bands)],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     jacc = F.round(
         F.size(F.array_intersect(F.col("_grams"), F.col("_cgrams")))
@@ -480,10 +495,7 @@ def stream_minhash_dedup(
     out = stream_g
     for b in range(bands):
         out = out.withColumn(f"_band_{b}", md5_band_hash("_sig", b, rows_per_band))
-        side = corpus_g.select(
-            md5_band_hash("_csig", b, rows_per_band).alias("_cband"),
-            F.col("_cgrams"),
-        )
+        side = corpus_bands.select(F.col(f"_cband_{b}").alias("_cband"), "_cgrams")
         out = out.join(
             side,
             (F.col(f"_band_{b}") == F.col("_cband")) & (jacc >= threshold),

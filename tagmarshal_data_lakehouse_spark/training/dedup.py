@@ -242,6 +242,8 @@ def minhash_lsh_candidates(
     content); at 100 TB this bound is what keeps the worst-case task from
     exploding quadratically.
     """
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})")
     rows_per_band = num_perm // bands
     band_cols = [
         F.struct(
@@ -418,6 +420,12 @@ def minhash_dedup_verdicts(
     """
     from pyspark import StorageLevel
 
+    if bands <= 0 or num_perm % bands != 0:
+        # bands > num_perm would make every band key md5('') — ONE
+        # bucket per band, a single hot partition; a non-divisor
+        # silently ignores trailing permutations (recall drifts off the
+        # documented banded curve)
+        raise ValueError(f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})")
     rows_per_band = num_perm // bands
     shingled = (
         with_token_grams(ensure_parallelism(df), text_col=text_col, n=ngram, out="grams")

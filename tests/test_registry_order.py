@@ -70,10 +70,22 @@ def _stale_horizon(n_oracle_backed: int) -> int:
     return max(1, math.ceil((n_oracle_backed - len(_FLAGSHIP_INTERLEAVE)) / PRIORITY_SLOTS))
 
 
-def _oracle_sha(text: str) -> str:
-    import hashlib
+def _ledger_tool():
+    # the WRITER'S oracle_sha definition, not a re-implementation: if
+    # checker and tool ever hashed differently, every entry would read
+    # as edited and the head-capacity arithmetic would become
+    # unsatisfiable
+    import importlib.util
 
-    return hashlib.sha256(text.encode("utf-8")).hexdigest()[:16]
+    spec = importlib.util.spec_from_file_location(
+        "update_query_text_hashes", _REPO / "tools" / "update_query_text_hashes.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_oracle_sha = _ledger_tool().oracle_sha
 
 
 def _ledger() -> dict[str, dict]:

@@ -648,11 +648,7 @@ def test_stream_minhash_dedup(spark, tmp_path):
 
     verdicts = {
         r["doc_id"]: r["keep"]
-        for r in tdedup.minhash_dedup_verdicts(
-            batch.unionByName(corpus).withColumn(
-                "doc_id", F.col("doc_id") + F.lit(0)
-            )
-        ).collect()
+        for r in tdedup.minhash_dedup_verdicts(batch.unionByName(corpus)).collect()
     }
     if not verdicts.get(11, True):  # batch path dropped it too
         assert 11 not in kept

@@ -64,6 +64,26 @@ def main() -> None:
 
     from tagmarshal_data_lakehouse_spark.queries import registry
 
+    # An edit made AFTER round N's CORRECTNESS artifact landed cannot be
+    # recorded at round N — its green row predates the edit, so
+    # `recorded round > latest green` would read as already-verified and
+    # the edit would silently skip driver re-verification (the exact
+    # failure mode this ledger exists to close). Clamp to one past the
+    # newest artifact.
+    import re
+
+    newest = 0
+    for p in _REPO.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        if m:
+            newest = max(newest, int(m.group(1)))
+    round_ = max(args.round_, newest + 1)
+    if round_ != args.round_:
+        print(
+            f"note: CORRECTNESS_r{newest:02d}.json already exists — "
+            f"recording at round {round_} so the edit re-verifies under the driver"
+        )
+
     old = json.loads(LEDGER.read_text()) if LEDGER.exists() else {}
     out: dict[str, dict] = {}
     changed: list[str] = []
@@ -75,12 +95,12 @@ def main() -> None:
         if prev and prev["sha"] == sha:
             out[name] = prev
         else:
-            out[name] = {"sha": sha, "round": args.round_}
+            out[name] = {"sha": sha, "round": round_}
             changed.append(name)
     dropped = sorted(set(old) - set(out))
     LEDGER.write_text(json.dumps(out, indent=0, sort_keys=True) + "\n")
     print(f"{len(out)} oracle-backed entries in the ledger")
-    print(f"{len(changed)} recorded at round {args.round_}: {changed}")
+    print(f"{len(changed)} recorded at round {round_}: {changed}")
     if dropped:
         print(f"dropped (no longer in the registry): {dropped}")
 
