@@ -283,3 +283,75 @@ def test_interval_overlap_join_property(spark, lefts, rights, chunk_min):
         if ll > 0 and rl > 0 and ls < rs + rl and rs < ls + ll
     )
     assert got == expected
+
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+def _py_minhash_verdicts(
+    texts: dict[int, str], num_perm: int, bands: int, n: int, threshold: float
+) -> dict[int, int | None]:
+    """Pure-Python twin of training.dedup.minhash_dedup_verdicts — the
+    same md5-string minhash, banding, lowest-id representative election
+    and exact-Jaccard verify the DuckDB oracle spells in SQL."""
+    import re
+
+    def gram_set(t: str) -> frozenset[str]:
+        toks = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        k = max(len(toks) - n + 1, 1)
+        return frozenset(" ".join(toks[i : i + n]) for i in range(k))
+
+    rpb = num_perm // bands
+    grams = {d: gram_set(t) for d, t in texts.items()}
+    sigs = {
+        d: [
+            min(hashlib.md5(f"{p}:{g}".encode()).hexdigest() for g in gs)
+            for p in range(num_perm)
+        ]
+        for d, gs in grams.items()
+    }
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for d, sig in sigs.items():
+        for b in range(bands):
+            key = hashlib.md5("|".join(sig[b * rpb : (b + 1) * rpb]).encode()).hexdigest()
+            buckets.setdefault((b, key), []).append(d)
+    verdicts: dict[int, int | None] = {d: None for d in texts}
+    for members in buckets.values():
+        rep = min(members)
+        for d in members:
+            if d == rep:
+                continue
+            a, bset = grams[d], grams[rep]
+            if round(len(a & bset) / len(a | bset), 6) >= threshold:
+                if verdicts[d] is None or rep < verdicts[d]:
+                    verdicts[d] = rep
+    return verdicts
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_minhash_verdicts_match_pure_python(spark, texts):
+    """For ARBITRARY small-vocabulary corpora (engineered for heavy gram
+    overlap and band collisions) the Spark verdict frame must equal the
+    pure-Python reference exactly: same drops, same representatives,
+    same keeps. Doc sizes stay <=12 tokens so no Jaccard ratio can land
+    on a half-ULP rounding tie (|A∪B| < 128 — the smallest denominator
+    where round-to-6 HALF_UP and half-even can disagree)."""
+    from tagmarshal_data_lakehouse_spark.training import dedup as tdedup
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["dup_of"]
+        for r in tdedup.minhash_dedup_verdicts(
+            df, num_perm=8, bands=4, ngram=3, threshold=0.5
+        ).collect()
+    }
+    expected = _py_minhash_verdicts(dict(rows), num_perm=8, bands=4, n=3, threshold=0.5)
+    assert got == expected
