@@ -249,6 +249,7 @@ def curate_corpus(
     min_quality: float = 50.0,
     train_pct: int = 80,
     val_pct: int = 10,
+    near_dup_threshold: float | None = None,
 ) -> DataFrame:
     """The composed curation pipeline: exact dedup -> quality gate ->
     language-ID -> split assignment, as ONE lazily-built plan.
@@ -265,10 +266,32 @@ def curate_corpus(
     stacked on the scan, and the dedup verdict rides the operator's one
     content-digest shuffle (`with_dedup_verdict` — no join-back by id).
     The whole pipeline is one exchange at any corpus size.
+
+    `near_dup_threshold` (opt-in) adds a MinHash verdict stage
+    (`dedup.minhash_dedup_verdicts` — the verdict-only O(N·bands)
+    path, never pair-grain): documents that are not exact duplicates
+    but clear the gram-Jaccard threshold against a lower-id bucket
+    representative drop with reason 'near_duplicate' (after
+    'duplicate', before 'low_quality'), and the audit frame gains
+    `near_dup_of`. Costs the verdict path's banding shuffle + verify
+    join on top of the single-exchange default — which is why it is
+    opt-in rather than the default.
     """
+    from .dedup import minhash_dedup_verdicts
+
     feats = quality_features(ensure_parallelism(df), text_col=text_col)
     feats = feats.withColumn("lang_detected", language_id(F.col(text_col)))
     verdicts = with_dedup_verdict(feats, id_col=id_col, text_col=text_col)
+    near_dup_cols = []
+    if near_dup_threshold is not None:
+        nd = minhash_dedup_verdicts(
+            df.select(F.col(id_col), F.col(text_col)),
+            id_col=id_col,
+            text_col=text_col,
+            threshold=near_dup_threshold,
+        ).select(F.col(id_col), F.col("dup_of").alias("near_dup_of"))
+        verdicts = verdicts.join(nd, id_col, "left")
+        near_dup_cols = [F.col("near_dup_of")]
     bucket = hash_bucket(F.col(id_col), 100)
     split = (
         F.when(bucket < train_pct, F.lit("train"))
@@ -278,7 +301,12 @@ def curate_corpus(
     # NULL quality_score (blank/null text: every ratio divides by a
     # NULLIF(0)) must FAIL the gate — a bare `score < min_quality` is
     # NULL-valued there, skips the WHEN, and fails open.
-    drop_reason = F.when(F.col("is_duplicate"), F.lit("duplicate")).when(
+    drop_reason = F.when(F.col("is_duplicate"), F.lit("duplicate"))
+    if near_dup_threshold is not None:
+        drop_reason = drop_reason.when(
+            F.col("near_dup_of").isNotNull(), F.lit("near_duplicate")
+        )
+    drop_reason = drop_reason.when(
         F.coalesce(F.col("quality_score"), F.lit(-1.0)) < min_quality,
         F.lit("low_quality"),
     )
@@ -290,6 +318,7 @@ def curate_corpus(
         F.col("lang_detected"),
         F.col("n_tokens"),
         F.col("quality_score"),
+        *near_dup_cols,
         split.alias("split"),
         drop_reason.alias("drop_reason"),
         drop_reason.isNull().alias("kept"),

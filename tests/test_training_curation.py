@@ -190,6 +190,28 @@ def test_curate_corpus_verdicts(spark):
     assert all(r["split"] in ("train", "val", "test") for r in rows.values())
 
 
+def test_curate_corpus_near_dup_stage(spark):
+    """Opt-in near-dup stage: an inexact near-copy (one trailing token
+    changed — not an exact duplicate) drops as 'near_duplicate' with its
+    representative recorded; 'duplicate' still wins precedence for exact
+    copies; the default pipeline is unchanged (no near_dup_of column)."""
+    good = "the quick brown fox jumps over the lazy dog and that is fine " * 4
+    near = good.rsplit(" ", 2)[0] + " altered ending"
+    df = spark.createDataFrame(
+        [(1, good), (2, good), (3, near), (4, "totally different text about astronomy " * 6)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curation.curate_corpus(df, near_dup_threshold=0.5).collect()
+    }
+    assert rows[1]["kept"] and rows[1]["near_dup_of"] is None
+    assert rows[2]["drop_reason"] == "duplicate"  # exact beats near
+    assert rows[3]["drop_reason"] == "near_duplicate" and rows[3]["near_dup_of"] == 1
+    assert rows[4]["kept"]
+    assert "near_dup_of" not in curation.curate_corpus(df).columns
+
+
 def test_curate_corpus_drops_blank_and_null_text(spark):
     """Fail-closed quality gate: blank/whitespace/null text produces a
     NULL quality_score (every ratio divides by NULLIF(0)); those docs
