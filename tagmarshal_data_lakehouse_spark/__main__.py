@@ -226,7 +226,11 @@ def cmd_curate(args) -> int:
 
     spark, _ = _spark_and_lake(args)
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
-    verdicts = curate_corpus(docs, min_quality=args.min_quality)
+    verdicts = curate_corpus(
+        docs,
+        min_quality=args.min_quality,
+        near_dup_threshold=args.near_dup_threshold,
+    )
     audit_path = f"{args.out}/curation_audit"
     corpus_path = f"{args.out}/curated_corpus"
     verdicts.write.mode("overwrite").partitionBy("split").parquet(audit_path)
@@ -495,6 +499,13 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     cu.add_argument("--out", required=True, help="output root for curated_corpus/ and curation_audit/")
     cu.add_argument("--min-quality", type=float, default=50.0)
+    cu.add_argument(
+        "--near-dup-threshold",
+        type=float,
+        default=None,
+        help="opt-in MinHash near-dup stage: gram-Jaccard threshold "
+        "(e.g. 0.5); adds 'near_duplicate' drop verdicts to the audit",
+    )
     cu.set_defaults(fn=cmd_curate)
 
     xp = sub.add_parser(

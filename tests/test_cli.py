@@ -105,6 +105,20 @@ def test_cli_curate_writes_corpus_and_audit(spark, tmp_path, capsys):
     assert set(corpus.select("split").distinct().toPandas()["split"]) <= {
         "train", "val", "test",
     }
+    assert "near_dup_of" not in audit.columns  # opt-in stage stays off by default
+
+    # with the near-dup stage on, the audit gains near_dup_of and the
+    # verdict set may only shrink the kept corpus
+    out2 = str(tmp_path / "curated_nd")
+    assert main([
+        "--warehouse", wh,
+        "curate", "--sf-dir", "/root/testdata/sf0.001", "--out", out2,
+        "--near-dup-threshold", "0.5",
+    ]) == 0
+    audit2 = spark.read.parquet(f"{out2}/curation_audit")
+    assert "near_dup_of" in audit2.columns
+    assert audit2.count() == n_docs
+    assert audit2.filter("kept").count() <= audit.filter("kept").count()
 
 
 def test_cli_serve_runs_cached_queries(spark, tmp_path, capsys):
