@@ -27,20 +27,47 @@ sys.path.insert(0, "/root/repo")
 
 
 def amplify_docs(spark, sf_dir: str, reps: int):
+    """Amplified documents. Default: every replica is a NEAR-copy of its
+    original (one unique trailing token), i.e. a duplicate-saturated
+    corpus where ~every doc has reps-1 near-dups — the worst case for
+    pair-emitting dedup. Set SCALE_PROBE_DUP_FRAC=0.2 to model a
+    REALISTIC duplication rate instead: only that fraction of originals
+    get near-copy replicas; the rest get replicas diluted with enough
+    unique filler tokens to land below dedup thresholds (unique
+    content growth, not duplication)."""
+    import os
+
     from pyspark.sql import functions as F
 
+    dup_frac = float(os.environ.get("SCALE_PROBE_DUP_FRAC", "1.0"))
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = base.count()
     # perturbation token is unique PER ROW (df=1): a per-replica marker
     # (df = N/reps) crosses any fractional df cap as reps grows and
     # glues unrelated same-replica docs together, polluting similarity
     # measurements with artifact pairs (observed: 195M pairs at 16x)
+    near = F.concat(F.col("text"), F.lit(" rv"), F.col("doc_id").cast("string"))
+    # 14 unique filler tokens push token-gram Jaccard of a typical doc
+    # far below 0.5 vs its original — replica growth without duplication
+    far = F.concat(
+        F.col("text"),
+        F.concat_ws(
+            " ",
+            F.lit(""),
+            *[
+                F.concat(F.lit(f"uq{k}x"), F.col("doc_id").cast("string"))
+                for k in range(14)
+            ],
+        ),
+    )
+    perturbed = (
+        near
+        if dup_frac >= 1.0
+        else F.when(F.col("doc_id") % F.lit(int(round(1 / max(dup_frac, 1e-9)))) == 0, near).otherwise(far)
+    )
     parts = [
         base.withColumn("doc_id", F.col("doc_id") + F.lit(i * n)).withColumn(
-            "text",
-            F.concat(F.col("text"), F.lit(" rv"), F.col("doc_id").cast("string"))
-            if i
-            else F.col("text"),
+            "text", perturbed if i else F.col("text")
         )
         for i in range(reps)
     ]
