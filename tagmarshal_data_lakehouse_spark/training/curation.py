@@ -18,7 +18,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import ensure_parallelism, with_dedup_verdict, with_token_grams
+from .dedup import (
+    ensure_parallelism,
+    minhash_dedup_verdicts,
+    with_dedup_verdict,
+    with_token_grams,
+)
 from .sampling import hash_bucket
 from .text import language_id, quality_features, token_count
 
@@ -277,18 +282,22 @@ def curate_corpus(
     join on top of the single-exchange default — which is why it is
     opt-in rather than the default.
     """
-    from .dedup import minhash_dedup_verdicts
-
     feats = quality_features(ensure_parallelism(df), text_col=text_col)
     feats = feats.withColumn("lang_detected", language_id(F.col(text_col)))
     verdicts = with_dedup_verdict(feats, id_col=id_col, text_col=text_col)
     near_dup_cols = []
     if near_dup_threshold is not None:
+        # persist_shingles=False: the audit plan runs once per call, and
+        # curate_corpus callers cannot reach the verdict operator's
+        # internal cache handle to unpersist it — re-shingling (cheap
+        # row-local expressions) beats leaking one cached gram frame
+        # per call in long-lived sessions
         nd = minhash_dedup_verdicts(
             df.select(F.col(id_col), F.col(text_col)),
             id_col=id_col,
             text_col=text_col,
             threshold=near_dup_threshold,
+            persist_shingles=False,
         ).select(F.col(id_col), F.col("dup_of").alias("near_dup_of"))
         verdicts = verdicts.join(nd, id_col, "left")
         near_dup_cols = [F.col("near_dup_of")]

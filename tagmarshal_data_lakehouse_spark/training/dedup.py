@@ -382,6 +382,7 @@ def minhash_dedup_verdicts(
     bands: int = 4,
     ngram: int = 3,
     threshold: float = 0.5,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Verdict-only MinHash dedup: ONE row per document (keep / dup_of),
     never a pair-grain frame.
@@ -427,11 +428,17 @@ def minhash_dedup_verdicts(
         # documented banded curve)
         raise ValueError(f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})")
     rows_per_band = num_perm // bands
-    shingled = (
-        with_token_grams(ensure_parallelism(df), text_col=text_col, n=ngram, out="grams")
-        .select(F.col(id_col), "grams")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # persist_shingles caches the gram frame (it feeds the signature
+    # pass and both verify-join sides). The cache is NOT unpersisted
+    # here — it must be live when the returned lazy plan finally runs —
+    # so long-lived sessions composing many verdict calls
+    # (curate_corpus loops, notebooks) should pass False and pay the
+    # ~3x shingling recompute instead of accumulating caches.
+    shingled = with_token_grams(
+        ensure_parallelism(df), text_col=text_col, n=ngram, out="grams"
+    ).select(F.col(id_col), "grams")
+    if persist_shingles:
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     signed = shingled.withColumn("sig", md5_minhash_sig("grams", num_perm))
     band_cols = [
         F.struct(

@@ -42,35 +42,33 @@ def amplify_docs(spark, sf_dir: str, reps: int):
     dup_frac = float(os.environ.get("SCALE_PROBE_DUP_FRAC", "1.0"))
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = base.count()
-    # perturbation token is unique PER ROW (df=1): a per-replica marker
-    # (df = N/reps) crosses any fractional df cap as reps grows and
-    # glues unrelated same-replica docs together, polluting similarity
-    # measurements with artifact pairs (observed: 195M pairs at 16x)
-    near = F.concat(F.col("text"), F.lit(" rv"), F.col("doc_id").cast("string"))
-    # 14 unique filler tokens push token-gram Jaccard of a typical doc
-    # far below 0.5 vs its original — replica growth without duplication
-    far = F.concat(
-        F.col("text"),
-        F.concat_ws(
-            " ",
-            F.lit(""),
-            *[
-                F.concat(F.lit(f"uq{k}x"), F.col("doc_id").cast("string"))
-                for k in range(14)
-            ],
-        ),
-    )
-    perturbed = (
-        near
-        if dup_frac >= 1.0
-        else F.when(F.col("doc_id") % F.lit(int(round(1 / max(dup_frac, 1e-9)))) == 0, near).otherwise(far)
-    )
-    parts = [
-        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * n)).withColumn(
-            "text", perturbed if i else F.col("text")
+    parts = []
+    for i in range(reps):
+        # the replica-unique marker id is derived from the ORIGINAL
+        # doc_id + the replica offset, while near/far membership keys on
+        # the ORIGINAL doc_id — so every replica of one original falls
+        # on the same side (doc_id % 100 < dup_frac*100; base ids are
+        # 0..n-1 with n a multiple of 100 in all testdata sf dirs, so
+        # the fraction is exact and replica-independent)
+        rep_id = (F.col("doc_id") + F.lit(i * n)).cast("string")
+        # perturbation token is unique PER ROW (df=1): a per-replica
+        # marker (df = N/reps) crosses any fractional df cap as reps
+        # grows and glues unrelated same-replica docs together,
+        # polluting similarity measurements (observed: 195M pairs @16x)
+        near = F.concat(F.col("text"), F.lit(" rv"), rep_id)
+        # genuine NON-duplicate growth: suffix EVERY token with a
+        # replica-unique marker, so a far replica shares ZERO token
+        # grams with its original and with every other replica
+        # (appending filler tokens cannot work: pushing a 54-token doc
+        # below Jaccard 0.5 would need more filler than the doc itself)
+        far = F.regexp_replace(F.col("text"), r"(\S+)", F.concat(F.lit(r"$1u"), rep_id))
+        is_dup = (F.col("doc_id") % 100) < F.lit(int(dup_frac * 100))
+        perturbed = near if dup_frac >= 1.0 else F.when(is_dup, near).otherwise(far)
+        parts.append(
+            base.withColumn("text", perturbed if i else F.col("text")).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * n)
+            )
         )
-        for i in range(reps)
-    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
