@@ -390,12 +390,14 @@ def cosine_near_duplicates(
 
 
 def _hyperplane_band_structs(n_bands: int, planes_per_band: int, vec_col: str) -> list:
-    """The banded hyperplane sketch shared by every angular-LSH path:
-    plane (b, r) is a deterministic pseudo-random normal via
-    xxhash64(position, band, plane), each band packs planes_per_band
-    sign bits into a bucket key. One definition so the expression,
-    GEMM and auto variants band IDENTICALLY (pair-identity depends on
-    it)."""
+    """Expression form of the banded hyperplane sketch: plane (b, r) is
+    a deterministic pseudo-random normal via xxhash64(position, band,
+    plane), each band packs planes_per_band sign bits into a bucket
+    key.  Since the GEMM banding landed (_banded_exploded) this form is
+    the REFERENCE TWIN kept for the parity pytest — the production
+    paths all band through the one-matmul-per-batch implementation,
+    whose plane values are fetched from this exact formula
+    (_plane_matrix) so the two bandings agree bucket-for-bucket."""
     band_structs = []
     for b in range(n_bands):
         terms = []
@@ -414,6 +416,106 @@ def _hyperplane_band_structs(n_bands: int, planes_per_band: int, vec_col: str) -
             )
         )
     return band_structs
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _plane_matrix(dim: int, n_bands: int, planes_per_band: int) -> "np.ndarray":
+    """(dim × n_bands·planes_per_band) float64 hyperplane matrix with
+    element (i, b·P + r) = cast(xxhash64(i, b, r) % 10007 as double) /
+    1.0007e4 — the IDENTICAL pseudo-random normals the expression
+    sketch (_hyperplane_band_structs) bakes into its fold, evaluated by
+    Spark's own xxhash64 (one tiny dim·B·P-row job, int-typed args to
+    match the expression's literals) so the two bandings agree
+    bit-for-bit, then cached on the driver.  ~40 KB at typical shapes —
+    closed over by value into the banding UDF, no broadcast needed."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    bp = n_bands * planes_per_band
+    rows = (
+        spark.range(dim * bp)
+        .selectExpr(
+            f"CAST(id DIV {bp} AS INT) AS i",
+            f"CAST((id % {bp}) DIV {planes_per_band} AS INT) AS b",
+            f"CAST(id % {planes_per_band} AS INT) AS r",
+        )
+        .selectExpr(
+            "i",
+            "b",
+            "r",
+            "cast(xxhash64(i, b, r) % 10007 as double) / 1.0007e4 AS w",
+        )
+        .collect()
+    )
+    planes = np.zeros((dim, bp))
+    for row in rows:
+        planes[row["i"], row["b"] * planes_per_band + row["r"]] = row["w"]
+    return planes
+
+
+def _banded_exploded(
+    embeddings: DataFrame,
+    n_bands: int,
+    planes_per_band: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, band_id, bucket) — the exploded banded hyperplane
+    sketch every angular-LSH near-dup variant consumes, computed as ONE
+    numpy GEMM per Arrow batch (mat @ planes, then sign-bit packing).
+
+    Why not the expression form: n_bands × planes_per_band
+    aggregate/zip_with folds per row are per-element lambda evaluation,
+    and the 64× probe measured them at ~27 s of the expression sketch's
+    ~28 s wall-clock — the cost was HOF interpretation, not arithmetic.
+    The same projections as a batch matmul run at BLAS speed, and every
+    scorer variant (expression, GEMM, auto) consumes this one function,
+    so pair-identity across variants is structural.  Plane values are
+    bit-identical to the expression twin (_plane_matrix); only sign
+    decisions within float-summation-order distance of zero (~1e-15
+    relative) could differ from the sequential fold — banding is
+    probabilistic, so that changes nothing the contracts pin.
+
+    The dim probe (`first()`) is one tiny eager job, the same move the
+    IVF/PQ paths make to fetch their codebooks."""
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None or first["d"] is None:
+        return embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(0).alias("band_id"),
+            F.lit(0).alias("bucket"),
+        ).where(F.lit(False))
+    planes = _plane_matrix(int(first["d"]), n_bands, planes_per_band)
+    weights = np.asarray([1 << r for r in range(planes_per_band)], dtype=np.float64)
+    n_b, p_b = n_bands, planes_per_band
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+    vec_t = embeddings.schema[vec_col].dataType.simpleString()
+
+    def band(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            proj = mat @ planes
+            bits = (proj >= 0.0).reshape(n, n_b, p_b)
+            buckets = (bits * weights).sum(axis=2).astype("int32")
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_b),
+                    vec_col: np.repeat(pdf[vec_col].to_numpy(), n_b),
+                    "band_id": np.tile(np.arange(n_b, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        band, f"{id_col} {id_t}, {vec_col} {vec_t}, band_id int, bucket int"
+    )
 
 
 def cosine_near_duplicates_lsh(
@@ -442,10 +544,19 @@ def cosine_near_duplicates_lsh(
     re-scored through an id-keyed join — the n² cross product is never
     materialized.
     """
-    band_structs = _hyperplane_band_structs(n_bands, planes_per_band, vec_col)
-    banded = embeddings.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "band.band_id", "band.bucket")
+    banded = _banded_exploded(embeddings, n_bands, planes_per_band, id_col, vec_col)
+    return _lsh_pairs_from_banded(banded, embeddings, threshold, max_bucket, id_col, vec_col)
+
+
+def _lsh_pairs_from_banded(
+    banded: DataFrame,
+    embeddings: DataFrame,
+    threshold: float,
+    max_bucket: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    banded = banded.select(id_col, "band_id", "bucket")
 
     buckets = (
         banded.groupBy("band_id", "bucket")
@@ -515,12 +626,23 @@ def cosine_near_duplicates_lsh_gemm(
     (np.round half-even) — within 1e-6 of the expression path's
     sequential fold, pytest-pinned pair-identical on the fixture.
     """
-    band_structs = _hyperplane_band_structs(n_bands, planes_per_band, vec_col)
-    banded = embeddings.select(
+    banded = _banded_exploded(embeddings, n_bands, planes_per_band, id_col, vec_col)
+    return _gemm_pairs_from_banded(banded, threshold, max_bucket, id_col, vec_col)
+
+
+def _gemm_pairs_from_banded(
+    banded: DataFrame,
+    threshold: float,
+    max_bucket: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    banded = banded.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        F.explode(F.array(*band_structs)).alias("band"),
-    ).select("_id", "_vec", "band.band_id", "band.bucket")
+        "band_id",
+        "bucket",
+    )
 
     def score_bucket(pdf):
         n = len(pdf)
@@ -569,10 +691,13 @@ def near_dup_candidate_density(
     the pair-stream mass the expression path would materialize,
     computed from an ids-only pass over the same banding (one bucket
     aggregate, no vectors shuffled, no pairs formed)."""
-    band_structs = _hyperplane_band_structs(n_bands, planes_per_band, vec_col)
-    banded = embeddings.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "band.band_id", "band.bucket")
+    banded = _banded_exploded(embeddings, n_bands, planes_per_band, id_col, vec_col)
+    return _density_from_banded(banded, embeddings.count(), max_bucket, id_col)
+
+
+def _density_from_banded(
+    banded: DataFrame, n: int, max_bucket: int, id_col: str
+) -> float:
     row = (
         banded.groupBy("band_id", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -582,7 +707,6 @@ def near_dup_candidate_density(
         )
         .collect()[0]
     )
-    n = embeddings.count()
     return float(row["cand_pairs"]) / max(n, 1)
 
 
@@ -619,6 +743,16 @@ def cosine_near_duplicates_lsh_auto(
     physical strategy. Both scorers emit the identical (id_a < id_b,
     round(cosine,6) >= threshold) pair set (pytest-pinned), so the
     choice changes the plan, never the result.
+
+    The density pass re-projects the corpus rather than caching the
+    sketch for the scorer — a measured decision, both ways: with the
+    old expression banding the duplicated projection folds dominated
+    (auto 2.4× the GEMM path at 64× amplification), but sharing them
+    via localCheckpoint traded that for block-manager residency that
+    made the 64× probe *worse* (73.7 s vs 24.4 s as checkpoint blocks
+    accumulated).  The real fix was making projection cheap
+    (_banded_exploded's one-GEMM-per-batch banding); with it the extra
+    pass is a few percent and the selector keeps zero cached state.
     """
     density = near_dup_candidate_density(
         embeddings, n_bands, planes_per_band, max_bucket, id_col, vec_col

@@ -115,6 +115,45 @@ def test_hyperplane_buckets_deterministic_and_bounded(planted):
     assert a[0] == a[100] and a[1] == a[101]
 
 
+def test_gemm_banding_matches_expression_twin(planted):
+    """The production banding (_banded_exploded, one matmul per Arrow
+    batch) must assign every (vector, band) the same bucket as the
+    expression reference twin (_hyperplane_band_structs) — the plane
+    values are fetched from the twin's exact xxhash64 formula, so any
+    divergence would be a sign flip at float-summation-order distance
+    from zero (or a packing bug)."""
+    n_bands, planes = 8, 5
+    got = {
+        (r["vec_id"], r["band_id"]): r["bucket"]
+        for r in similarity._banded_exploded(
+            planted, n_bands, planes, "vec_id", "embedding"
+        ).collect()
+    }
+    structs = similarity._hyperplane_band_structs(n_bands, planes, "embedding")
+    want = {
+        (r["vec_id"], r["band_id"]): r["bucket"]
+        for r in planted.select(
+            "vec_id", F.explode(F.array(*structs)).alias("band")
+        )
+        .select("vec_id", "band.band_id", "band.bucket")
+        .collect()
+    }
+    assert got == want
+    assert len(got) == planted.count() * n_bands
+
+
+def test_banded_exploded_empty_corpus(planted):
+    empty = planted.where(F.lit(False))
+    out = similarity._banded_exploded(empty, 4, 3, "vec_id", "embedding")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id",
+        "embedding",
+        "band_id",
+        "bucket",
+    ]
+
+
 def test_cosine_topk_wrapper_routes_to_lsh_by_default(planted):
     via_wrapper = similarity.cosine_topk(planted, n_queries=2, k=3)
     direct = similarity.cosine_topk_lsh(planted, n_queries=2, k=3)

@@ -286,6 +286,13 @@ def main() -> int:
         "emb_near_dups_gemm": lambda docs, ev, embs: similarity.cosine_near_duplicates_lsh_gemm(
             embs, threshold=0.45, n_bands=8, planes_per_band=10, max_bucket=500
         ),
+        # density-adaptive selection: measures what the selector COSTS
+        # end-to-end (the ids-only density pass recomputes the
+        # hyperplane projections before the chosen scorer does) on top
+        # of what it saves by routing to the right scorer
+        "emb_near_dups_auto": lambda docs, ev, embs: similarity.cosine_near_duplicates_lsh_auto(
+            embs, threshold=0.45, n_bands=8, planes_per_band=10, max_bucket=500
+        ),
     }
 
     # Optional operator filter for targeted re-measurement after an
