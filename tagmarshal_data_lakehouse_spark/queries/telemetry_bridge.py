@@ -463,10 +463,19 @@ q_telemetry_missing_ts_trend = Query(
     "(exploration/null_patterns.sql; month-truncated ingest partitions).",
 )
 
-def _gold_on_bridge(spark: SparkSession, sf_dir: str, model: str) -> DataFrame:
+def _gold_on_bridge(
+    spark: SparkSession, sf_dir: str, model: str, fact_sql: str | None = None
+) -> DataFrame:
     """Materialize a gold model's dependency chain over the bridged
     fact view and return the model frame — the REAL gold texts
-    (gold/models.py, Trino->Spark ports), not restatements."""
+    (gold/models.py, Trino->Spark ports), not restatements.
+
+    `fact_sql` overrides the fact view's SQL (default `_SPARK_BRIDGE`):
+    the silver_normalized models consume columns the base bridge does
+    not carry (goal_name, is_secondary, geometry_wkt, event date
+    parts, ...), which `_SPARK_BRIDGE_EXT` adds as a wrapper — a NEW
+    text, so the green entries' shared `_SPARK_BRIDGE`/`_DUCK_BRIDGE`
+    strings stay byte-identical and their ledger rows untouched."""
     from ..gold import models as gold_models
 
     load_views(spark, sf_dir)
@@ -479,7 +488,7 @@ def _gold_on_bridge(spark: SparkSession, sf_dir: str, model: str) -> DataFrame:
     # also the reference's real shape — dbt gold models read a
     # MATERIALIZED silver table, not a live view (at 100 TB the bridge
     # equivalent is the stored fact_telemetry_event table itself).
-    spark.sql(_SPARK_BRIDGE).localCheckpoint(eager=True).createOrReplaceTempView(
+    spark.sql(fact_sql or _SPARK_BRIDGE).localCheckpoint(eager=True).createOrReplaceTempView(
         "fact_telemetry_event"
     )
     by_name = {m.name: m for m in gold_models.MODELS}
@@ -1294,4 +1303,556 @@ QUERIES = [
     q_gold_pace_summary_by_round,
     q_gold_hole_performance,
     q_gold_dim_course,
+]
+
+
+# ---------------------------------------------------------------------------
+# R8-STAGED entries: driver rows for the remaining gold/silver_normalized
+# models (signal_quality_rounds, course_configuration_analysis,
+# critical_column_gaps, dim_round, dim_device, fact_telemetry_fix,
+# global_overview, global_course_summary, global_time_patterns — reference
+# pipeline/gold/models/{gold,silver_normalized}/*.sql).  Deliberately NOT in
+# QUERIES yet: the round-7 rotation landed with the due-queue overflow at
+# exactly PRIORITY_SLOTS (38), so registering new oracle-backed entries this
+# round would push the overflow past the one-round-of-lag bound
+# tests/test_registry_order.py enforces.  They are fully built, oracle'd and
+# verified by tests/test_gold_bridge_staged.py (the driver-sim compare at
+# sf0.001); round 8 promotes them by appending R8_STAGED to QUERIES, slotting
+# the names into the sweep head, and recording their oracle texts in the
+# ledger (tools/update_query_text_hashes.py --round 8).
+# ---------------------------------------------------------------------------
+
+# The silver_normalized models consume columns the base bridge does not
+# carry.  This wrapper adds them — deterministic integer/windowed
+# derivations in the bridge's exactness dialect (distinct primes for the
+# boolean stripes; FLOOR-integer WKT so no double->string formatting is
+# ever compared; ISO weekday both engines).  A NEW text on purpose: the
+# shared _SPARK_BRIDGE/_DUCK_BRIDGE strings (inlined by every green
+# oracle) stay byte-identical.
+_BRIDGE_EXT_TEMPLATE = """
+    SELECT b.*,
+           MIN(fix_timestamp) OVER (PARTITION BY round_id)   AS round_start_time,
+           MAX(fix_timestamp) OVER (PARTITION BY round_id)   AS round_end_time,
+           MIN(location_index) OVER (PARTITION BY round_id)  AS first_fix,
+           MAX(location_index) OVER (PARTITION BY round_id)  AS last_fix,
+           location_index % 59 = 0                           AS is_incomplete,
+           location_index % 61 = 0                           AS is_secondary,
+           location_index % 67 = 0                           AS is_auto_assigned,
+           CASE WHEN location_index % 4 = 0 THEN CAST(NULL AS STRING)
+                ELSE 'goal_' || CAST(location_index % 4 AS STRING) END AS goal_name,
+           CAST(location_index % 12 AS DOUBLE) / 12.0        AS goal_time_fraction,
+           CASE WHEN longitude IS NULL OR latitude IS NULL THEN CAST(NULL AS STRING)
+                ELSE 'POINT (' || CAST(CAST(FLOOR(longitude) AS BIGINT) AS STRING)
+                     || ' ' || CAST(CAST(FLOOR(latitude) AS BIGINT) AS STRING) || ')'
+           END                                               AS geometry_wkt,
+           {event_year}                                      AS event_year,
+           {event_month}                                     AS event_month,
+           {event_day}                                       AS event_day,
+           {event_weekday}                                   AS event_weekday
+    FROM ({inner}) b
+"""
+
+_SPARK_BRIDGE_EXT = _BRIDGE_EXT_TEMPLATE.format(
+    inner=_SPARK_BRIDGE,
+    event_year="YEAR(event_date)",
+    event_month="MONTH(event_date)",
+    event_day="DAY(event_date)",
+    event_weekday="(((DAYOFWEEK(event_date) + 5) % 7) + 1)",
+)
+_DUCK_BRIDGE_EXT = _BRIDGE_EXT_TEMPLATE.format(
+    inner=_DUCK_BRIDGE,
+    event_year="CAST(YEAR(event_date) AS INT)",
+    event_month="CAST(MONTH(event_date) AS INT)",
+    event_day="CAST(DAY(event_date) AS INT)",
+    event_weekday="CAST(ISODOW(event_date) AS INT)",
+).replace("AS STRING)", "AS VARCHAR)")
+
+
+q_gold_signal_quality_rounds = Query(
+    name="gold_signal_quality_rounds",
+    build=lambda spark, sf_dir: _gold_on_bridge(
+        spark, sf_dir, "signal_quality_rounds"
+    ).orderBy("course_id", "round_id"),
+    # Thin fact_rounds projection; projected_rate/problem_rate are
+    # UNROUNDED integer-ratio doubles (exact-by-construction, the
+    # _FACT_ROUNDS_COLS rule) so the whole row hashes cross-engine.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        {_DUCK_FACT_ROUNDS}
+        SELECT course_id, round_id, fix_count, projected_fix_count,
+               problem_fix_count, projected_rate, problem_rate
+        FROM fact_rounds
+        ORDER BY course_id, round_id
+    """,
+    doc="Signal-quality projection gold model (gold/models.py "
+    "SIGNAL_QUALITY_ROUNDS, reference signal_quality_rounds.sql) over "
+    "the bridged fact_rounds chain.",
+)
+
+q_gold_course_configuration = Query(
+    name="gold_course_configuration",
+    build=lambda spark, sf_dir: _cast_cols(
+        _decimals_as_double(
+            _gold_on_bridge(spark, sf_dir, "course_configuration_analysis")
+        ),
+        "bigint",
+        "course_complexity_score",
+    ).orderBy("course_id"),
+    # Decimal-literal percentage arithmetic (exact on both engines, the
+    # gold_data_quality_overview precedent); ROUND(AVG(int), 0) is safe
+    # because every .5 half is dyadic-exactly representable, so HALF_UP
+    # and binary rounding agree — unlike the excluded ROUND(double, N>0)
+    # class.  course_complexity_score pinned to BIGINT on both sides.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        {_DUCK_FACT_ROUNDS},
+        round_configs AS (
+            SELECT course_id, round_id, start_hole, is_nine_hole, is_complete,
+                   min_section_number AS min_section, max_section_number AS max_section,
+                   holes_played AS unique_holes_played, nines_played,
+                   fix_count AS location_count
+            FROM fact_rounds
+        ),
+        course_summary AS (
+            SELECT course_id,
+                COUNT(DISTINCT round_id) AS total_rounds,
+                MAX(max_section) AS max_section_seen,
+                MAX(unique_holes_played) AS max_holes_in_round,
+                MAX(nines_played) AS max_nines_in_round,
+                CASE WHEN MAX(max_section) > 54 THEN '27-hole'
+                     WHEN MAX(max_section) > 27 THEN '18-hole'
+                     ELSE '9-hole' END AS likely_course_type,
+                SUM(CASE WHEN is_nine_hole = TRUE THEN 1 ELSE 0 END) AS nine_hole_rounds,
+                SUM(CASE WHEN is_nine_hole = FALSE OR is_nine_hole IS NULL THEN 1 ELSE 0 END) AS full_rounds,
+                SUM(CASE WHEN is_complete = TRUE THEN 1 ELSE 0 END) AS complete_rounds,
+                SUM(CASE WHEN is_complete = FALSE THEN 1 ELSE 0 END) AS incomplete_rounds,
+                COUNT(DISTINCT start_hole) AS unique_start_holes,
+                SUM(CASE WHEN start_hole = 1 THEN 1 ELSE 0 END) AS rounds_starting_hole_1,
+                SUM(CASE WHEN start_hole != 1 AND start_hole IS NOT NULL THEN 1 ELSE 0 END) AS shotgun_start_rounds,
+                SUM(CASE WHEN nines_played = 1 THEN 1 ELSE 0 END) AS single_nine_rounds,
+                SUM(CASE WHEN nines_played = 2 THEN 1 ELSE 0 END) AS two_nine_rounds,
+                SUM(CASE WHEN nines_played >= 3 THEN 1 ELSE 0 END) AS three_nine_rounds,
+                ROUND(AVG(location_count), 0) AS avg_locations_per_round,
+                MIN(location_count) AS min_locations_per_round,
+                MAX(location_count) AS max_locations_per_round
+            FROM round_configs GROUP BY course_id
+        )
+        SELECT course_id, total_rounds, likely_course_type, max_section_seen,
+            max_holes_in_round,
+            CAST(ROUND(100.0 * complete_rounds / NULLIF(total_rounds, 0), 1) AS DOUBLE) AS pct_complete,
+            CAST(ROUND(100.0 * incomplete_rounds / NULLIF(total_rounds, 0), 1) AS DOUBLE) AS pct_incomplete,
+            CAST(ROUND(100.0 * nine_hole_rounds / NULLIF(total_rounds, 0), 1) AS DOUBLE) AS pct_nine_hole,
+            CAST(ROUND(100.0 * full_rounds / NULLIF(total_rounds, 0), 1) AS DOUBLE) AS pct_full_rounds,
+            unique_start_holes,
+            CAST(ROUND(100.0 * shotgun_start_rounds / NULLIF(total_rounds, 0), 1) AS DOUBLE) AS pct_shotgun_starts,
+            CAST(CASE WHEN likely_course_type = '27-hole'
+                 THEN ROUND(100.0 * single_nine_rounds / NULLIF(total_rounds, 0), 1) END AS DOUBLE) AS pct_single_nine,
+            CAST(CASE WHEN likely_course_type = '27-hole'
+                 THEN ROUND(100.0 * two_nine_rounds / NULLIF(total_rounds, 0), 1) END AS DOUBLE) AS pct_two_nines,
+            CAST(CASE WHEN likely_course_type = '27-hole'
+                 THEN ROUND(100.0 * three_nine_rounds / NULLIF(total_rounds, 0), 1) END AS DOUBLE) AS pct_all_three_nines,
+            avg_locations_per_round, min_locations_per_round, max_locations_per_round,
+            CAST(ROUND(unique_start_holes * 10 +
+                  CASE likely_course_type WHEN '27-hole' THEN 30 WHEN '18-hole' THEN 20 ELSE 10 END +
+                  CASE WHEN 100.0 * nine_hole_rounds / NULLIF(total_rounds, 0) > 20 THEN 10 ELSE 0 END +
+                  CASE WHEN 100.0 * incomplete_rounds / NULLIF(total_rounds, 0) > 10 THEN 5 ELSE 0 END,
+                  0) AS BIGINT) AS course_complexity_score
+        FROM course_summary
+        ORDER BY course_id
+    """,
+    doc="Course-type + complexity scoring gold model (gold/models.py "
+    "COURSE_CONFIGURATION_ANALYSIS, reference "
+    "course_configuration_analysis.sql) over the bridged fact_rounds "
+    "chain.",
+)
+
+q_gold_critical_column_gaps = Query(
+    name="gold_critical_column_gaps",
+    build=lambda spark, sf_dir: _decimals_as_double(
+        _gold_on_bridge(spark, sf_dir, "critical_column_gaps")
+    ).orderBy("course_id"),
+    # Same decimal-percentage exactness class as the r06-green
+    # gold_data_quality_overview oracle, including the nested weighted
+    # usability score; the tier statuses are string CASEs over those
+    # exact decimals.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        column_analysis AS (
+            SELECT course_id,
+                COUNT(*) AS total_events,
+                COUNT(DISTINCT round_id) AS total_rounds,
+                SUM(CASE WHEN pace IS NULL THEN 1 ELSE 0 END) AS t1_null_pace,
+                SUM(CASE WHEN pace_gap IS NULL THEN 1 ELSE 0 END) AS t1_null_pace_gap,
+                SUM(CASE WHEN positional_gap IS NULL THEN 1 ELSE 0 END) AS t1_null_positional_gap,
+                SUM(CASE WHEN hole_number IS NULL THEN 1 ELSE 0 END) AS t2_null_hole,
+                SUM(CASE WHEN section_number IS NULL THEN 1 ELSE 0 END) AS t2_null_section,
+                SUM(CASE WHEN latitude IS NULL THEN 1 ELSE 0 END) AS t2_null_lat,
+                SUM(CASE WHEN fix_timestamp IS NULL THEN 1 ELSE 0 END) AS t2_null_timestamp,
+                SUM(CASE WHEN battery_percentage IS NULL THEN 1 ELSE 0 END) AS t3_null_battery,
+                SUM(CASE WHEN is_projected IS NULL THEN 1 ELSE 0 END) AS t3_null_projected,
+                SUM(CASE WHEN start_hole IS NULL THEN 1 ELSE 0 END) AS t4_null_start_hole,
+                SUM(CASE WHEN goal_time IS NULL THEN 1 ELSE 0 END) AS t4_null_goal_time
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE
+            GROUP BY course_id
+        ),
+        percentages AS (
+            SELECT *,
+                100.0 * t1_null_pace / total_events AS pct_null_pace_raw,
+                100.0 * t1_null_pace_gap / total_events AS pct_null_pace_gap_raw,
+                100.0 * t1_null_positional_gap / total_events AS pct_null_positional_gap_raw,
+                GREATEST(100.0 * t1_null_pace / total_events,
+                         100.0 * t1_null_pace_gap / total_events) AS pct_null_pace_worst,
+                100.0 * t2_null_hole / total_events AS pct_null_hole_raw,
+                100.0 * t2_null_section / total_events AS pct_null_section_raw,
+                100.0 * t2_null_lat / total_events AS pct_null_latitude_raw,
+                100.0 * t2_null_timestamp / total_events AS pct_null_timestamp_raw,
+                100.0 * t3_null_battery / total_events AS pct_null_battery_raw,
+                100.0 * (t3_null_battery + t3_null_projected) / (2 * total_events) AS pct_null_device_health,
+                100.0 * t4_null_start_hole / total_events AS pct_null_start_hole_raw,
+                100.0 * t4_null_goal_time / total_events AS pct_null_goal_time_raw,
+                100.0 * (t4_null_goal_time + t4_null_start_hole) / (2 * total_events) AS pct_null_round_config
+            FROM column_analysis
+        )
+        SELECT course_id, total_events, total_rounds,
+            CAST(ROUND(pct_null_pace_raw, 2) AS DOUBLE) AS pct_null_pace,
+            CAST(ROUND(pct_null_pace_gap_raw, 2) AS DOUBLE) AS pct_null_pace_gap,
+            CAST(ROUND(pct_null_positional_gap_raw, 2) AS DOUBLE) AS pct_null_positional_gap,
+            CASE WHEN pct_null_pace_worst > 50 THEN 'CRITICAL: Pace analysis NOT possible'
+                 WHEN pct_null_pace_worst > 20 THEN 'WARNING: Pace analysis degraded'
+                 WHEN pct_null_pace_worst > 5 THEN 'MINOR: Some pace gaps'
+                 ELSE 'GOOD: Pace data complete' END AS pace_data_status,
+            CAST(ROUND(pct_null_hole_raw, 2) AS DOUBLE) AS pct_null_hole,
+            CAST(ROUND(pct_null_section_raw, 2) AS DOUBLE) AS pct_null_section,
+            CAST(ROUND(pct_null_latitude_raw, 2) AS DOUBLE) AS pct_null_latitude,
+            CAST(ROUND(pct_null_timestamp_raw, 2) AS DOUBLE) AS pct_null_timestamp,
+            CASE WHEN pct_null_hole_raw > 30 THEN 'CRITICAL: Hole tracking broken'
+                 WHEN pct_null_hole_raw > 10 THEN 'WARNING: Location gaps detected'
+                 ELSE 'GOOD: Location data complete' END AS location_data_status,
+            CAST(ROUND(pct_null_battery_raw, 2) AS DOUBLE) AS pct_null_battery,
+            CASE WHEN pct_null_device_health > 50 THEN 'WARNING: Cannot monitor device health'
+                 WHEN pct_null_device_health > 20 THEN 'MINOR: Some battery data missing'
+                 ELSE 'GOOD: Device health trackable' END AS device_health_status,
+            CAST(ROUND(pct_null_start_hole_raw, 2) AS DOUBLE) AS pct_null_start_hole,
+            CAST(ROUND(pct_null_goal_time_raw, 2) AS DOUBLE) AS pct_null_goal_time,
+            CASE WHEN pct_null_round_config > 80 THEN 'WARNING: Goal times not set'
+                 WHEN pct_null_round_config > 50 THEN 'MINOR: Start hole unknown'
+                 ELSE 'GOOD: Round config available' END AS round_config_status,
+            CAST(ROUND(100 - (0.40 * pct_null_pace_worst
+                       + 0.30 * (pct_null_hole_raw + pct_null_timestamp_raw) / 2
+                       + 0.20 * pct_null_device_health
+                       + 0.10 * pct_null_round_config), 1) AS DOUBLE) AS usability_score,
+            CASE WHEN pct_null_pace_worst > 20 THEN 'Check pace calculation algorithm - many events missing pace values'
+                 WHEN pct_null_hole_raw > 20 THEN 'Review location assignment logic - many events without hole numbers'
+                 WHEN pct_null_device_health > 50 THEN 'Enable battery reporting on devices'
+                 WHEN pct_null_round_config > 80 THEN 'Configure goal times for this course in the system'
+                 ELSE 'Data quality acceptable - monitor for changes' END AS top_recommendation
+        FROM percentages
+        ORDER BY course_id
+    """,
+    doc="Tiered null-gap analysis + 40/30/20/10 usability score gold "
+    "model (gold/models.py CRITICAL_COLUMN_GAPS, reference "
+    "critical_column_gaps.sql) over the bridged fact.",
+)
+
+q_gold_dim_round = Query(
+    name="gold_dim_round",
+    build=lambda spark, sf_dir: _gold_on_bridge(
+        spark, sf_dir, "dim_round", fact_sql=_SPARK_BRIDGE_EXT
+    ).orderBy("course_id", "round_id"),
+    # The MAX()-as-any-value rollup convention (SURVEY §7.4 trap 9:
+    # deliberately MAX, not Spark's nondeterministic first()) under the
+    # driver — every aggregate is a count, MIN/MAX, or BOOL_OR, all
+    # cross-engine exact.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT}),
+        base AS (
+            SELECT * FROM fact_telemetry_event
+            WHERE course_id IS NOT NULL AND round_id IS NOT NULL
+        ),
+        round_rollup AS (
+            SELECT course_id, round_id,
+                COUNT(*) AS total_rows,
+                CAST(SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS padding_rows,
+                CAST(SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS non_padding_rows,
+                CAST(SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_rows,
+                CAST(SUM(CASE WHEN is_timestamp_missing AND NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_non_padding_rows,
+                MIN(fix_timestamp) AS first_fix_ts,
+                MAX(fix_timestamp) AS last_fix_ts,
+                COUNT(DISTINCT hole_number) AS holes_observed,
+                COUNT(DISTINCT nine_number) AS nines_observed,
+                MIN(section_number) AS min_section_number,
+                MAX(section_number) AS max_section_number,
+                MAX(round_start_time) AS round_start_time,
+                MAX(round_end_time) AS round_end_time,
+                MAX(start_hole) AS start_hole,
+                MAX(start_section) AS start_section,
+                MAX(end_section) AS end_section,
+                BOOL_OR(COALESCE(is_nine_hole, FALSE)) AS is_nine_hole,
+                BOOL_OR(COALESCE(is_complete, FALSE)) AS is_complete,
+                BOOL_OR(COALESCE(is_incomplete, FALSE)) AS is_incomplete,
+                BOOL_OR(COALESCE(is_secondary, FALSE)) AS is_secondary,
+                BOOL_OR(COALESCE(is_auto_assigned, FALSE)) AS is_auto_assigned,
+                MAX(current_nine) AS current_nine,
+                MAX(goal_time) AS goal_time,
+                MAX(goal_name) AS goal_name,
+                MAX(goal_time_fraction) AS goal_time_fraction,
+                MAX(device) AS device_id,
+                MAX(first_fix) AS first_fix,
+                MAX(last_fix) AS last_fix
+            FROM base GROUP BY course_id, round_id
+        )
+        SELECT * FROM round_rollup
+        ORDER BY course_id, round_id
+    """,
+    doc="Round dimension silver_normalized model (gold/models.py "
+    "DIM_ROUND, reference "
+    "pipeline/gold/models/silver_normalized/dim_round.sql) over the "
+    "extended bridge (goal/assignment/window columns added by "
+    "_SPARK_BRIDGE_EXT).",
+)
+
+q_gold_dim_device = Query(
+    name="gold_dim_device",
+    build=lambda spark, sf_dir: _gold_on_bridge(
+        spark, sf_dir, "dim_device"
+    ).orderBy("device_id"),
+    # avg_battery_pct is AVG over an integer-valued double (exact sum
+    # below 2^53 -> identical IEEE division on both engines).
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT device AS device_id,
+               COUNT(*) AS total_rows,
+               COUNT(DISTINCT course_id) AS courses_seen,
+               MIN(fix_timestamp) AS first_seen_ts,
+               MAX(fix_timestamp) AS last_seen_ts,
+               CAST(SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_rows,
+               MIN(battery_percentage) AS min_battery_pct,
+               MAX(battery_percentage) AS max_battery_pct,
+               AVG(battery_percentage) AS avg_battery_pct
+        FROM fact_telemetry_event
+        WHERE device IS NOT NULL
+        GROUP BY device
+        ORDER BY device
+    """,
+    doc="Device dimension silver_normalized model (gold/models.py "
+    "DIM_DEVICE, reference "
+    "pipeline/gold/models/silver_normalized/dim_device.sql) over the "
+    "bridged fact.",
+)
+
+q_gold_global_overview = Query(
+    name="gold_global_overview",
+    build=lambda spark, sf_dir: _decimals_as_double(
+        _gold_on_bridge(
+            spark, sf_dir, "global_overview", fact_sql=_SPARK_BRIDGE_EXT
+        ).drop("median_pace_gap_sec")
+    ),
+    # median_pace_gap_sec (percentile_approx) is the bridge's standing
+    # exclusion: approximate sketches are engine-specific by
+    # construction; every other column is a count, distinct-count,
+    # exact average or decimal percentage.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT}),
+        base AS (
+            SELECT course_id, round_id, device AS device_id, fix_timestamp,
+                   is_timestamp_missing, is_location_padding, is_problem, is_complete,
+                   is_nine_hole, is_secondary, is_auto_assigned, pace_gap
+            FROM fact_telemetry_event WHERE course_id IS NOT NULL
+        ),
+        agg AS (
+            SELECT
+                COUNT(*) AS total_rows,
+                CAST(SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS padding_rows,
+                CAST(SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS non_padding_rows,
+                COUNT(DISTINCT course_id) AS courses,
+                COUNT(DISTINCT round_id) AS distinct_rounds_all,
+                COUNT(DISTINCT CASE WHEN NOT is_location_padding THEN round_id END) AS distinct_rounds_non_padding,
+                COUNT(DISTINCT device_id) AS distinct_devices,
+                CAST(SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_rows,
+                CAST(SUM(CASE WHEN is_timestamp_missing AND NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_non_padding_rows,
+                CAST(SUM(CASE WHEN NOT is_location_padding AND is_problem THEN 1 ELSE 0 END) AS BIGINT) AS problem_rows,
+                COUNT(DISTINCT CASE WHEN NOT is_location_padding AND COALESCE(is_complete, FALSE) THEN round_id END) AS complete_rounds,
+                COUNT(DISTINCT CASE WHEN NOT is_location_padding AND COALESCE(is_nine_hole, FALSE) THEN round_id END) AS nine_hole_rounds,
+                COUNT(DISTINCT CASE WHEN NOT is_location_padding AND COALESCE(is_secondary, FALSE) THEN round_id END) AS secondary_rounds,
+                COUNT(DISTINCT CASE WHEN NOT is_location_padding AND COALESCE(is_auto_assigned, FALSE) THEN round_id END) AS auto_assigned_rounds,
+                MIN(fix_timestamp) AS first_fix_ts,
+                MAX(fix_timestamp) AS last_fix_ts,
+                AVG(pace_gap) FILTER (WHERE NOT is_location_padding) AS avg_pace_gap_sec
+            FROM base
+        )
+        SELECT total_rows, padding_rows, non_padding_rows, courses,
+            distinct_rounds_all, distinct_rounds_non_padding, distinct_devices,
+            ts_missing_rows, ts_missing_non_padding_rows, problem_rows,
+            CAST(ROUND(100.0 * problem_rows / NULLIF(non_padding_rows, 0), 2) AS DOUBLE) AS pct_problem_rows_non_padding,
+            complete_rounds,
+            CAST(ROUND(100.0 * complete_rounds / NULLIF(distinct_rounds_non_padding, 0), 2) AS DOUBLE) AS pct_complete_rounds,
+            nine_hole_rounds,
+            CAST(ROUND(100.0 * nine_hole_rounds / NULLIF(distinct_rounds_non_padding, 0), 2) AS DOUBLE) AS pct_nine_hole_rounds,
+            secondary_rounds,
+            CAST(ROUND(100.0 * secondary_rounds / NULLIF(distinct_rounds_non_padding, 0), 2) AS DOUBLE) AS pct_secondary_rounds,
+            auto_assigned_rounds,
+            CAST(ROUND(100.0 * auto_assigned_rounds / NULLIF(distinct_rounds_non_padding, 0), 2) AS DOUBLE) AS pct_auto_assigned_rounds,
+            CAST(ROUND(100.0 * padding_rows / NULLIF(total_rows, 0), 2) AS DOUBLE) AS pct_padding_rows,
+            CAST(ROUND(100.0 * ts_missing_rows / NULLIF(total_rows, 0), 2) AS DOUBLE) AS pct_ts_missing_rows,
+            CAST(ROUND(100.0 * ts_missing_non_padding_rows / NULLIF(non_padding_rows, 0), 2) AS DOUBLE) AS pct_ts_missing_non_padding_rows,
+            first_fix_ts, last_fix_ts, avg_pace_gap_sec
+        FROM agg
+    """,
+    doc="One-row global metrics silver_normalized model (gold/models.py "
+    "GLOBAL_OVERVIEW, reference "
+    "pipeline/gold/models/silver_normalized/global_overview.sql) over "
+    "the extended bridge; the percentile_approx median is excluded "
+    "(approximate sketches never hash cross-engine).",
+)
+
+q_gold_global_course_summary = Query(
+    name="gold_global_course_summary",
+    build=lambda spark, sf_dir: _decimals_as_double(
+        _gold_on_bridge(
+            spark, sf_dir, "global_course_summary", fact_sql=_SPARK_BRIDGE_EXT
+        ).drop("median_pace_gap_sec")
+    ).orderBy("course_id"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT}),
+        base AS (
+            SELECT course_id, round_id, device AS device_id, fix_timestamp,
+                   is_timestamp_missing, is_location_padding, is_problem, is_complete,
+                   is_nine_hole, is_secondary, is_auto_assigned, pace_gap
+            FROM fact_telemetry_event WHERE course_id IS NOT NULL
+        ),
+        per_course AS (
+            SELECT course_id,
+                COUNT(*) AS total_rows,
+                CAST(SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS padding_rows,
+                CAST(SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS non_padding_rows,
+                COUNT(DISTINCT round_id) AS distinct_rounds_all,
+                COUNT(DISTINCT CASE WHEN NOT is_location_padding THEN round_id END) AS distinct_rounds_non_padding,
+                COUNT(DISTINCT device_id) AS distinct_devices,
+                CAST(SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_rows,
+                CAST(SUM(CASE WHEN is_timestamp_missing AND NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_non_padding_rows,
+                CAST(SUM(CASE WHEN NOT is_location_padding AND is_problem THEN 1 ELSE 0 END) AS BIGINT) AS problem_rows,
+                COUNT(DISTINCT CASE WHEN NOT is_location_padding AND COALESCE(is_complete, FALSE) THEN round_id END) AS complete_rounds,
+                COUNT(DISTINCT CASE WHEN NOT is_location_padding AND COALESCE(is_nine_hole, FALSE) THEN round_id END) AS nine_hole_rounds,
+                COUNT(DISTINCT CASE WHEN NOT is_location_padding AND COALESCE(is_secondary, FALSE) THEN round_id END) AS secondary_rounds,
+                COUNT(DISTINCT CASE WHEN NOT is_location_padding AND COALESCE(is_auto_assigned, FALSE) THEN round_id END) AS auto_assigned_rounds,
+                AVG(pace_gap) FILTER (WHERE NOT is_location_padding) AS avg_pace_gap_sec
+            FROM base GROUP BY course_id
+        )
+        SELECT course_id, total_rows, padding_rows, non_padding_rows,
+            distinct_rounds_all, distinct_rounds_non_padding, distinct_devices,
+            ts_missing_rows, ts_missing_non_padding_rows, problem_rows,
+            CAST(ROUND(100.0 * problem_rows / NULLIF(non_padding_rows, 0), 2) AS DOUBLE) AS pct_problem_rows_non_padding,
+            complete_rounds,
+            CAST(ROUND(100.0 * complete_rounds / NULLIF(distinct_rounds_non_padding, 0), 2) AS DOUBLE) AS pct_complete_rounds,
+            nine_hole_rounds,
+            CAST(ROUND(100.0 * nine_hole_rounds / NULLIF(distinct_rounds_non_padding, 0), 2) AS DOUBLE) AS pct_nine_hole_rounds,
+            secondary_rounds,
+            CAST(ROUND(100.0 * secondary_rounds / NULLIF(distinct_rounds_non_padding, 0), 2) AS DOUBLE) AS pct_secondary_rounds,
+            auto_assigned_rounds,
+            CAST(ROUND(100.0 * auto_assigned_rounds / NULLIF(distinct_rounds_non_padding, 0), 2) AS DOUBLE) AS pct_auto_assigned_rounds,
+            CAST(ROUND(100.0 * padding_rows / NULLIF(total_rows, 0), 2) AS DOUBLE) AS pct_padding_rows,
+            CAST(ROUND(100.0 * ts_missing_rows / NULLIF(total_rows, 0), 2) AS DOUBLE) AS pct_ts_missing_rows,
+            CAST(ROUND(100.0 * ts_missing_non_padding_rows / NULLIF(non_padding_rows, 0), 2) AS DOUBLE) AS pct_ts_missing_non_padding_rows,
+            avg_pace_gap_sec
+        FROM per_course
+        ORDER BY course_id
+    """,
+    doc="Per-course operational summary silver_normalized model "
+    "(gold/models.py GLOBAL_COURSE_SUMMARY, reference "
+    "pipeline/gold/models/silver_normalized/global_course_summary.sql) "
+    "over the extended bridge; percentile_approx median excluded.",
+)
+
+q_gold_global_time_patterns = Query(
+    name="gold_global_time_patterns",
+    build=lambda spark, sf_dir: _decimals_as_double(
+        _gold_on_bridge(spark, sf_dir, "global_time_patterns").drop(
+            "median_pace_gap_sec"
+        )
+    ).orderBy("course_id", "day_type", "time_bucket", "hour_of_day"),
+    # HOUR()/ISO-weekday bucketing over the same naive parquet instants
+    # on both engines (the telemetry_events_by_hour precedent, covered
+    # by the tz-independence gate); percentile_approx median excluded.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        fixes AS (
+            SELECT course_id, round_id, fix_timestamp, is_timestamp_missing, is_problem, pace_gap
+            FROM fact_telemetry_event
+            WHERE course_id IS NOT NULL AND NOT is_location_padding
+        ),
+        bucketed AS (
+            SELECT course_id, round_id, fix_timestamp, is_timestamp_missing, is_problem, pace_gap,
+                CASE WHEN fix_timestamp IS NULL THEN 'unknown'
+                     WHEN HOUR(fix_timestamp) BETWEEN 5 AND 11 THEN 'morning'
+                     WHEN HOUR(fix_timestamp) BETWEEN 12 AND 17 THEN 'afternoon'
+                     WHEN HOUR(fix_timestamp) BETWEEN 18 AND 23 THEN 'evening'
+                     ELSE 'night' END AS time_bucket,
+                CASE WHEN fix_timestamp IS NULL THEN 'unknown'
+                     WHEN ISODOW(fix_timestamp) IN (6, 7) THEN 'weekend'
+                     ELSE 'weekday' END AS day_type,
+                CASE WHEN fix_timestamp IS NULL THEN NULL
+                     ELSE CAST(HOUR(fix_timestamp) AS INT) END AS hour_of_day
+            FROM fixes
+        )
+        SELECT course_id, day_type, time_bucket, hour_of_day,
+               COUNT(*) AS "rows",
+               COUNT(DISTINCT round_id) AS rounds,
+               CAST(SUM(CASE WHEN is_problem THEN 1 ELSE 0 END) AS BIGINT) AS problem_rows,
+               CAST(ROUND(100.0 * SUM(CASE WHEN is_problem THEN 1 ELSE 0 END) / NULLIF(COUNT(*), 0), 2) AS DOUBLE) AS pct_problem_rows,
+               AVG(pace_gap) AS avg_pace_gap_sec
+        FROM bucketed
+        GROUP BY course_id, day_type, time_bucket, hour_of_day
+        ORDER BY course_id, day_type, time_bucket, hour_of_day
+    """,
+    doc="Time-of-day / day-type patterns silver_normalized model "
+    "(gold/models.py GLOBAL_TIME_PATTERNS, reference "
+    "pipeline/gold/models/silver_normalized/global_time_patterns.sql) "
+    "over the bridged fact.",
+)
+
+q_gold_fact_telemetry_fix = Query(
+    name="gold_fact_telemetry_fix",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _gold_on_bridge(
+            spark, sf_dir, "fact_telemetry_fix", fact_sql=_SPARK_BRIDGE_EXT
+        ),
+        "event_date",
+    ).orderBy("course_id", "round_id", "location_index"),
+    # Fix-grain (one row per event, the view-materialization model S14
+    # under the driver); geometry_wkt concatenates FLOOR'd integers so
+    # no double->string formatting is compared.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT})
+        SELECT round_id, course_id, ingest_date, fix_timestamp, is_timestamp_missing,
+               is_location_padding, location_index, hole_number, section_number,
+               hole_section, nine_number, current_nine, latitude, longitude,
+               geometry_wkt, pace, pace_gap, positional_gap, battery_percentage,
+               is_cache, is_projected, is_problem, device AS device_id,
+               round_start_time, round_end_time, start_hole, start_section, end_section,
+               is_nine_hole, goal_time, goal_name, goal_time_fraction,
+               is_complete, is_incomplete, is_secondary, is_auto_assigned,
+               CAST(event_date AS TIMESTAMP) AS event_date,
+               event_year, event_month, event_day, event_weekday
+        FROM fact_telemetry_event
+        ORDER BY course_id, round_id, location_index
+    """,
+    doc="Normalized fix-grain view silver_normalized model "
+    "(gold/models.py FACT_TELEMETRY_FIX, reference "
+    "pipeline/gold/models/silver_normalized/fact_telemetry_fix.sql) "
+    "over the extended bridge — the S14 view materialization "
+    "driver-hashed at event grain.",
+)
+
+# Promotion order for round 8 (see the staging note above).
+R8_STAGED = [
+    q_gold_signal_quality_rounds,
+    q_gold_course_configuration,
+    q_gold_critical_column_gaps,
+    q_gold_dim_round,
+    q_gold_dim_device,
+    q_gold_global_overview,
+    q_gold_global_course_summary,
+    q_gold_global_time_patterns,
+    q_gold_fact_telemetry_fix,
 ]
