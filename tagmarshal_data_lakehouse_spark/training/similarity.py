@@ -860,7 +860,13 @@ def _bucket_col(vec_col: str, n_planes: int) -> F.Column:
     Plane j's normal is a deterministic pseudo-random vector derived from
     xxhash64(position, j) — reproducible with no stored model.  Each
     projection is a sequential left-fold (`aggregate`), so the float sum
-    order is fixed and the bucket is deterministic."""
+    order is fixed and the bucket is deterministic.
+
+    Two live roles since the GEMM banding landed: the STREAMING semantic
+    dedup keeps this expression form (a plain projection composes into
+    a streaming plan with no Python barrier), and the batch ANN paths
+    use it as the parity-test twin for `_with_hyperplane_bucket` — the
+    same split as _hyperplane_band_structs vs _banded_exploded."""
     terms = []
     for j in range(n_planes):
         proj = (
@@ -872,6 +878,69 @@ def _bucket_col(vec_col: str, n_planes: int) -> F.Column:
     return F.expr(" + ".join(terms)).cast("int")
 
 
+@lru_cache(maxsize=64)
+def _single_band_plane_matrix(dim: int, n_planes: int) -> "np.ndarray":
+    """(dim × n_planes) float64 — the single-band analogue of
+    `_plane_matrix`: element (i, j) = cast(xxhash64(i, j) % 10007 as
+    double) / 1.0007e4, evaluated by Spark's own xxhash64 so the GEMM
+    bucket agrees bit-for-bit with the `_bucket_col` expression twin."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    rows = (
+        spark.range(dim * n_planes)
+        .selectExpr(
+            f"CAST(id DIV {n_planes} AS INT) AS i",
+            f"CAST(id % {n_planes} AS INT) AS j",
+        )
+        .selectExpr("i", "j", "cast(xxhash64(i, j) % 10007 as double) / 1.0007e4 AS w")
+        .collect()
+    )
+    planes = np.zeros((dim, n_planes))
+    for row in rows:
+        planes[row["i"], row["j"]] = row["w"]
+    return planes
+
+
+def _with_hyperplane_bucket(
+    embeddings: DataFrame,
+    n_planes: int,
+    vec_col: str,
+    keep_cols: list,
+) -> DataFrame:
+    """keep_cols + vec + packed sign-bit `bucket`, projections as one
+    numpy GEMM per Arrow batch — the batch ANN counterpart of
+    `_banded_exploded` (same measured rationale: per-row
+    aggregate/zip_with folds are lambda interpretation, ~an order of
+    magnitude over the matmul).  Plane values come from the exact
+    `_bucket_col` xxhash64 formula (`_single_band_plane_matrix`),
+    pytest-pinned bucket-identical to the expression twin."""
+    cols = [c for c in keep_cols if c != vec_col] + [vec_col]
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    fields = {f.name: f.dataType.simpleString() for f in embeddings.schema.fields}
+    if first is None or first["d"] is None:
+        return (
+            embeddings.select(*cols)
+            .withColumn("bucket", F.lit(0).cast("int"))
+            .where(F.lit(False))
+        )
+    planes = _single_band_plane_matrix(int(first["d"]), n_planes)
+    weights = np.asarray([1 << j for j in range(n_planes)], dtype=np.float64)
+    schema = ", ".join([f"{c} {fields[c]}" for c in cols] + ["bucket int"])
+
+    def bucketize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (mat @ planes) >= 0.0
+            out = pdf[cols].copy()
+            out["bucket"] = (bits * weights).sum(axis=1).astype("int32")
+            yield out
+
+    return embeddings.select(*cols).mapInPandas(bucketize, schema)
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -880,11 +949,13 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Random-hyperplane sign sketch (Charikar 2002 SimHash for angles).
 
-    Bucket = packed sign bits, computed in the scan itself.  At 100 TB:
-    one narrow scan, shuffle only on (bucket), skew bounded by
-    2^n_planes buckets.
+    Bucket = packed sign bits, computed map-side in the scan's Arrow
+    batches (no shuffle).  At 100 TB: one narrow scan, shuffle only on
+    (bucket), skew bounded by 2^n_planes buckets.
     """
-    return embeddings.select(F.col(id_col), _bucket_col(vec_col, n_planes).alias("bucket"))
+    return _with_hyperplane_bucket(embeddings, n_planes, vec_col, [id_col]).select(
+        id_col, "bucket"
+    )
 
 
 def cosine_topk_lsh(
@@ -902,11 +973,9 @@ def cosine_topk_lsh(
     shuffle, never a cross product.
     """
     _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "cosine_topk_lsh")
-    # bucket is computed inline in the scan (no join-back shuffle); the
-    # tiny query side is broadcast so candidates never shuffle at all
-    vecs = embeddings.select(
-        F.col(id_col), F.col(vec_col), _bucket_col(vec_col, n_planes).alias("bucket")
-    )
+    # bucket is computed map-side in the scan (no join-back shuffle);
+    # the tiny query side is broadcast so candidates never shuffle at all
+    vecs = _with_hyperplane_bucket(embeddings, n_planes, vec_col, [id_col])
     queries = vecs.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
     )
@@ -1271,6 +1340,11 @@ def hard_negatives_lsh(
     result ⊆ exact-scored different-label pairs with identical cosines.
     """
     _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "hard_negatives_lsh")
+    # expression bucket on purpose: at this path's 4 planes the folds
+    # are cheaper than a mapInPandas Arrow roundtrip of the vectors
+    # (probed 16x/64x: 0.93/2.10 s expr vs 1.56/2.59 s GEMM), and the
+    # projection keeps the query-side filter pushdown intact — the
+    # GEMM form (_with_hyperplane_bucket) wins from ~8 planes up
     vecs = embeddings.select(
         F.col(id_col),
         F.col(vec_col),

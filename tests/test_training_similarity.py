@@ -142,6 +142,28 @@ def test_gemm_banding_matches_expression_twin(planted):
     assert len(got) == planted.count() * n_bands
 
 
+def test_gemm_bucket_matches_expression_twin(planted):
+    """The batch ANN bucket (_with_hyperplane_bucket, GEMM) must agree
+    with the _bucket_col expression twin the streaming path still uses
+    — same xxhash64 plane formula, so any divergence is a sign flip at
+    summation-order distance from zero (or a packing bug)."""
+    n_planes = 7
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity._with_hyperplane_bucket(
+            planted, n_planes, "embedding", ["vec_id"]
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: r["bucket"]
+        for r in planted.select(
+            "vec_id", similarity._bucket_col("embedding", n_planes).alias("bucket")
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == planted.count()
+
+
 def test_banded_exploded_empty_corpus(planted):
     empty = planted.where(F.lit(False))
     out = similarity._banded_exploded(empty, 4, 3, "vec_id", "embedding")
