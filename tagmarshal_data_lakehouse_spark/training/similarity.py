@@ -456,14 +456,52 @@ def _plane_matrix(dim: int, n_bands: int, planes_per_band: int) -> "np.ndarray":
     return planes
 
 
+def _probe_max_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Largest vector length in the corpus (one column-only aggregate —
+    the same eager move the IVF/PQ paths make for their codebooks).
+    Max, not first: a NULL or short vector in row one must not size the
+    plane matrix (the expression twins fold each row over its OWN
+    length, so the matrix has to cover the longest row)."""
+    row = embeddings.select(F.max(F.size(F.col(vec_col))).alias("d")).first()
+    d = row["d"] if row is not None else None
+    return int(d) if d is not None and d > 0 else 0
+
+
+def _gemm_buckets(vec_series, planes, n_groups: int, width: int) -> "np.ndarray":
+    """(n, n_groups) packed sign-bit buckets for a pandas Series of
+    vectors — one matmul per length class, mirroring the expression
+    twins' per-row semantics exactly: a NULL vector keeps bucket 0 in
+    every group (the CASE's ELSE branch on a NULL fold), a length-l
+    vector projects onto the first l plane components (the twin's
+    zip_with runs over the row's own length), an EMPTY vector also gets
+    bucket 0 (sequence(0, -1) steps DOWN to [0, -1], zip_with pads with
+    NULLs, and the fold goes NULL), and NaN elements poison their
+    projection to bucket-bit 0 on both forms."""
+    n = len(vec_series)
+    weights = np.asarray([1 << r for r in range(width)], dtype=np.float64)
+    out = np.zeros((n, n_groups), dtype=np.int32)
+    vals = vec_series.to_numpy()
+    lengths = np.asarray([-1 if v is None else len(v) for v in vals])
+    for ln in np.unique(lengths):
+        if ln <= 0:
+            continue  # NULL and empty vectors: every group keeps bucket 0
+        idx = np.nonzero(lengths == ln)[0]
+        mat = np.stack([np.asarray(vals[i], dtype=np.float64) for i in idx])
+        proj = mat @ planes[:ln]
+        bits = (proj >= 0.0).reshape(len(idx), n_groups, width)
+        out[idx] = (bits * weights).sum(axis=2).astype(np.int32)
+    return out
+
+
 def _banded_exploded(
     embeddings: DataFrame,
     n_bands: int,
     planes_per_band: int,
     id_col: str,
     vec_col: str,
+    include_vec: bool = True,
 ) -> DataFrame:
-    """(id, vec, band_id, bucket) — the exploded banded hyperplane
+    """(id[, vec], band_id, bucket) — the exploded banded hyperplane
     sketch every angular-LSH near-dup variant consumes, computed as ONE
     numpy GEMM per Arrow batch (mat @ planes, then sign-bit packing).
 
@@ -479,43 +517,33 @@ def _banded_exploded(
     relative) could differ from the sequential fold — banding is
     probabilistic, so that changes nothing the contracts pin.
 
-    The dim probe (`first()`) is one tiny eager job, the same move the
-    IVF/PQ paths make to fetch their codebooks."""
-    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None or first["d"] is None:
-        return embeddings.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.lit(0).alias("band_id"),
-            F.lit(0).alias("bucket"),
-        ).where(F.lit(False))
-    planes = _plane_matrix(int(first["d"]), n_bands, planes_per_band)
-    weights = np.asarray([1 << r for r in range(planes_per_band)], dtype=np.float64)
+    `include_vec=False` keeps the n_bands vector copies out of the
+    Arrow return path for the consumers that only need ids (the
+    density statistic, the expression scorer's candidate generation —
+    it re-joins vectors by id); only the in-bucket GEMM scorer ships
+    vectors through the sketch."""
+    planes = _plane_matrix(_probe_max_dim(embeddings, vec_col), n_bands, planes_per_band)
     n_b, p_b = n_bands, planes_per_band
-    id_t = embeddings.schema[id_col].dataType.simpleString()
-    vec_t = embeddings.schema[vec_col].dataType.simpleString()
+    fields = {f.name: f.dataType.simpleString() for f in embeddings.schema.fields}
+    out_cols = [id_col, vec_col] if include_vec else [id_col]
+    schema = ", ".join(
+        [f"{c} {fields[c]}" for c in out_cols] + ["band_id int", "bucket int"]
+    )
 
     def band(batches):
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            proj = mat @ planes
-            bits = (proj >= 0.0).reshape(n, n_b, p_b)
-            buckets = (bits * weights).sum(axis=2).astype("int32")
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), n_b),
-                    vec_col: np.repeat(pdf[vec_col].to_numpy(), n_b),
-                    "band_id": np.tile(np.arange(n_b, dtype=np.int32), n),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
+            buckets = _gemm_buckets(pdf[vec_col], planes, n_b, p_b)
+            out = {id_col: np.repeat(pdf[id_col].to_numpy(), n_b)}
+            if include_vec:
+                out[vec_col] = np.repeat(pdf[vec_col].to_numpy(), n_b)
+            out["band_id"] = np.tile(np.arange(n_b, dtype=np.int32), n)
+            out["bucket"] = buckets.reshape(-1)
+            yield pd.DataFrame(out)
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        band, f"{id_col} {id_t}, {vec_col} {vec_t}, band_id int, bucket int"
-    )
+    return embeddings.select(id_col, vec_col).mapInPandas(band, schema)
 
 
 def cosine_near_duplicates_lsh(
@@ -544,7 +572,9 @@ def cosine_near_duplicates_lsh(
     re-scored through an id-keyed join — the n² cross product is never
     materialized.
     """
-    banded = _banded_exploded(embeddings, n_bands, planes_per_band, id_col, vec_col)
+    banded = _banded_exploded(
+        embeddings, n_bands, planes_per_band, id_col, vec_col, include_vec=False
+    )
     return _lsh_pairs_from_banded(banded, embeddings, threshold, max_bucket, id_col, vec_col)
 
 
@@ -691,7 +721,9 @@ def near_dup_candidate_density(
     the pair-stream mass the expression path would materialize,
     computed from an ids-only pass over the same banding (one bucket
     aggregate, no vectors shuffled, no pairs formed)."""
-    banded = _banded_exploded(embeddings, n_bands, planes_per_band, id_col, vec_col)
+    banded = _banded_exploded(
+        embeddings, n_bands, planes_per_band, id_col, vec_col, include_vec=False
+    )
     return _density_from_banded(banded, embeddings.count(), max_bucket, id_col)
 
 
@@ -908,37 +940,31 @@ def _with_hyperplane_bucket(
     vec_col: str,
     keep_cols: list,
 ) -> DataFrame:
-    """keep_cols + vec + packed sign-bit `bucket`, projections as one
+    """keep_cols + packed sign-bit `bucket` (include `vec_col` in
+    keep_cols to carry the vectors through), projections as one
     numpy GEMM per Arrow batch — the batch ANN counterpart of
     `_banded_exploded` (same measured rationale: per-row
     aggregate/zip_with folds are lambda interpretation, ~an order of
     magnitude over the matmul).  Plane values come from the exact
     `_bucket_col` xxhash64 formula (`_single_band_plane_matrix`),
     pytest-pinned bucket-identical to the expression twin."""
-    cols = [c for c in keep_cols if c != vec_col] + [vec_col]
-    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    out_cols = list(keep_cols)
+    in_cols = out_cols if vec_col in out_cols else out_cols + [vec_col]
     fields = {f.name: f.dataType.simpleString() for f in embeddings.schema.fields}
-    if first is None or first["d"] is None:
-        return (
-            embeddings.select(*cols)
-            .withColumn("bucket", F.lit(0).cast("int"))
-            .where(F.lit(False))
-        )
-    planes = _single_band_plane_matrix(int(first["d"]), n_planes)
-    weights = np.asarray([1 << j for j in range(n_planes)], dtype=np.float64)
-    schema = ", ".join([f"{c} {fields[c]}" for c in cols] + ["bucket int"])
+    planes = _single_band_plane_matrix(_probe_max_dim(embeddings, vec_col), n_planes)
+    schema = ", ".join([f"{c} {fields[c]}" for c in out_cols] + ["bucket int"])
 
     def bucketize(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            bits = (mat @ planes) >= 0.0
-            out = pdf[cols].copy()
-            out["bucket"] = (bits * weights).sum(axis=1).astype("int32")
+            out = pdf[out_cols].copy()
+            # one group of n_planes sign bits — the single-band case of
+            # the shared packer (NULL/ragged/empty rows per the twin)
+            out["bucket"] = _gemm_buckets(pdf[vec_col], planes, 1, n_planes).reshape(-1)
             yield out
 
-    return embeddings.select(*cols).mapInPandas(bucketize, schema)
+    return embeddings.select(*in_cols).mapInPandas(bucketize, schema)
 
 
 def hyperplane_buckets(
@@ -953,9 +979,7 @@ def hyperplane_buckets(
     batches (no shuffle).  At 100 TB: one narrow scan, shuffle only on
     (bucket), skew bounded by 2^n_planes buckets.
     """
-    return _with_hyperplane_bucket(embeddings, n_planes, vec_col, [id_col]).select(
-        id_col, "bucket"
-    )
+    return _with_hyperplane_bucket(embeddings, n_planes, vec_col, [id_col])
 
 
 def cosine_topk_lsh(
@@ -974,12 +998,18 @@ def cosine_topk_lsh(
     """
     _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "cosine_topk_lsh")
     # bucket is computed map-side in the scan (no join-back shuffle);
-    # the tiny query side is broadcast so candidates never shuffle at all
-    vecs = _with_hyperplane_bucket(embeddings, n_planes, vec_col, [id_col])
-    queries = vecs.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
-    )
-    cands = vecs.select(F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cvec"), "bucket")
+    # the tiny query side is broadcast so candidates never shuffle at
+    # all.  The query side is bucketized SEPARATELY on the pre-filtered
+    # frame: a filter cannot push through the mapInPandas barrier, so
+    # filtering the bucketized corpus would GEMM the whole corpus twice
+    # — the bucket is row-local and deterministic, so bucketizing the
+    # n_queries rows alone yields the identical join keys.
+    queries = _with_hyperplane_bucket(
+        embeddings.filter(F.col(id_col) < n_queries), n_planes, vec_col, [id_col, vec_col]
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket")
+    cands = _with_hyperplane_bucket(
+        embeddings, n_planes, vec_col, [id_col, vec_col]
+    ).select(F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cvec"), "bucket")
     dot = F.expr(_DOT.format(a="qvec", b="cvec"))
     qq = F.expr(_DOT.format(a="qvec", b="qvec"))
     cc = F.expr(_DOT.format(a="cvec", b="cvec"))

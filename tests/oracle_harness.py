@@ -95,9 +95,13 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     return problems
 
 
-def run_query_pair(spark, q: Query, sf_dir: str) -> list[str]:
-    """Execute spark + oracle side and compare; [] means parity."""
+def run_query_pair(spark, q: Query, sf_dir: str, require_rows: bool = False) -> list[str]:
+    """Execute spark + oracle side and compare; [] means parity.
+    `require_rows=True` additionally flags an empty Spark result (a
+    0=0 row match proves nothing about the query's logic)."""
     sdf = q.build(spark, sf_dir).toPandas()
+    if require_rows and len(sdf) == 0:
+        return [f"{q.name}: empty spark result at {sf_dir}"]
     con = duckdb_connection(sf_dir)
     try:
         odf = con.execute(q.oracle).fetchdf()

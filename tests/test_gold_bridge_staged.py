@@ -20,46 +20,47 @@ timestamp-emitting names into test_tz_independence.TS_QUERIES.
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 
 from tagmarshal_data_lakehouse_spark.queries import telemetry_bridge as tb
 
-from .oracle_harness import compare, duckdb_connection
+from .oracle_harness import run_query_pair
 
-# sf0.001 for the suite's fast loop; STAGED_SF_DIR=/root/testdata/sf0.01
-# re-runs the matrix at driver scale (done before promotion — decimal
-# edge cases can be scale-dependent).
-SF_DIR = os.environ.get("STAGED_SF_DIR", "/root/testdata/sf0.001")
+# sf0.001 for the suite's fast loop; STAGED_SF_DIR=<dir> re-runs the
+# matrix at driver scale (done at sf0.01 and sf0.1 before promotion —
+# decimal edge cases can be scale-dependent). Root follows the same
+# override every other fixture honors (conftest.TESTDATA).
+_TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_DIR = os.environ.get("STAGED_SF_DIR", f"{_TESTDATA}/sf0.001")
 
 
 @pytest.mark.parametrize("q", tb.R8_STAGED, ids=lambda q: q.name)
 def test_staged_entry_matches_driver_oracle(spark, q):
-    sdf = q.build(spark, SF_DIR).toPandas()
-    assert len(sdf) > 0, f"{q.name}: empty result at {SF_DIR}"
-    con = duckdb_connection(SF_DIR)
-    try:
-        odf = con.execute(q.oracle).fetchdf()
-    finally:
-        con.close()
-    problems = compare(sdf, odf)
+    problems = run_query_pair(spark, q, SF_DIR, require_rows=True)
     assert not problems, f"{q.name}: {problems[:3]}"
 
 
 def test_staged_entries_cover_every_remaining_model():
     """Registered + staged bridge entries must cover all 20 gold models
-    (the VERDICT r6 'What's missing' item 2, closed in two steps)."""
+    (the VERDICT r6 'What's missing' item 2, closed in two steps).
+    Every gold bridge entry's doc cites its model as
+    'gold/models.py <MODEL_CONST>' — matched with a word boundary so a
+    prose mention of another model (e.g. 'the bridged fact_rounds
+    chain') cannot mark that model covered."""
     from tagmarshal_data_lakehouse_spark.gold.models import MODELS
 
-    bridged = set()
-    for q in list(tb.QUERIES) + list(tb.R8_STAGED):
-        for m in MODELS:
-            # every gold bridge entry names its model in the build
-            # closure; cheap structural check via the query doc
-            if m.name.upper() in (q.doc or "").upper():
-                bridged.add(m.name)
-    missing = {m.name for m in MODELS} - bridged
-    assert not missing, f"gold models without a bridge entry: {sorted(missing)}"
+    docs = [(q.doc or "") for q in list(tb.QUERIES) + list(tb.R8_STAGED)]
+    missing = [
+        m.name
+        for m in MODELS
+        if not any(
+            re.search(rf"gold/models\.py\s+{re.escape(m.name.upper())}\b", doc)
+            for doc in docs
+        )
+    ]
+    assert not missing, f"gold models without a bridge entry: {missing}"
 
 
 def test_staged_entries_not_yet_registered():

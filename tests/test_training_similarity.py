@@ -176,6 +176,67 @@ def test_banded_exploded_empty_corpus(planted):
     ]
 
 
+@pytest.fixture(scope="module")
+def degenerate(spark):
+    """NULL, empty, short (ragged) and ordinary vectors in one frame —
+    the first row is the NULL on purpose (a first()-based dim probe
+    would size the plane matrix from it)."""
+    rows = [
+        (0, None),
+        (1, []),
+        (2, [0.5, -0.25]),  # shorter than the full dim
+        (3, [0.1, -0.2, 0.3, -0.4, 0.5, -0.6, 0.7, -0.8]),
+        (4, [-0.3, 0.6, -0.9, 0.2, -0.5, 0.8, -0.1, 0.4]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_gemm_banding_degenerate_rows_match_expression_twin(degenerate):
+    """NULL and empty vectors band to bucket 0 (NULL fold / the
+    sequence(0,-1) descending-step surprise), short vectors project
+    over their own length — exactly the expression twin's per-row
+    semantics, with no crash and no silently-dropped corpus (the
+    regression class: a NULL first row used to empty the whole
+    sketch)."""
+    n_bands, planes = 3, 4
+    got = {
+        (r["vec_id"], r["band_id"]): r["bucket"]
+        for r in similarity._banded_exploded(
+            degenerate, n_bands, planes, "vec_id", "embedding"
+        ).collect()
+    }
+    structs = similarity._hyperplane_band_structs(n_bands, planes, "embedding")
+    want = {
+        (r["vec_id"], r["band_id"]): r["bucket"]
+        for r in degenerate.select(
+            "vec_id", F.explode(F.array(*structs)).alias("band")
+        )
+        .select("vec_id", "band.band_id", "band.bucket")
+        .collect()
+    }
+    assert got == want
+    assert len(got) == degenerate.count() * n_bands
+    assert all(got[(0, b)] == 0 for b in range(n_bands))  # NULL -> ELSE branch
+    assert all(got[(1, b)] == 0 for b in range(n_bands))  # empty -> NULL fold
+
+
+def test_gemm_bucket_degenerate_rows_match_expression_twin(degenerate):
+    n_planes = 5
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity._with_hyperplane_bucket(
+            degenerate, n_planes, "embedding", ["vec_id"]
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: r["bucket"]
+        for r in degenerate.select(
+            "vec_id", similarity._bucket_col("embedding", n_planes).alias("bucket")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_cosine_topk_wrapper_routes_to_lsh_by_default(planted):
     via_wrapper = similarity.cosine_topk(planted, n_queries=2, k=3)
     direct = similarity.cosine_topk_lsh(planted, n_queries=2, k=3)
