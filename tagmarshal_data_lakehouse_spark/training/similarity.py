@@ -467,6 +467,32 @@ def _probe_max_dim(embeddings: DataFrame, vec_col: str) -> int:
     return int(d) if d is not None and d > 0 else 0
 
 
+# On-disk bytes per embedding row, calibrated on the 64-dim float test
+# corpus (sf0.1: 798 KB / 2000 rows ≈ 400 B).  Routing only needs the
+# right order of magnitude: both branches produce identical buckets, so
+# an estimate near the crossover can only shift the plan, never the
+# result (and at the crossover the two plans cost the same by
+# definition).
+_EST_BYTES_PER_ROW = 400
+
+
+def _corpus_is_small(embeddings: DataFrame, threshold_rows: int) -> bool:
+    """True iff Catalyst estimates the frame at fewer than
+    `threshold_rows` rows — ZERO Spark jobs.  Uses the optimizer's own
+    plan statistics (file sizes for scans, propagated estimates
+    downstream), i.e. the exact mechanism behind the broadcast-join
+    threshold: a cost-based plan choice should come from plan costs,
+    not from running a counting job whose price at 100 TB would dwarf
+    the savings it arbitrates."""
+    stats = embeddings._jdf.queryExecution().optimizedPlan().stats()
+    row_count = stats.rowCount()
+    if row_count.isDefined():
+        # py4j renders scala.math.BigInt as a Python int when it fits;
+        # str() round-trip covers both that and the raw JavaObject.
+        return int(str(row_count.get())) < threshold_rows
+    return int(str(stats.sizeInBytes())) < threshold_rows * _EST_BYTES_PER_ROW
+
+
 def _gemm_buckets(vec_series, planes, n_groups: int, width: int) -> "np.ndarray":
     """(n, n_groups) packed sign-bit buckets for a pandas Series of
     vectors — one matmul per length class, mirroring the expression
@@ -939,6 +965,7 @@ def _with_hyperplane_bucket(
     n_planes: int,
     vec_col: str,
     keep_cols: list,
+    small_corpus_rows: int = 8192,
 ) -> DataFrame:
     """keep_cols + packed sign-bit `bucket` (include `vec_col` in
     keep_cols to carry the vectors through), projections as one
@@ -951,6 +978,20 @@ def _with_hyperplane_bucket(
     out_cols = list(keep_cols)
     in_cols = out_cols if vec_col in out_cols else out_cols + [vec_col]
     fields = {f.name: f.dataType.simpleString() for f in embeddings.schema.fields}
+    if small_corpus_rows and _corpus_is_small(embeddings, small_corpus_rows):
+        # Below the measured crossover the mapInPandas fixed costs
+        # (Arrow stage + worker roundtrip + the full-scan dim probe)
+        # exceed the fold savings: bench sf0.1 (5k vectors) read 0.69 s
+        # expression vs 1.02 s GEMM on the top-k path, while the 8k-row
+        # probe block already favored GEMM. Buckets are identical either
+        # way (parity-pinned), so the routing changes the plan only —
+        # and the tiny filtered query side of cosine_topk_lsh lands here
+        # automatically, keeping its near-free projection. The routing
+        # reads Catalyst plan statistics only (zero Spark jobs), so the
+        # large-corpus branch never pays a scan for it.
+        return embeddings.select(
+            *out_cols, _bucket_col(vec_col, n_planes).alias("bucket")
+        )
     planes = _single_band_plane_matrix(_probe_max_dim(embeddings, vec_col), n_planes)
     schema = ", ".join([f"{c} {fields[c]}" for c in out_cols] + ["bucket int"])
 
@@ -1003,10 +1044,16 @@ def cosine_topk_lsh(
     # frame: a filter cannot push through the mapInPandas barrier, so
     # filtering the bucketized corpus would GEMM the whole corpus twice
     # — the bucket is row-local and deterministic, so bucketizing the
-    # n_queries rows alone yields the identical join keys.
-    queries = _with_hyperplane_bucket(
-        embeddings.filter(F.col(id_col) < n_queries), n_planes, vec_col, [id_col, vec_col]
-    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket")
+    # n_queries rows alone yields the identical join keys.  It always
+    # takes the expression form: the guard bounds it to
+    # MAX_BROADCAST_QUERIES rows, far under the GEMM crossover, and
+    # default-mode Catalyst does not discount Filter selectivity, so
+    # stats-routing would misread this side as corpus-sized.
+    queries = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _bucket_col(vec_col, n_planes).alias("bucket"),
+    )
     cands = _with_hyperplane_bucket(
         embeddings, n_planes, vec_col, [id_col, vec_col]
     ).select(F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cvec"), "bucket")

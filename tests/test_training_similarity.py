@@ -151,7 +151,7 @@ def test_gemm_bucket_matches_expression_twin(planted):
     got = {
         r["vec_id"]: r["bucket"]
         for r in similarity._with_hyperplane_bucket(
-            planted, n_planes, "embedding", ["vec_id"]
+            planted, n_planes, "embedding", ["vec_id"], small_corpus_rows=0
         ).collect()
     }
     want = {
@@ -162,6 +162,31 @@ def test_gemm_bucket_matches_expression_twin(planted):
     }
     assert got == want
     assert len(got) == planted.count()
+
+
+def test_single_band_bucket_routes_by_corpus_size(planted, tmp_path):
+    """Below the measured crossover (~8k rows) the single-band bucket
+    must stay a plain projection (no Python barrier, filter pushdown
+    intact); above it — and for sources whose size Catalyst cannot
+    estimate (createDataFrame → ExistingRDD, default 8 EiB stats) —
+    the GEMM mapInPandas form.  Routing reads plan statistics only, so
+    it needs a file-backed source to see a real size; unknown-size
+    sources conservatively take the scalable branch.  Both branches
+    produce identical buckets (parity tests above): this pins the PLAN."""
+    path = str(tmp_path / "planted_parquet")
+    planted.write.parquet(path)
+    spark = planted.sparkSession
+    filed = spark.read.parquet(path)
+    small = similarity._with_hyperplane_bucket(filed, 6, "embedding", ["vec_id"])
+    # createDataFrame has no stats → treated as large → GEMM branch
+    unknown = similarity._with_hyperplane_bucket(planted, 6, "embedding", ["vec_id"])
+    forced = similarity._with_hyperplane_bucket(
+        filed, 6, "embedding", ["vec_id"], small_corpus_rows=0
+    )
+    assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in unknown._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in forced._jdf.queryExecution().executedPlan().toString()
+    assert {tuple(r) for r in small.collect()} == {tuple(r) for r in forced.collect()}
 
 
 def test_banded_exploded_empty_corpus(planted):
@@ -225,7 +250,7 @@ def test_gemm_bucket_degenerate_rows_match_expression_twin(degenerate):
     got = {
         r["vec_id"]: r["bucket"]
         for r in similarity._with_hyperplane_bucket(
-            degenerate, n_planes, "embedding", ["vec_id"]
+            degenerate, n_planes, "embedding", ["vec_id"], small_corpus_rows=0
         ).collect()
     }
     want = {
