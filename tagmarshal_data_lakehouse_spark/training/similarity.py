@@ -966,6 +966,7 @@ def _with_hyperplane_bucket(
     vec_col: str,
     keep_cols: list,
     small_corpus_rows: int = 8192,
+    use_gemm: "bool | None" = None,
 ) -> DataFrame:
     """keep_cols + packed sign-bit `bucket` (include `vec_col` in
     keep_cols to carry the vectors through), projections as one
@@ -974,21 +975,32 @@ def _with_hyperplane_bucket(
     aggregate/zip_with folds are lambda interpretation, ~an order of
     magnitude over the matmul).  Plane values come from the exact
     `_bucket_col` xxhash64 formula (`_single_band_plane_matrix`),
-    pytest-pinned bucket-identical to the expression twin."""
+    pytest-pinned bucket-identical to the expression twin.
+
+    `use_gemm` overrides the stats routing — callers that bucketize
+    BOTH sides of a join (cosine_topk_lsh) must decide once on the
+    corpus and force the same branch on each side, so a sign decision
+    within float-summation-order distance of zero (the one place the
+    GEMM and the fold may disagree, per `_banded_exploded`) can never
+    desynchronize the join keys."""
     out_cols = list(keep_cols)
     in_cols = out_cols if vec_col in out_cols else out_cols + [vec_col]
     fields = {f.name: f.dataType.simpleString() for f in embeddings.schema.fields}
-    if small_corpus_rows and _corpus_is_small(embeddings, small_corpus_rows):
+    if use_gemm is None:
+        use_gemm = not (
+            small_corpus_rows and _corpus_is_small(embeddings, small_corpus_rows)
+        )
+    if not use_gemm:
         # Below the measured crossover the mapInPandas fixed costs
         # (Arrow stage + worker roundtrip + the full-scan dim probe)
-        # exceed the fold savings: bench sf0.1 (5k vectors) read 0.69 s
-        # expression vs 1.02 s GEMM on the top-k path, while the 8k-row
-        # probe block already favored GEMM. Buckets are identical either
-        # way (parity-pinned), so the routing changes the plan only —
-        # and the tiny filtered query side of cosine_topk_lsh lands here
-        # automatically, keeping its near-free projection. The routing
-        # reads Catalyst plan statistics only (zero Spark jobs), so the
-        # large-corpus branch never pays a scan for it.
+        # exceed the fold savings: bench sf0.1 (2k vectors) read 0.69 s
+        # expression vs 1.02 s GEMM on the top-k path, while the 32k-row
+        # probe point already favored GEMM. Buckets are identical either
+        # way (parity-pinned), so the routing changes the plan only
+        # (two-sided callers force one decision via use_gemm instead of
+        # routing per side). The routing reads Catalyst plan statistics
+        # only (zero Spark jobs), so the large-corpus branch never pays
+        # a scan for it.
         return embeddings.select(
             *out_cols, _bucket_col(vec_col, n_planes).alias("bucket")
         )
@@ -1044,18 +1056,25 @@ def cosine_topk_lsh(
     # frame: a filter cannot push through the mapInPandas barrier, so
     # filtering the bucketized corpus would GEMM the whole corpus twice
     # — the bucket is row-local and deterministic, so bucketizing the
-    # n_queries rows alone yields the identical join keys.  It always
-    # takes the expression form: the guard bounds it to
-    # MAX_BROADCAST_QUERIES rows, far under the GEMM crossover, and
-    # default-mode Catalyst does not discount Filter selectivity, so
-    # stats-routing would misread this side as corpus-sized.
-    queries = embeddings.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        _bucket_col(vec_col, n_planes).alias("bucket"),
-    )
+    # n_queries rows alone yields the identical join keys.  The
+    # expr-vs-GEMM decision is made ONCE, on the corpus stats, and
+    # forced on BOTH sides: letting each side route itself would let a
+    # near-zero sign decision differ between the fold and the matmul
+    # and silently drop that query's bucket-mates (default-mode
+    # Catalyst does not discount Filter selectivity, so the filtered
+    # query side would always misread its stats as corpus-sized
+    # anyway).  The query-side GEMM runs over MAX_BROADCAST_QUERIES
+    # rows at most — one small Arrow batch.
+    use_gemm = not _corpus_is_small(embeddings, 8192)
+    queries = _with_hyperplane_bucket(
+        embeddings.filter(F.col(id_col) < n_queries),
+        n_planes,
+        vec_col,
+        [id_col, vec_col],
+        use_gemm=use_gemm,
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket")
     cands = _with_hyperplane_bucket(
-        embeddings, n_planes, vec_col, [id_col, vec_col]
+        embeddings, n_planes, vec_col, [id_col, vec_col], use_gemm=use_gemm
     ).select(F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cvec"), "bucket")
     dot = F.expr(_DOT.format(a="qvec", b="cvec"))
     qq = F.expr(_DOT.format(a="qvec", b="qvec"))

@@ -187,6 +187,25 @@ def test_single_band_bucket_routes_by_corpus_size(planted, tmp_path):
     assert "MapInPandas" in unknown._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in forced._jdf.queryExecution().executedPlan().toString()
     assert {tuple(r) for r in small.collect()} == {tuple(r) for r in forced.collect()}
+    # cosine_topk_lsh decides ONCE on the corpus and forces the same
+    # branch on BOTH join sides — a near-zero sign decision may differ
+    # between the fold and the matmul, so mixed-implementation sides
+    # could desynchronize join keys. Small file-backed corpus: zero
+    # Python barriers anywhere; unknown-stats corpus: a barrier on
+    # each side (query + candidate), never one.
+    plan_small = (
+        similarity.cosine_topk_lsh(filed, n_queries=5, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    plan_unknown = (
+        similarity.cosine_topk_lsh(planted, n_queries=5, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_small.count("MapInPandas") == 0
+    assert plan_unknown.count("MapInPandas") == 2
+    small_rows = {tuple(r) for r in similarity.cosine_topk_lsh(filed, n_queries=5, k=2).collect()}
+    unknown_rows = {tuple(r) for r in similarity.cosine_topk_lsh(planted, n_queries=5, k=2).collect()}
+    assert small_rows == unknown_rows
 
 
 def test_banded_exploded_empty_corpus(planted):

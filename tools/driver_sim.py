@@ -48,7 +48,8 @@ def main() -> int:
     # SIM_STAGED=1 appends the not-yet-registered R8_STAGED bridge
     # entries (telemetry_bridge.py) so a promotion round can hold them
     # to the exact driver harness before touching the registry.
-    if os.environ.get("SIM_STAGED"):
+    staged = bool(os.environ.get("SIM_STAGED"))
+    if staged:
         from tagmarshal_data_lakehouse_spark.queries import telemetry_bridge
 
         for q in telemetry_bridge.R8_STAGED:
@@ -91,6 +92,10 @@ def main() -> int:
         "bad": n_bad,
         "elapsed_sec": round(time.time() - t_start, 1),
     }
+    if staged:
+        # A SIM_STAGED run attests to registry + R8_STAGED, not the
+        # registry alone — the artifact must say which population.
+        summary["includes_staged"] = True
     print(json.dumps(summary))
     out_path = os.environ.get("SIM_OUT")
     if out_path:
