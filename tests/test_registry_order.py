@@ -248,11 +248,23 @@ def test_every_never_green_or_edited_query_is_in_the_head():
 def test_priority_block_spends_no_slot_on_a_fresh_query():
     """While the due-queue overflows the budget, every priority slot
     must carry a due entry — a fresh (recently-green, unedited) query in
-    the head would waste a rotation slot the backlog needs."""
-    due, _latest, _current = _due_queue()
+    the head would waste a rotation slot the backlog needs.
+
+    One-round grace (round-7 verdict defect): when the driver artifact
+    for the round this head was designed for lands on disk, the head's
+    own entries read as freshly-green (latest == HEAD_DESIGNED_FOR_ROUND)
+    and drop out of the due queue — that is the rotation WORKING, not a
+    wasted slot. Exempt exactly those, mirroring the one-round lag
+    `test_head_design_tracks_the_artifacts` already allows and the
+    promise in `_latest_green`'s docstring."""
+    due, latest, current = _due_queue()
     if len(due) < PRIORITY_SLOTS:
         return  # queue underflows: extra slots may hold anything
-    not_due = [n for n in _SWEEP_PRIORITY if n not in set(due)]
+    due_set = set(due)
+    not_due = [
+        n for n in _SWEEP_PRIORITY
+        if n not in due_set and latest.get(n, 0) != current
+    ]
     assert not not_due, f"priority slots wasted on fresh queries: {not_due}"
 
 
