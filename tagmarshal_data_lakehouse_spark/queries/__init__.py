@@ -191,7 +191,7 @@ def _register_tables(
 # test fails loudly if this marker ever falls more than one round
 # behind the artifacts (the round-5 zero-commit failure mode). Bump it
 # when rotating the head.
-HEAD_DESIGNED_FOR_ROUND = 7
+HEAD_DESIGNED_FOR_ROUND = 8
 
 _FLAGSHIP_INTERLEAVE = (
     "events_sessionize",
@@ -208,7 +208,7 @@ _FLAGSHIP_INTERLEAVE = (
     "join_multiway",
 )
 
-# Round-7 sweep priorities (38 entries; slots 13..50 of the head).
+# Round-8 sweep priorities (38 entries; slots 13..50 of the head).
 # Composition is governed by the artifact-driven standing gate in
 # tests/test_registry_order.py: every oracle-backed query that has NEVER
 # had a driver hash row, or whose text was edited after its last green
@@ -217,60 +217,24 @@ _FLAGSHIP_INTERLEAVE = (
 # (oldest driver-green round first); whatever the queue cannot fit this
 # round leads the tail (_STALE_TAIL) and must fit entirely into NEXT
 # round's priority block.
-#   - the 8 telemetry entries whose shared bridge SQL was widened in
-#     round 6 AFTER their r05-green rows (the last carve-out from the
-#     round-6 verdict — their current text gets real driver rows now),
-#     plus gold_rounds_by_month / gold_coverage_audit, re-edited this
-#     round for the ADVICE rounding/shape findings;
-#   - the front of the r02-vintage relational backlog (oldest-first, in
-#     rotation order).
+#   - the 9 R8_STAGED gold/silver_normalized bridge entries promoted
+#     this round (never-green: built and sim-verified in round 7,
+#     registered now) — with these green, every one of the 20 reference
+#     gold models has a driver-green row;
+#   - the oldest 29 of round 7's 38-entry overflow (r02-vintage
+#     relational, then r03-vintage events/training, in rotation order);
+#     the remaining 9 spill to round 9's block, within the
+#     one-round-of-lag bound.
 _SWEEP_PRIORITY = (
-    "telemetry_start_hole_distribution",
-    "telemetry_avg_pace_by_hole",
-    "telemetry_pace_comparison_hole",
-    "telemetry_round_duration",
-    "telemetry_global_overview",
-    "telemetry_events_by_hour",
-    "telemetry_null_correlation",
-    "telemetry_missing_ts_overview",
-    "gold_rounds_by_month",
-    "gold_coverage_audit",
-    "agg_weighted_score",
-    "distinct_projection",
-    "join_broadcast",
-    "join_range_broadcast",
-    "join_salted_skew",
-    "join_semi",
-    "join_anti",
-    "join_coverage_audit",
-    "join_share_of_total",
-    "join_outlier_vs_max",
-    "window_topn",
-    "window_lag_transitions",
-    "window_rank_dense",
-    "window_running_total",
-    "sort_limit_nulls_last",
-    "sort_case_key",
-    "union_by_name",
-    "scalar_string_math",
-    "scalar_json",
-    "scalar_coordinates",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "doc_minhash_dedup_verdict",
-    "gold_device_health_errors",
-    "gold_pace_summary_by_round",
-    "gold_hole_performance",
-    "gold_dim_course",
-)
-
-# The rest of the stale rotation (8 r02-vintage relational, then the 25
-# r03-vintage training/events entries), in rotation order: these lead
-# the tail (slots 51+), are picked up first if the sweep budget ever
-# grows, and MUST fill the front of round 8's priority block (the
-# standing gate asserts they fit).
-_STALE_TAIL = (
+    "gold_signal_quality_rounds",
+    "gold_course_configuration",
+    "gold_critical_column_gaps",
+    "gold_dim_round",
+    "gold_dim_device",
+    "gold_global_overview",
+    "gold_global_course_summary",
+    "gold_global_time_patterns",
+    "gold_fact_telemetry_fix",
     "window_ntile_distribution",
     "pivot_status_counts",
     "join_exists_correlated",
@@ -300,6 +264,15 @@ _STALE_TAIL = (
     "doc_mixture_weights",
     "doc_decontaminate",
     "doc_repetition",
+)
+
+# The rest of the stale rotation: the 9 r03-vintage entries the round-8
+# block could not fit (they MUST fill the front of round 9's priority
+# block — the standing gate asserts they fit), then the 27 r05-vintage
+# entries that cross the staleness horizon at round 9, in rotation
+# order. These lead the tail (slots 51+) and are picked up first if the
+# sweep budget ever grows.
+_STALE_TAIL = (
     "doc_pii_scan",
     "doc_dup_rate_by_source",
     "doc_token_histogram",
@@ -309,6 +282,33 @@ _STALE_TAIL = (
     "multimodal_frame_sample",
     "doc_span_dedup",
     "doc_cross_source_dups",
+    "scalar_datetime",
+    "doc_dedup_clusters",
+    "doc_pack_sequences",
+    "emb_quantize_int8",
+    "multimodal_resize",
+    "doc_incremental_dedup",
+    "doc_chunk_windows",
+    "doc_epoch_shuffle",
+    "doc_curation_pipeline",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 )
 
 

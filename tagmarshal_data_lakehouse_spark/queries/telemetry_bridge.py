@@ -1311,15 +1311,13 @@ QUERIES = [
 # models (signal_quality_rounds, course_configuration_analysis,
 # critical_column_gaps, dim_round, dim_device, fact_telemetry_fix,
 # global_overview, global_course_summary, global_time_patterns — reference
-# pipeline/gold/models/{gold,silver_normalized}/*.sql).  Deliberately NOT in
-# QUERIES yet: the round-7 rotation landed with the due-queue overflow at
-# exactly PRIORITY_SLOTS (38), so registering new oracle-backed entries this
-# round would push the overflow past the one-round-of-lag bound
-# tests/test_registry_order.py enforces.  They are fully built, oracle'd and
-# verified by tests/test_gold_bridge_staged.py (the driver-sim compare at
-# sf0.001); round 8 promotes them by appending R8_STAGED to QUERIES, slotting
-# the names into the sweep head, and recording their oracle texts in the
-# ledger (tools/update_query_text_hashes.py --round 8).
+# pipeline/gold/models/{gold,silver_normalized}/*.sql).  Staged through
+# round 7 (the rotation's due-queue overflow sat at exactly PRIORITY_SLOTS,
+# so registering them then would have broken the one-round-of-lag bound
+# tests/test_registry_order.py enforces) and PROMOTED in round 8: appended
+# to QUERIES below, slotted into the sweep head as never-green entries, and
+# recorded in the oracle-text ledger.  tests/test_gold_bridge_staged.py
+# keeps running the driver-sim compare on the block.
 # ---------------------------------------------------------------------------
 
 # The silver_normalized models consume columns the base bridge does not
@@ -1844,7 +1842,11 @@ q_gold_fact_telemetry_fix = Query(
     "driver-hashed at event grain.",
 )
 
-# Promotion order for round 8 (see the staging note above).
+# Promoted in round 8 (kept as a named block so the staged-entry pytest
+# matrix and driver_sim's SIM_STAGED hook keep working; the names are
+# also appended to QUERIES below, which registers them for the driver
+# sweep — the round-7 overflow bound that forced the staging has lapsed
+# with the round-8 rotation).
 R8_STAGED = [
     q_gold_signal_quality_rounds,
     q_gold_course_configuration,
@@ -1856,3 +1858,5 @@ R8_STAGED = [
     q_gold_global_time_patterns,
     q_gold_fact_telemetry_fix,
 ]
+
+QUERIES += R8_STAGED

@@ -63,12 +63,11 @@ def test_staged_entries_cover_every_remaining_model():
     assert not missing, f"gold models without a bridge entry: {missing}"
 
 
-def test_staged_entries_not_yet_registered():
-    """Staging means staging: no staged name may be in the live
-    registry while the rotation budget has no room (drop this test on
-    promotion)."""
+def test_staged_entries_are_registered():
+    """Round-8 promotion happened: every R8_STAGED name must be live in
+    the registry (the inverse of the pre-promotion guard this replaces)."""
     from tagmarshal_data_lakehouse_spark.queries import registry
 
     reg = set(registry())
-    clash = [q.name for q in tb.R8_STAGED if q.name in reg]
-    assert not clash, f"staged entries already registered: {clash}"
+    missing = [q.name for q in tb.R8_STAGED if q.name not in reg]
+    assert not missing, f"staged entries lost in promotion: {missing}"

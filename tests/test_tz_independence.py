@@ -52,6 +52,16 @@ TS_QUERIES = [
     "gold_pace_summary_by_round",
     "gold_hole_performance",
     "gold_dim_course",
+    # r8 promotions (the former TS_STAGED block, registered this round):
+    # raw NTZ stamps (dim/device/global rollups, the fix-grain
+    # projection's timestamps + round windows) and global_time_patterns'
+    # HOUR-of-stamp bucketing.
+    "gold_dim_round",
+    "gold_dim_device",
+    "gold_global_overview",
+    "gold_global_course_summary",
+    "gold_global_time_patterns",
+    "gold_fact_telemetry_fix",
 ]
 
 # Three adversarial zones, each catching a different leak class:
@@ -85,27 +95,3 @@ def test_tz_independent(tz_shifted_spark, sf_smoke, name):
     assert not problems, f"{name} under {tz}: {problems[:3]}"
 
 
-# Timestamp-emitting R8-STAGED bridge entries (not yet in the registry —
-# see telemetry_bridge.R8_STAGED): raw NTZ stamps (dim/device/global
-# rollups, the fix-grain projection's timestamps + round windows) and
-# global_time_patterns' HOUR-of-stamp bucketing. Pre-verified here so
-# their r8 promotion moves these names into TS_QUERIES with the gate
-# already known green.
-TS_STAGED = [
-    "gold_dim_round",
-    "gold_dim_device",
-    "gold_global_overview",
-    "gold_global_course_summary",
-    "gold_global_time_patterns",
-    "gold_fact_telemetry_fix",
-]
-
-
-@pytest.mark.parametrize("name", TS_STAGED)
-def test_tz_independent_staged(tz_shifted_spark, sf_smoke, name):
-    from tagmarshal_data_lakehouse_spark.queries import telemetry_bridge as tb
-
-    q = {s.name: s for s in tb.R8_STAGED}[name]
-    tz = tz_shifted_spark.conf.get("spark.sql.session.timeZone")
-    problems = run_query_pair(tz_shifted_spark, q, sf_smoke)
-    assert not problems, f"{name} under {tz}: {problems[:3]}"
