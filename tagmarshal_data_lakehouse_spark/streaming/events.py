@@ -432,6 +432,7 @@ def stream_minhash_dedup(
     bands: int = 4,
     ngram: int = 3,
     threshold: float = 0.5,
+    cache_handles: "list | None" = None,
 ) -> DataFrame:
     """Streaming NEAR-dup dedup vs a static corpus: the continuous-ingest
     face of `training.dedup.minhash_dedup_verdicts` — new documents are
@@ -478,7 +479,10 @@ def stream_minhash_dedup(
     # `bands` join branches — and every micro-batch — read the
     # materialized table instead of re-hashing the whole corpus per
     # link per trigger. This is the in-operator stand-in for the real
-    # 100 TB shape: a band table written at last ingest.
+    # 100 TB shape: a band table written at last ingest. The cache must
+    # outlive the returned streaming plan, so it is never unpersisted
+    # here; pass `cache_handles` to receive the persisted frame and
+    # unpersist it after the stream stops (round-7 ADVICE).
     from pyspark import StorageLevel
 
     corpus_g = with_token_grams(corpus, text_col=text_col, n=ngram, out="_cgrams")
@@ -486,6 +490,8 @@ def stream_minhash_dedup(
         F.col("_cgrams"),
         *[md5_band_hash("_csig", b, rows_per_band).alias(f"_cband_{b}") for b in range(bands)],
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handles is not None:
+        cache_handles.append(corpus_bands)
 
     jacc = F.round(
         F.size(F.array_intersect(F.col("_grams"), F.col("_cgrams")))

@@ -383,6 +383,7 @@ def minhash_dedup_verdicts(
     ngram: int = 3,
     threshold: float = 0.5,
     persist_shingles: bool = True,
+    cache_handles: "list | None" = None,
 ) -> DataFrame:
     """Verdict-only MinHash dedup: ONE row per document (keep / dup_of),
     never a pair-grain frame.
@@ -430,15 +431,21 @@ def minhash_dedup_verdicts(
     rows_per_band = num_perm // bands
     # persist_shingles caches the gram frame (it feeds the signature
     # pass and both verify-join sides). The cache is NOT unpersisted
-    # here — it must be live when the returned lazy plan finally runs —
-    # so long-lived sessions composing many verdict calls
-    # (curate_corpus loops, notebooks) should pass False and pay the
-    # ~3x shingling recompute instead of accumulating caches.
+    # here — it must be live when the returned lazy plan finally runs.
+    # Long-lived sessions composing many verdict calls (curate_corpus
+    # loops, notebooks) have two ways to avoid accumulating
+    # MEMORY_AND_DISK blocks: pass persist_shingles=False and pay the
+    # ~3x shingling recompute, or pass a `cache_handles` list — the
+    # persisted frame is appended to it so the CALLER can
+    # `h.unpersist()` once the returned plan has been consumed
+    # (round-7 ADVICE: don't make callers discover the cache exists).
     shingled = with_token_grams(
         ensure_parallelism(df), text_col=text_col, n=ngram, out="grams"
     ).select(F.col(id_col), "grams")
     if persist_shingles:
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handles is not None:
+            cache_handles.append(shingled)
     signed = shingled.withColumn("sig", md5_minhash_sig("grams", num_perm))
     band_cols = [
         F.struct(

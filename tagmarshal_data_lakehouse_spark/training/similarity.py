@@ -408,7 +408,13 @@ def _hyperplane_band_structs(n_bands: int, planes_per_band: int, vec_col: str) -
                 f"(cast(xxhash64(i, {b}, {r}) % 10007 as double) / 1.0007e4)), "
                 f"cast(0.0 as double), (acc, v) -> acc + v)"
             )
-            terms.append(f"CASE WHEN {proj} >= 0 THEN {2 ** r} ELSE 0 END")
+            # NOT isnan(): Spark's total ordering makes NaN >= 0 TRUE,
+            # but the GEMM twin's numpy comparison is IEEE (False), so a
+            # NaN projection must set bit 0 on BOTH forms — otherwise
+            # the expr/GEMM routing would change buckets for NaN-bearing
+            # vectors (round-7 ADVICE).  NULL projections still fall to
+            # the ELSE (NULL AND NULL is NULL).
+            terms.append(f"CASE WHEN NOT isnan({proj}) AND {proj} >= 0 THEN {2 ** r} ELSE 0 END")
         band_structs.append(
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -476,6 +482,12 @@ def _probe_max_dim(embeddings: DataFrame, vec_col: str) -> int:
 _EST_BYTES_PER_ROW = 400
 
 
+# Catalyst's "statistics unavailable" sentinel: non-file-backed plans
+# (LogicalRDD / createDataFrame / mapInPandas output) report
+# sizeInBytes = Long.MaxValue, which is "unknown", not "huge".
+_STATS_UNKNOWN_SIZE = (1 << 63) - 1
+
+
 def _corpus_is_small(embeddings: DataFrame, threshold_rows: int) -> bool:
     """True iff Catalyst estimates the frame at fewer than
     `threshold_rows` rows — ZERO Spark jobs.  Uses the optimizer's own
@@ -483,14 +495,28 @@ def _corpus_is_small(embeddings: DataFrame, threshold_rows: int) -> bool:
     downstream), i.e. the exact mechanism behind the broadcast-join
     threshold: a cost-based plan choice should come from plan costs,
     not from running a counting job whose price at 100 TB would dwarf
-    the savings it arbitrates."""
-    stats = embeddings._jdf.queryExecution().optimizedPlan().stats()
-    row_count = stats.rowCount()
-    if row_count.isDefined():
-        # py4j renders scala.math.BigInt as a Python int when it fits;
-        # str() round-trip covers both that and the raw JavaObject.
-        return int(str(row_count.get())) < threshold_rows
-    return int(str(stats.sizeInBytes())) < threshold_rows * _EST_BYTES_PER_ROW
+    the savings it arbitrates.
+
+    Unknown statistics default to SMALL (the expression branch): a
+    sizeInBytes of Long.MaxValue is Catalyst's no-estimate sentinel for
+    non-file-backed plans (a 10-row createDataFrame corpus must not pay
+    the mapInPandas fixed costs), and the `_jdf` internals are absent
+    under Spark Connect — both routes fall back to the branch whose
+    fixed costs are lowest, and buckets are identical either way
+    (round-7 ADVICE)."""
+    try:
+        stats = embeddings._jdf.queryExecution().optimizedPlan().stats()
+        row_count = stats.rowCount()
+        if row_count.isDefined():
+            # py4j renders scala.math.BigInt as a Python int when it fits;
+            # str() round-trip covers both that and the raw JavaObject.
+            return int(str(row_count.get())) < threshold_rows
+        size = int(str(stats.sizeInBytes()))
+    except Exception:  # no _jdf (Spark Connect) or plan-stats API drift
+        return True
+    if size >= _STATS_UNKNOWN_SIZE:
+        return True
+    return size < threshold_rows * _EST_BYTES_PER_ROW
 
 
 def _gemm_buckets(vec_series, planes, n_groups: int, width: int) -> "np.ndarray":
@@ -502,7 +528,9 @@ def _gemm_buckets(vec_series, planes, n_groups: int, width: int) -> "np.ndarray"
     zip_with runs over the row's own length), an EMPTY vector also gets
     bucket 0 (sequence(0, -1) steps DOWN to [0, -1], zip_with pads with
     NULLs, and the fold goes NULL), and NaN elements poison their
-    projection to bucket-bit 0 on both forms."""
+    projection to bucket-bit 0 on both forms (numpy's IEEE `NaN >= 0`
+    is False here; the expression twins guard with NOT isnan() because
+    Spark's total ordering would otherwise make it True)."""
     n = len(vec_series)
     weights = np.asarray([1 << r for r in range(width)], dtype=np.float64)
     out = np.zeros((n, n_groups), dtype=np.int32)
@@ -645,7 +673,11 @@ def _lsh_pairs_from_banded(
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", F.round(dot / (F.sqrt(aa) * F.sqrt(bb)), 6))
-        .filter(F.col("cosine") >= threshold)
+        # ~isnan: Spark's NaN >= threshold is TRUE under total ordering,
+        # the GEMM scorer's numpy comparison is IEEE False — a NaN
+        # cosine (NaN vector element) must fail on both scorers or the
+        # expr/GEMM routing would change the pair set (round-7 ADVICE).
+        .filter(~F.isnan("cosine") & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )
 
@@ -932,7 +964,9 @@ def _bucket_col(vec_col: str, n_planes: int) -> F.Column:
             f"(x, i) -> cast(x as double) * (cast(xxhash64(i, {j}) % 10007 as double) / 1.0007e4)), "
             f"cast(0.0 as double), (acc, v) -> acc + v)"
         )
-        terms.append(f"CASE WHEN {proj} >= 0 THEN {2 ** j} ELSE 0 END")
+        # NaN projections set bit 0, matching the GEMM twin's IEEE
+        # comparison (see _hyperplane_band_structs).
+        terms.append(f"CASE WHEN NOT isnan({proj}) AND {proj} >= 0 THEN {2 ** j} ELSE 0 END")
     return F.expr(" + ".join(terms)).cast("int")
 
 
@@ -1225,10 +1259,13 @@ def semantic_dedup(
     dot = F.expr(_DOT.format(a="veca", b="vecb"))
     aa = F.expr(_DOT.format(a="veca", b="veca"))
     bb = F.expr(_DOT.format(a="vecb", b="vecb"))
+    cos = F.round(dot / (F.sqrt(aa) * F.sqrt(bb)), 6)
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(dot / (F.sqrt(aa) * F.sqrt(bb)), 6) >= threshold)
+        # ~isnan mirrors the gemm scorer's IEEE comparison (NaN never
+        # drops a vector on either scorer) — see _lsh_pairs_from_banded.
+        .filter(~F.isnan(cos) & (cos >= threshold))
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("is_dropped", F.lit(True))

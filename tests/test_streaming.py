@@ -635,10 +635,17 @@ def test_stream_minhash_dedup(spark, tmp_path):
         kept = {r["doc_id"] for r in spark.table("mhdedup_out").collect()}
     finally:
         q.stop()
+    handles = []
     batch_kept = {
-        r["doc_id"] for r in stream_minhash_dedup(batch, corpus).collect()
+        r["doc_id"]
+        for r in stream_minhash_dedup(batch, corpus, cache_handles=handles).collect()
     }
     assert kept == batch_kept
+    # round-7 ADVICE: the corpus band-table cache is surfaced to the
+    # caller, who unpersists once the plan has been consumed
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist()
+    assert not handles[0].is_cached
     assert 10 not in kept  # exact copies collide in every band
     assert 12 in kept and 13 in kept
     # the near-dup is dropped whenever any band collides; with J~0.78

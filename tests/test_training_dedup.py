@@ -250,6 +250,27 @@ def test_minhash_verdict_semantics(spark):
     assert rows[5]["keep"]  # collision or not, the verify rejects the drop
 
 
+def test_minhash_verdict_cache_handle_enables_caller_unpersist(spark):
+    """`cache_handles` hands the persisted shingle frame to the caller
+    (round-7 ADVICE: long-lived sessions composing many verdict calls
+    must be able to release the MEMORY_AND_DISK blocks without knowing
+    the function's internals)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "unrelated words here now")],
+        "doc_id long, text string",
+    )
+    handles = []
+    out = dedup.minhash_dedup_verdicts(df, cache_handles=handles)
+    assert out.count() == 3
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist()
+    assert not handles[0].is_cached
+    # persist_shingles=False registers nothing
+    no_handles = []
+    dedup.minhash_dedup_verdicts(df, persist_shingles=False, cache_handles=no_handles).count()
+    assert no_handles == []
+
+
 def test_minhash_verdict_consistent_with_pair_path(spark, sf_smoke):
     """On the real corpus: every dropped doc must have a true-Jaccard
     near-dup partner below its id (soundness — the verdict never drops

@@ -164,48 +164,57 @@ def test_gemm_bucket_matches_expression_twin(planted):
     assert len(got) == planted.count()
 
 
-def test_single_band_bucket_routes_by_corpus_size(planted, tmp_path):
+def test_single_band_bucket_routes_by_corpus_size(planted, tmp_path, monkeypatch):
     """Below the measured crossover (~8k rows) the single-band bucket
     must stay a plain projection (no Python barrier, filter pushdown
-    intact); above it — and for sources whose size Catalyst cannot
-    estimate (createDataFrame → ExistingRDD, default 8 EiB stats) —
-    the GEMM mapInPandas form.  Routing reads plan statistics only, so
-    it needs a file-backed source to see a real size; unknown-size
-    sources conservatively take the scalable branch.  Both branches
+    intact); only a corpus Catalyst POSITIVELY estimates above the
+    crossover takes the GEMM mapInPandas form.  Sources whose size
+    Catalyst cannot estimate (createDataFrame → ExistingRDD, the
+    Long.MaxValue sizeInBytes sentinel) are UNKNOWN, not huge — they
+    default to the cheap expression branch so a 10-row local frame
+    never pays the Arrow fixed costs (round-7 ADVICE).  Both branches
     produce identical buckets (parity tests above): this pins the PLAN."""
     path = str(tmp_path / "planted_parquet")
     planted.write.parquet(path)
     spark = planted.sparkSession
     filed = spark.read.parquet(path)
     small = similarity._with_hyperplane_bucket(filed, 6, "embedding", ["vec_id"])
-    # createDataFrame has no stats → treated as large → GEMM branch
+    # createDataFrame has no stats (sizeInBytes == Long.MaxValue) →
+    # unknown → expression branch
     unknown = similarity._with_hyperplane_bucket(planted, 6, "embedding", ["vec_id"])
     forced = similarity._with_hyperplane_bucket(
         filed, 6, "embedding", ["vec_id"], small_corpus_rows=0
     )
     assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in unknown._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in unknown._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in forced._jdf.queryExecution().executedPlan().toString()
     assert {tuple(r) for r in small.collect()} == {tuple(r) for r in forced.collect()}
+    assert similarity._corpus_is_small(planted, 8192)  # unknown stats → small
+    assert similarity._corpus_is_small(filed, 8192)
+    # mapInPandas output also reports the sentinel → small, not large
+    mapped = similarity._banded_exploded(filed, 2, 3, "vec_id", "embedding")
+    assert similarity._corpus_is_small(mapped, 8192)
     # cosine_topk_lsh decides ONCE on the corpus and forces the same
     # branch on BOTH join sides — a near-zero sign decision may differ
     # between the fold and the matmul, so mixed-implementation sides
-    # could desynchronize join keys. Small file-backed corpus: zero
-    # Python barriers anywhere; unknown-stats corpus: a barrier on
-    # each side (query + candidate), never one.
+    # could desynchronize join keys. Small corpus: zero Python barriers
+    # anywhere; a corpus the stats read as LARGE (pinned by stubbing the
+    # routing — a real >8k-row file fixture would dominate suite time):
+    # a barrier on each side (query + candidate), never one.
     plan_small = (
         similarity.cosine_topk_lsh(filed, n_queries=5, k=2)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    plan_unknown = (
+    assert plan_small.count("MapInPandas") == 0
+    small_rows = {tuple(r) for r in similarity.cosine_topk_lsh(filed, n_queries=5, k=2).collect()}
+    monkeypatch.setattr(similarity, "_corpus_is_small", lambda df, threshold_rows: False)
+    plan_large = (
         similarity.cosine_topk_lsh(planted, n_queries=5, k=2)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan_small.count("MapInPandas") == 0
-    assert plan_unknown.count("MapInPandas") == 2
-    small_rows = {tuple(r) for r in similarity.cosine_topk_lsh(filed, n_queries=5, k=2).collect()}
-    unknown_rows = {tuple(r) for r in similarity.cosine_topk_lsh(planted, n_queries=5, k=2).collect()}
-    assert small_rows == unknown_rows
+    assert plan_large.count("MapInPandas") == 2
+    large_rows = {tuple(r) for r in similarity.cosine_topk_lsh(planted, n_queries=5, k=2).collect()}
+    assert small_rows == large_rows
 
 
 def test_banded_exploded_empty_corpus(planted):
@@ -231,6 +240,11 @@ def degenerate(spark):
         (2, [0.5, -0.25]),  # shorter than the full dim
         (3, [0.1, -0.2, 0.3, -0.4, 0.5, -0.6, 0.7, -0.8]),
         (4, [-0.3, 0.6, -0.9, 0.2, -0.5, 0.8, -0.1, 0.4]),
+        # NaN element: poisons every projection to NaN. Spark's total
+        # ordering makes NaN >= 0 TRUE while numpy's IEEE compare is
+        # False — the expression twins guard with NOT isnan() so both
+        # forms band this row to bucket 0 (round-7 ADVICE).
+        (5, [float("nan"), 0.2, -0.3, 0.4, -0.5, 0.6, -0.7, 0.8]),
     ]
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
@@ -262,6 +276,7 @@ def test_gemm_banding_degenerate_rows_match_expression_twin(degenerate):
     assert len(got) == degenerate.count() * n_bands
     assert all(got[(0, b)] == 0 for b in range(n_bands))  # NULL -> ELSE branch
     assert all(got[(1, b)] == 0 for b in range(n_bands))  # empty -> NULL fold
+    assert all(got[(5, b)] == 0 for b in range(n_bands))  # NaN -> isnan guard
 
 
 def test_gemm_bucket_degenerate_rows_match_expression_twin(degenerate):
@@ -452,6 +467,56 @@ def test_gemm_near_dups_pair_identical_to_expression_lsh(spark, sf_smoke):
     }
     assert set(expr_pairs) == set(gemm_pairs)
     assert all(abs(expr_pairs[k] - gemm_pairs[k]) <= 1e-6 for k in expr_pairs)
+
+
+def test_nan_vector_never_pairs_on_either_scorer(spark):
+    """A NaN element yields a NaN cosine; Spark's total ordering would
+    pass `NaN >= threshold` while numpy's IEEE compare rejects it, so
+    the expression scorer guards with ~isnan — both scorers must emit
+    the SAME pair set with a NaN vector in the corpus, and that vector
+    may never pair (round-7 ADVICE: routing changes the plan, never the
+    result, including NaN inputs)."""
+    rows = [
+        (0, [float("nan"), 0.0, 1.0, 0.0]),
+        (1, [1.0, 0.0, 0.001, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.9, n_bands=4, planes_per_band=2)
+    expr_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_duplicates_lsh(df, **kw).collect()
+    }
+    gemm_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_duplicates_lsh_gemm(df, **kw).collect()
+    }
+    assert expr_pairs == gemm_pairs
+    assert (1, 2) in expr_pairs  # the clean near-identical pair survives
+    assert not any(0 in p for p in expr_pairs)  # NaN vector never pairs
+
+
+def test_semantic_dedup_nan_vector_kept_on_both_scorers(spark):
+    """Same NaN contract for the clustered dedup: a NaN cosine drops no
+    vector on either scorer, and the verdicts are scorer-identical."""
+    rows = [
+        (0, [float("nan"), 0.0, 1.0, 0.0]),
+        (1, [1.0, 0.0, 0.001, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(n_clusters=2, threshold=0.9, kmeans_iter=3)
+    expr_v = {
+        r["vec_id"]: (r["is_dropped"], r["keep"])
+        for r in similarity.semantic_dedup(df, scorer="expr", **kw).collect()
+    }
+    gemm_v = {
+        r["vec_id"]: (r["is_dropped"], r["keep"])
+        for r in similarity.semantic_dedup(df, scorer="gemm", **kw).collect()
+    }
+    assert expr_v == gemm_v
+    assert expr_v[0] == (False, True)  # NaN vector is never dropped
 
 
 def test_auto_scorer_selects_by_density_and_is_pair_identical(spark, sf_smoke):
