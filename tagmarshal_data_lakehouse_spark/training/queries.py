@@ -777,6 +777,25 @@ q_doc_dedup_eval = Query(
     "parameters on a sample before a full-corpus run.",
 )
 
+q_doc_dedup_verdict_eval = Query(
+    name="doc_dedup_verdict_eval",
+    build=lambda spark, sf_dir: dedup.dedup_verdict_eval_report(
+        _docs(spark, sf_dir), n=3, threshold=0.15
+    ),
+    # No oracle: the exact-baseline side shares doc_dedup_eval's
+    # xxhash64-free path but the report is a measurement, not a query
+    # contract — semantics pinned in pytest (drop soundness, keep_recall
+    # == 1, planted-dup recall at two duplication rates).
+    oracle=None,
+    doc="Verdict-path dedup evaluation: keep/drop precision+recall of "
+    "minhash_dedup_verdicts (the 100 TB default — greedy single-round "
+    "bucket-representative election) against the exact n-gram-Jaccard "
+    "greedy baseline at matched threshold "
+    "(dedup.py:dedup_verdict_eval_report). Quantifies what the "
+    "verdict-only shape gives up vs a full pair pass before a "
+    "full-corpus run.",
+)
+
 
 q_doc_token_rarity = Query(
     name="doc_token_rarity",
@@ -1942,6 +1961,7 @@ QUERIES = [
     q_doc_bpe_merges,
     q_doc_bpe_encode,
     q_doc_dedup_eval,
+    q_doc_dedup_verdict_eval,
     q_emb_quantize_int8,
     q_doc_clean_corpus_stats,
     q_multimodal_features,

@@ -296,6 +296,39 @@ def test_minhash_verdict_consistent_with_pair_path(spark, sf_smoke):
             assert round(len(a & b) / len(a | b), 6) >= 0.5
 
 
+def test_verdict_eval_report_two_duplication_rates(spark):
+    """Verdict-vs-exact keep-set measurement at 20% and 50% planted
+    duplication: every verdict drop is a true dup (soundness — the
+    exact-Jaccard verify is load-bearing, so drop_precision is 1.0 and
+    true_drop == verdict_dup), keep_recall is structurally 1.0 (every
+    exact-keep is verdict-kept), and drop_recall stays high at both
+    rates (planted copies collide in every band)."""
+
+    def corpus(n_unique, dup_frac):
+        uniq = [
+            (
+                i,
+                f"document number {i} about topic {i % 7} with unique "
+                f"content token{i} token{i * 3} token{i * 5} plus some "
+                "shared filler words appearing in every document here",
+            )
+            for i in range(n_unique)
+        ]
+        n_dups = round(n_unique * dup_frac / (1 - dup_frac))
+        dups = [(1000 + j, uniq[j % n_unique][1]) for j in range(n_dups)]
+        return spark.createDataFrame(uniq + dups, "doc_id long, text string")
+
+    for frac, min_recall in ((0.2, 0.9), (0.5, 0.9)):
+        df = corpus(20, frac)
+        r = dedup.dedup_verdict_eval_report(df, n=3, threshold=0.5).collect()[0]
+        assert r["docs"] == df.count()
+        assert r["exact_dup_docs"] > 0
+        assert r["true_drop_docs"] == r["verdict_dup_docs"]  # soundness
+        assert r["verdict_dup_docs"] == 0 or r["drop_precision"] == 1.0
+        assert r["keep_recall"] == 1.0
+        assert r["drop_recall"] >= min_recall
+
+
 def test_dedup_eval_report_confusion_counts(spark):
     """Planted near-dups: high recall, consistent confusion counts."""
     base = "the quick brown fox jumps over the lazy dog near the river bank today"
