@@ -107,11 +107,20 @@ def kmeans(
     tol: float = 1e-6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, list[list[float]]]:
+    return_sizes: bool = False,
+) -> tuple:
     """Lloyd's iterations until centroid shift < `tol` or `max_iter`.
 
     Returns (assignments, centroids): assignments has (id, cluster,
     sq_dist) per input row; centroids is the final k x dim matrix.
+    With `return_sizes=True`, also returns the {cluster: count}
+    histogram from the LAST update aggregate — a free by-product of
+    the fit (the k-row collect each iteration already carries COUNT).
+    Note the histogram describes the assignment that PRODUCED the
+    final centroids, one half-step behind the returned assignment
+    frame — exact enough for cost decisions (scorer routing, cluster
+    rebalancing alarms) at zero extra jobs; consumers needing the
+    post-update histogram aggregate the assignment frame instead.
 
     Each iteration runs ONE distributed job: assignment (row-local) ->
     groupBy(cluster) with dim partial SUMs + COUNT (map-side combine) ->
@@ -121,6 +130,7 @@ def kmeans(
     dim = len(df.select(vec_col).first()[0])
     centroids = init_centroids(df, k, id_col, vec_col)
 
+    sizes: dict[int, int] = {}
     for _ in range(max_iter):
         assigned = assign_clusters(df, centroids, vec_col)
         sums = (
@@ -134,6 +144,7 @@ def kmeans(
             )
             .collect()
         )
+        sizes = {row["cluster"]: row["n"] for row in sums}
         new_centroids = list(centroids)  # empty clusters keep previous position
         shift = 0.0
         for row in sums:
@@ -153,6 +164,8 @@ def kmeans(
         F.col("cluster"),
         F.round(F.col("sq_dist"), 6).alias("sq_dist"),
     )
+    if return_sizes:
+        return out, centroids, sizes
     return out, centroids
 
 

@@ -782,21 +782,36 @@ def near_dup_candidate_density(
     banded = _banded_exploded(
         embeddings, n_bands, planes_per_band, id_col, vec_col, include_vec=False
     )
-    return _density_from_banded(banded, embeddings.count(), max_bucket, id_col)
+    return _density_from_banded(banded, None, max_bucket, id_col, n_bands=n_bands)
 
 
 def _density_from_banded(
-    banded: DataFrame, n: int, max_bucket: int, id_col: str
+    banded: DataFrame,
+    n: "int | None",
+    max_bucket: float,
+    id_col: str,
+    n_bands: int = 1,
 ) -> float:
+    """Candidate pairs per id over a (id, band_id, bucket) frame —
+    sum(c·(c-1)/2) across valid buckets (2 <= c <= max_bucket) divided
+    by the id count.  With n=None the id count is derived IN the same
+    aggregate (every id lands in exactly one bucket per band, so
+    sum(c) over ALL buckets == N·n_bands) — one Spark job for the
+    whole selection statistic, no separate count pass."""
+    valid = (F.col("c") >= 2) & (F.col("c") <= F.lit(float(max_bucket)))
     row = (
         banded.groupBy("band_id", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter((F.col("c") >= 2) & (F.col("c") <= max_bucket))
         .agg(
-            F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)).alias("cand_pairs"),
+            F.coalesce(
+                F.sum(F.when(valid, F.col("c") * (F.col("c") - 1) / 2)), F.lit(0.0)
+            ).alias("cand_pairs"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("total"),
         )
         .collect()[0]
     )
+    if n is None:
+        n = int(row["total"]) // max(n_bands, 1)
     return float(row["cand_pairs"]) / max(n, 1)
 
 
@@ -1176,7 +1191,8 @@ def semantic_dedup(
     kmeans_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    scorer: str = "expr",
+    scorer: str = "auto",
+    gemm_density_cutover: float = 50.0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means partitions the embedding space, then
@@ -1204,12 +1220,44 @@ def semantic_dedup(
     pair join — same dropped set (pytest-pinned), but the sub-threshold
     within-cluster pair mass never leaves the executor (the same trade
     measured 5x on the banded near-dup path, SCALE.md).
+
+    `scorer='auto'` (the default since round 8) picks mechanically from
+    the SAME statistic `cosine_near_duplicates_lsh_auto` uses — the
+    pair mass the expression path would materialize, per vector. For
+    clustered dedup that is the cluster-size histogram
+    (sum c·(c-1)/2 over clusters, divided by N; the cluster IS the
+    bucket, uncapped — unlike LSH banding every cluster is scored
+    whatever its size), and here it costs ZERO extra jobs: the k-means
+    fit's per-iteration update aggregate already collects COUNT per
+    cluster, so the selector reads the fit's own last histogram — the
+    same cost-from-statistics-you-already-have move as the
+    Catalyst-stats bucket routing. (The histogram is one half-step
+    behind the final assignment — the assignment that produced the
+    final centroids — which routing tolerates by construction: both
+    scorers are verdict-identical, pytest-pinned, so the choice
+    changes the plan, never the result.)  Same cutover constant as
+    the banded selector (measured crossover ~50 candidate
+    pairs/vector, SCALE.md).
     """
     from . import clustering
 
-    assigned = clustering.kmeans_assignments(
-        embeddings, k=n_clusters, max_iter=kmeans_iter, id_col=id_col, vec_col=vec_col
-    ).select(F.col(id_col), "cluster")
+    if scorer == "auto":
+        assigned, _, sizes = clustering.kmeans(
+            embeddings,
+            k=n_clusters,
+            max_iter=kmeans_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+            return_sizes=True,
+        )
+        assigned = assigned.select(F.col(id_col), "cluster")
+        n = sum(sizes.values())
+        density = sum(c * (c - 1) / 2 for c in sizes.values()) / max(n, 1)
+        scorer = "gemm" if density >= gemm_density_cutover else "expr"
+    else:
+        assigned = clustering.kmeans_assignments(
+            embeddings, k=n_clusters, max_iter=kmeans_iter, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col), "cluster")
     vecs = assigned.join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
 
     if scorer == "gemm":
@@ -1248,7 +1296,7 @@ def semantic_dedup(
             )
         )
     if scorer != "expr":
-        raise ValueError(f"semantic_dedup: unknown scorer {scorer!r} (expr | gemm)")
+        raise ValueError(f"semantic_dedup: unknown scorer {scorer!r} (auto | expr | gemm)")
 
     a = vecs.select(
         F.col(id_col).alias("id_a"), F.col("cluster"), F.col(vec_col).alias("veca")

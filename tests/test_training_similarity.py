@@ -578,9 +578,46 @@ def test_semantic_dedup_gemm_scorer_matches_expr(spark, sf_smoke):
     frame (id, cluster, is_dropped, keep) as the expression path."""
     embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
     kw = dict(n_clusters=8, threshold=0.98, kmeans_iter=3)
-    expr_v = sorted(map(tuple, similarity.semantic_dedup(embs, **kw).collect()))
+    expr_v = sorted(map(tuple, similarity.semantic_dedup(embs, scorer="expr", **kw).collect()))
     gemm_v = sorted(map(tuple, similarity.semantic_dedup(embs, scorer="gemm", **kw).collect()))
     assert expr_v == gemm_v
+
+
+def test_semantic_dedup_auto_scorer_routes_by_cluster_density(spark, sf_smoke):
+    """scorer='auto' (the default) picks mechanically from the
+    cluster-size pair mass — the same statistic and cutover as
+    cosine_near_duplicates_lsh_auto, with the cluster id as the
+    single-band bucket. Sparse clusters → expression (no Python
+    barrier); a duplication-heavy cluster histogram → GEMM. Verdicts
+    are identical either way (the scorer-identity test above), so only
+    the PLAN may change."""
+    from tagmarshal_data_lakehouse_spark import plans
+
+    # sparse: 6 vectors in 3 clusters — pairs/vector << 50 → expression
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.999, 0.02]),
+        (20, [0.0, 0.0, 1.0]),
+    ]
+    small = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto_sparse = similarity.semantic_dedup(small, n_clusters=3, threshold=0.95, kmeans_iter=3)
+    assert "InPandas" not in plans.physical_plan(auto_sparse)
+    expr_v = similarity.semantic_dedup(
+        small, n_clusters=3, threshold=0.95, kmeans_iter=3, scorer="expr"
+    )
+    assert sorted(map(tuple, auto_sparse.collect())) == sorted(map(tuple, expr_v.collect()))
+
+    # dense: one cluster holding all N vectors — pairs/vector is
+    # (N-1)/2 >= 50 for the 200-vector smoke corpus → GEMM
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    kw = dict(n_clusters=1, threshold=0.98, kmeans_iter=2)
+    auto_dense = similarity.semantic_dedup(embs, **kw)
+    assert "InPandas" in plans.physical_plan(auto_dense)
+    gemm_v = similarity.semantic_dedup(embs, scorer="gemm", **kw)
+    assert sorted(map(tuple, auto_dense.collect())) == sorted(map(tuple, gemm_v.collect()))
 
 
 def test_gemm_prune_keeps_low_id_boundary_ties(spark):

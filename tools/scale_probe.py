@@ -293,6 +293,16 @@ def main() -> int:
         "emb_near_dups_auto": lambda docs, ev, embs: similarity.cosine_near_duplicates_lsh_auto(
             embs, threshold=0.45, n_bands=8, planes_per_band=10, max_bucket=500
         ),
+        # clustered dedup with the density-routed scorer (r8): at probe
+        # scales the cluster-size histogram is duplication-heavy, so
+        # auto must route to the within-cluster GEMM — the expr pair
+        # join would materialize sum(c^2)/2 pair rows
+        "semantic_dedup_auto": lambda docs, ev, embs: similarity.semantic_dedup(
+            embs, n_clusters=16, kmeans_iter=3, threshold=0.98
+        ),
+        "semantic_dedup_gemm": lambda docs, ev, embs: similarity.semantic_dedup(
+            embs, n_clusters=16, kmeans_iter=3, threshold=0.98, scorer="gemm"
+        ),
     }
 
     # Optional operator filter for targeted re-measurement after an
