@@ -235,6 +235,13 @@ _SWEEP_PRIORITY = (
     "gold_global_course_summary",
     "gold_global_time_patterns",
     "gold_fact_telemetry_fix",
+    # R8 batch 2: dashboard-library texts bridged to driver rows this
+    # round (never-green -> must be in the head); they displace the 4
+    # youngest r03-vintage entries to the tail front (overflow 13 <= 38).
+    "telemetry_round_progression",
+    "telemetry_progression_summary",
+    "telemetry_nine_combinations",
+    "telemetry_hole_duration",
     "window_ntile_distribution",
     "pivot_status_counts",
     "join_exists_correlated",
@@ -260,19 +267,20 @@ _SWEEP_PRIORITY = (
     "emb_cosine_near_dups",
     "doc_train_split",
     "doc_stratified_sample",
-    "doc_hash_sample_k",
-    "doc_mixture_weights",
-    "doc_decontaminate",
-    "doc_repetition",
 )
 
-# The rest of the stale rotation: the 9 r03-vintage entries the round-8
-# block could not fit (they MUST fill the front of round 9's priority
+# The rest of the stale rotation: the 13 r03-vintage entries the
+# round-8 block could not fit (9 original overflow + 4 displaced by the
+# batch-2 bridge entries; they MUST fill the front of round 9's priority
 # block — the standing gate asserts they fit), then the 27 r05-vintage
 # entries that cross the staleness horizon at round 9, in rotation
 # order. These lead the tail (slots 51+) and are picked up first if the
 # sweep budget ever grows.
 _STALE_TAIL = (
+    "doc_hash_sample_k",
+    "doc_mixture_weights",
+    "doc_decontaminate",
+    "doc_repetition",
     "doc_pii_scan",
     "doc_dup_rate_by_source",
     "doc_token_histogram",

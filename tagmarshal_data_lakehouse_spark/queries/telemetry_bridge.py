@@ -1280,6 +1280,233 @@ q_gold_dim_course = Query(
 )
 
 
+# ---------------------------------------------------------------------------
+# R8 batch 2: the highest-traffic pytest-only dashboard queries get
+# driver rows (round-7 verdict item 6 — begin rotating the telemetry
+# library through the driver at 3-5 per round).  Same bridge, same
+# pattern: the REAL library text runs on Spark; the oracle re-spells it
+# in DuckDB's dialect over _DUCK_BRIDGE.  Hash-risky columns (ROUND on
+# arbitrary doubles, percentile sketches) are projected away in the
+# REGISTRY SHIM only — the library text itself is never edited (the
+# pct_total precedent from the round-6 ADVICE fix).
+# ---------------------------------------------------------------------------
+
+
+def _min_round(spark: SparkSession, sf_dir: str, course: str) -> str:
+    """Deterministic round pick for the single-round dashboard detail
+    queries: the MIN round_id of the course on the bridged fact — both
+    engines derive the identical value, so the oracle embeds the same
+    choice as a scalar subquery."""
+    load_views(spark, sf_dir)
+    spark.sql(_SPARK_BRIDGE).createOrReplaceTempView("fact_telemetry_event")
+    return spark.sql(
+        f"SELECT MIN(round_id) FROM fact_telemetry_event WHERE course_id = '{course}'"
+    ).first()[0]
+
+
+_MIN_ROUND_DUCK = (
+    "(SELECT MIN(round_id) FROM fact_telemetry_event WHERE course_id = '{course}')"
+)
+
+q_telemetry_round_progression = Query(
+    name="telemetry_round_progression",
+    build=lambda spark, sf_dir: _bridged(
+        spark,
+        sf_dir,
+        "get_round_progression",
+        course_id=_COURSE,
+        round_id=_min_round(spark, sf_dir, _COURSE),
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            location_index, nine_number, hole_number, section_number,
+            fix_timestamp, pace, is_location_padding,
+            ROW_NUMBER() OVER (ORDER BY location_index) AS event_sequence,
+            LAG(hole_number) OVER (ORDER BY location_index) AS prev_hole,
+            LAG(section_number) OVER (ORDER BY location_index) AS prev_section,
+            CASE
+                WHEN LAG(hole_number) OVER (ORDER BY location_index) IS NULL THEN 'start'
+                WHEN hole_number = LAG(hole_number) OVER (ORDER BY location_index) THEN 'same_hole'
+                WHEN hole_number = LAG(hole_number) OVER (ORDER BY location_index) + 1 THEN 'next_hole'
+                WHEN hole_number < LAG(hole_number) OVER (ORDER BY location_index) THEN 'backwards'
+                ELSE 'skip'
+            END AS hole_transition,
+            CASE
+                WHEN LAG(section_number) OVER (ORDER BY location_index) IS NULL THEN 'start'
+                WHEN section_number = LAG(section_number) OVER (ORDER BY location_index) THEN 'same_section'
+                WHEN section_number = LAG(section_number) OVER (ORDER BY location_index) + 1 THEN 'next_section'
+                WHEN section_number < LAG(section_number) OVER (ORDER BY location_index) THEN 'backwards'
+                ELSE 'skip'
+            END AS section_transition
+        FROM fact_telemetry_event
+        WHERE course_id = '{_COURSE}'
+          AND round_id = {_MIN_ROUND_DUCK.format(course=_COURSE)}
+          AND is_location_padding = FALSE
+        ORDER BY location_index
+    """,
+    doc="Reference parity, per-round transition classification "
+    "(dashboard/utils/queries.py:997-1033 — the LAG CASE sequence "
+    "analysis, W3) over the events->telemetry bridge, on the course's "
+    "deterministic MIN round (both engines derive the same pick). "
+    "Every column exact: ints, NTZ stamps, CASE labels.",
+)
+
+q_telemetry_progression_summary = Query(
+    name="telemetry_progression_summary",
+    # Registry shim: the two ROUND(100.0*x/y, 1) percentage columns are
+    # projected away from the HASHED output (half-decimal ambiguity on
+    # arbitrary ratios — the excluded-ROUND rule); their signal is fully
+    # carried by the hashed integer numerators/denominator.  The library
+    # text runs unchanged.
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "get_round_progression_summary", course_id=_COURSE
+    ).drop("hole_anomaly_pct", "section_anomaly_pct"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        round_transitions AS (
+            SELECT
+                course_id, round_id, location_index, hole_number, section_number,
+                LAG(hole_number) OVER (PARTITION BY round_id ORDER BY location_index) AS prev_hole,
+                LAG(section_number) OVER (PARTITION BY round_id ORDER BY location_index) AS prev_section
+            FROM fact_telemetry_event
+            WHERE course_id = '{_COURSE}'
+              AND is_location_padding = FALSE
+              AND hole_number IS NOT NULL
+              AND section_number IS NOT NULL
+        ),
+        transition_analysis AS (
+            SELECT
+                round_id,
+                COUNT(*) AS total_events,
+                CAST(SUM(CASE WHEN prev_hole IS NULL THEN 0
+                         WHEN hole_number = prev_hole THEN 0
+                         WHEN hole_number = prev_hole + 1 THEN 0
+                         WHEN hole_number < prev_hole THEN 1
+                         ELSE 1 END) AS BIGINT) AS hole_anomalies,
+                CAST(SUM(CASE WHEN prev_section IS NULL THEN 0
+                         WHEN section_number = prev_section THEN 0
+                         WHEN section_number = prev_section + 1 THEN 0
+                         WHEN section_number < prev_section THEN 1
+                         ELSE 1 END) AS BIGINT) AS section_anomalies,
+                MIN(hole_number) AS start_hole,
+                MAX(hole_number) AS end_hole,
+                COUNT(DISTINCT hole_number) AS holes_visited
+            FROM round_transitions
+            GROUP BY round_id
+        )
+        SELECT
+            round_id, total_events, start_hole, end_hole, holes_visited,
+            hole_anomalies, section_anomalies,
+            CASE
+                WHEN hole_anomalies = 0 AND section_anomalies = 0 THEN 'clean'
+                WHEN hole_anomalies <= 2 AND section_anomalies <= 5 THEN 'minor_issues'
+                ELSE 'needs_review'
+            END AS progression_quality
+        FROM transition_analysis
+        ORDER BY hole_anomalies DESC, section_anomalies DESC
+    """,
+    doc="Reference parity, per-round transition anomaly scoring "
+    "(dashboard/utils/queries.py:1060-1122) over the events->telemetry "
+    "bridge: integer anomaly counts, hole range, visit counts, and the "
+    "quality-tier CASE; the two ROUNDed percentage columns are shimmed "
+    "out of the hashed projection (excluded-ROUND rule).",
+)
+
+q_telemetry_nine_combinations = Query(
+    name="telemetry_nine_combinations",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "get_round_nine_combinations_for_course", course_id=_COURSE
+    ),
+    # DuckDB spelling: COLLECT_SET -> list(DISTINCT), SORT_ARRAY ->
+    # list_sort, ARRAY_JOIN -> array_to_string ('+'-joined arrays, the
+    # agg_bool_array precedent).
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        round_nines AS (
+            SELECT
+                course_id, round_id,
+                list_sort(list(DISTINCT nine_number)) AS nines_array,
+                COUNT(DISTINCT nine_number) AS nines_count,
+                COUNT(DISTINCT hole_number) AS holes_played
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE
+              AND nine_number IS NOT NULL
+              AND course_id = '{_COURSE}'
+            GROUP BY course_id, round_id
+        )
+        SELECT
+            course_id,
+            array_to_string(nines_array, '+') AS nines_played,
+            nines_count,
+            CASE
+                WHEN holes_played < 9 THEN '<9'
+                WHEN holes_played = 9 THEN '9'
+                WHEN holes_played = 18 THEN '18'
+                WHEN holes_played = 27 THEN '27'
+                WHEN holes_played > 27 THEN '>27'
+                ELSE 'other (10-26)'
+            END AS holes_played_bucket,
+            COUNT(*) AS round_count
+        FROM round_nines
+        GROUP BY course_id, nines_array, nines_count, 4
+        ORDER BY nines_count, nines_played
+    """,
+    doc="Reference parity, nine-combination histogram "
+    "(dashboard/utils/queries.py:624-661) over the events->telemetry "
+    "bridge: per-round sorted distinct-nine arrays '+'-joined to a "
+    "grouping key, bucketed hole counts — exact string/int output.",
+)
+
+q_telemetry_hole_duration = Query(
+    name="telemetry_hole_duration",
+    # Registry shim: ROUND(avg)/ROUND(stddev) on integer-ratio doubles
+    # and the PERCENTILE_APPROX median (engine-specific sketch) leave
+    # the hashed projection; counts and integer minute bounds stay.
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "get_hole_duration_for_course", course_id=_COURSE
+    ).drop("avg_duration_min", "median_duration_min", "stddev_duration"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        hole_times AS (
+            SELECT
+                course_id, round_id, hole_number,
+                MIN(fix_timestamp) AS hole_start,
+                MAX(fix_timestamp) AS hole_end
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE
+              AND course_id = '{_COURSE}'
+              AND hole_number IS NOT NULL
+              AND fix_timestamp IS NOT NULL
+            GROUP BY course_id, round_id, hole_number
+        ),
+        hole_durations AS (
+            SELECT
+                course_id, round_id, hole_number,
+                FLOOR(date_diff('second', hole_start, hole_end) / 60) AS hole_duration_minutes
+            FROM hole_times
+            WHERE hole_start IS NOT NULL AND hole_end IS NOT NULL
+        )
+        SELECT
+            hole_number,
+            COUNT(*) AS sample_count,
+            MIN(hole_duration_minutes) AS min_duration_min,
+            MAX(hole_duration_minutes) AS max_duration_min
+        FROM hole_durations
+        WHERE hole_duration_minutes > 0 AND hole_duration_minutes < 60
+        GROUP BY hole_number
+        ORDER BY hole_number
+    """,
+    doc="Reference parity, hole-duration distribution "
+    "(dashboard/utils/queries.py:950-994) over the events->telemetry "
+    "bridge: per-(round, hole) window from second-truncated epoch "
+    "diffs (Spark UNIX_TIMESTAMP subtraction == DuckDB "
+    "date_diff('second'); session-tz offsets cancel within a round), "
+    "integer minute floor; ROUNDed avg/stddev and the approx median "
+    "are shimmed out of the hashed projection.",
+)
+
+
 QUERIES = [
     q_telemetry_start_hole_distribution,
     q_telemetry_avg_pace_by_hole,
@@ -1860,3 +2087,12 @@ R8_STAGED = [
 ]
 
 QUERIES += R8_STAGED
+
+# R8 batch 2 (defined above, before the main list): dashboard-library
+# texts promoted to driver rows this round.
+QUERIES += [
+    q_telemetry_round_progression,
+    q_telemetry_progression_summary,
+    q_telemetry_nine_combinations,
+    q_telemetry_hole_duration,
+]

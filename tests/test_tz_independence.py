@@ -62,6 +62,11 @@ TS_QUERIES = [
     "gold_global_course_summary",
     "gold_global_time_patterns",
     "gold_fact_telemetry_fix",
+    # r8 batch-2 bridge entries: round_progression emits raw NTZ
+    # fix_timestamps; hole_duration subtracts UNIX_TIMESTAMP of two NTZ
+    # stamps at (round, hole) grain — session tz enters and must cancel.
+    "telemetry_round_progression",
+    "telemetry_hole_duration",
 ]
 
 # Three adversarial zones, each catching a different leak class:
