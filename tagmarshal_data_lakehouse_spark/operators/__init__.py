@@ -318,7 +318,7 @@ def interval_overlap_join(
     l_end: str,
     r_start: str,
     r_end: str,
-    chunk_micros: int | None = 86_400_000_000,
+    chunk_micros: int | None = None,
 ) -> DataFrame:
     """Overlap join of two half-open NTZ-interval sets — `[l_start,
     l_end) ∩ [r_start, r_end) ≠ ∅` — as an EQUI-join shuffle instead of
@@ -343,13 +343,16 @@ def interval_overlap_join(
     Pick `chunk_micros` near the typical interval length: intervals
     explode into `O(length/chunk + 1)` rows, and chunks much smaller
     than the data's span keep any single join key from going hot.
-    `chunk_micros=None` derives that choice from the data
-    (`derive_chunk_micros`: the larger of the two sides' median
-    interval lengths, one-row aggregates — the skew probe measured the
-    matched chunk worth 1.7x on hot workloads). The chunk width NEVER
-    affects the result (each pair is emitted exactly once from the
-    overlap-start chunk, whatever the chunking), so auto-derivation is
-    a pure plan decision.
+    The DEFAULT (`chunk_micros=None`, since round 8) derives that
+    choice from the data (`derive_chunk_micros`: the larger of the two
+    sides' median interval lengths, both medians in ONE Spark job —
+    the skew probe measured the matched chunk worth 1.7x on hot
+    workloads); pass an explicit width to skip the derivation job when
+    the interval scale is known (e.g. day-grain sessions:
+    86_400_000_000). The chunk width NEVER affects the result (each
+    pair is emitted exactly once from the overlap-start chunk,
+    whatever the chunking), so auto-derivation is a pure plan
+    decision.
     Contract: interval columns are NTZ timestamps, empty intervals
     (end <= start) are dropped, and the two frames' column names must
     be disjoint (the output carries both sides' columns unchanged).

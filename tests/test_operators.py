@@ -132,6 +132,15 @@ def test_interval_overlap_join_matches_naive_nonequi(spark):
         ).collect()
     )
     assert auto == naive
+    # data-derived chunks are the DEFAULT since round 8 (explicit widths
+    # remain the escape hatch that skips the one derivation job)
+    default = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "l_start", "l_end", "r_start", "r_end"
+        ).collect()
+    )
+    assert default == naive
 
 
 def test_derive_chunk_micros_takes_the_larger_median(spark):
