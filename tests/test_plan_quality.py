@@ -478,6 +478,12 @@ def test_scale_lint_exempts_bounded_idioms(spark):
 # of three ANN paths; PQ's ADC build broadcasts codebook tables.
 _LINT_ALLOWLIST = {
     "join_range_broadcast": {"nested_loop_join"},
+    # Per-round drill-down (reference dashboard/utils/queries.py
+    # get_round_progression): the library text orders ONE round's events
+    # with unpartitioned LAG/ROW_NUMBER — the frame is pre-filtered to a
+    # single round_id, so the single partition holds one round's fixes
+    # (thousands, not the table), the reference's own detail-view shape.
+    "telemetry_round_progression": {"single_partition_window"},
     "emb_cosine_near_dups": {"nested_loop_join"},
     "emb_cosine_topk": {"nested_loop_join"},
     "emb_pq_topk": {"nested_loop_join"},

@@ -45,17 +45,25 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
-    # SIM_STAGED=1 appends the not-yet-registered R8_STAGED bridge
-    # entries (telemetry_bridge.py) so a promotion round can hold them
-    # to the exact driver harness before touching the registry.
+    # SIM_STAGED=1 appends every not-yet-registered R{N}_STAGED bridge
+    # block (telemetry_bridge.py) so a promotion round can hold staged
+    # entries to the exact driver harness before touching the registry.
+    # Already-registered blocks (R8_STAGED after its round-8 promotion)
+    # are naturally idempotent here — same name, same build.
     staged = bool(os.environ.get("SIM_STAGED"))
     if staged:
         from tagmarshal_data_lakehouse_spark.queries import telemetry_bridge
 
-        for q in telemetry_bridge.R8_STAGED:
-            queries[q.name] = q.build
-            if q.oracle is not None:
-                oracles[q.name] = q.oracle
+        blocks = [
+            getattr(telemetry_bridge, a)
+            for a in sorted(dir(telemetry_bridge))
+            if a.endswith("_STAGED") and a[0] == "R"
+        ]
+        for block in blocks:
+            for q in block:
+                queries[q.name] = q.build
+                if q.oracle is not None:
+                    oracles[q.name] = q.oracle
 
     from tests.oracle_harness import compare, duckdb_connection
 
