@@ -5,9 +5,15 @@ The plan contracts (tests/test_plan_quality.py) pin the *shape* of every
 scale claim (no cartesian products, bounded shuffles, broadcast dims);
 this tool measures the *consequence*: near-linear wall-clock growth
 under data amplification. Inputs are the driver's own testdata tables,
-amplified by unioning shifted copies (ids offset per replica; document
-text perturbed per replica so content stays unique and dedup operators
-do real work — a pure copy would collapse to the 1x distinct set).
+amplified via ONE broadcast cross-join against spark.range(reps) (ids
+offset per replica; document text perturbed per replica so content
+stays unique and dedup operators do real work — a pure copy would
+collapse to the 1x distinct set). Through round 7 the amplifier built
+a left-deep chain of reps unionByName calls instead; Catalyst analysis
+of that chain is quadratic in branch count and stalls the DRIVER for
+many minutes at reps=1024 before a single task runs — the r8 rewrite
+produces the identical row set (operator timings were never affected:
+inputs are persisted and counted before any operator is timed).
 
 Run:  PYTHONPATH=/root/repo python tools/scale_probe.py [sf_dir] [reps...]
 Prints one JSON line per (operator, amplification) and a fitted scaling
@@ -42,37 +48,33 @@ def amplify_docs(spark, sf_dir: str, reps: int):
     dup_frac = float(os.environ.get("SCALE_PROBE_DUP_FRAC", "1.0"))
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = base.count()
-    parts = []
-    for i in range(reps):
-        # the replica-unique marker id is derived from the ORIGINAL
-        # doc_id + the replica offset, while near/far membership keys on
-        # the ORIGINAL doc_id — so every replica of one original falls
-        # on the same side (doc_id % 100 < dup_frac*100; base ids are
-        # 0..n-1 with n a multiple of 100 in all testdata sf dirs, so
-        # the fraction is exact and replica-independent)
-        rep_id = (F.col("doc_id") + F.lit(i * n)).cast("string")
-        # perturbation token is unique PER ROW (df=1): a per-replica
-        # marker (df = N/reps) crosses any fractional df cap as reps
-        # grows and glues unrelated same-replica docs together,
-        # polluting similarity measurements (observed: 195M pairs @16x)
-        near = F.concat(F.col("text"), F.lit(" rv"), rep_id)
-        # genuine NON-duplicate growth: suffix EVERY token with a
-        # replica-unique marker, so a far replica shares ZERO token
-        # grams with its original and with every other replica
-        # (appending filler tokens cannot work: pushing a 54-token doc
-        # below Jaccard 0.5 would need more filler than the doc itself)
-        far = F.regexp_replace(F.col("text"), r"(\S+)", F.concat(F.lit(r"$1u"), rep_id))
-        is_dup = (F.col("doc_id") % 100) < F.lit(int(dup_frac * 100))
-        perturbed = near if dup_frac >= 1.0 else F.when(is_dup, near).otherwise(far)
-        parts.append(
-            base.withColumn("text", perturbed if i else F.col("text")).withColumn(
-                "doc_id", F.col("doc_id") + F.lit(i * n)
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    rep = F.col("__rep")
+    out = base.crossJoin(F.broadcast(spark.range(reps).toDF("__rep")))
+    # the replica-unique marker id is derived from the ORIGINAL
+    # doc_id + the replica offset, while near/far membership keys on
+    # the ORIGINAL doc_id — so every replica of one original falls
+    # on the same side (doc_id % 100 < dup_frac*100; base ids are
+    # 0..n-1 with n a multiple of 100 in all testdata sf dirs, so
+    # the fraction is exact and replica-independent)
+    rep_id = (F.col("doc_id") + rep * n).cast("string")
+    # perturbation token is unique PER ROW (df=1): a per-replica
+    # marker (df = N/reps) crosses any fractional df cap as reps
+    # grows and glues unrelated same-replica docs together,
+    # polluting similarity measurements (observed: 195M pairs @16x)
+    near = F.concat(F.col("text"), F.lit(" rv"), rep_id)
+    # genuine NON-duplicate growth: suffix EVERY token with a
+    # replica-unique marker, so a far replica shares ZERO token
+    # grams with its original and with every other replica
+    # (appending filler tokens cannot work: pushing a 54-token doc
+    # below Jaccard 0.5 would need more filler than the doc itself)
+    far = F.regexp_replace(F.col("text"), r"(\S+)", F.concat(F.lit(r"$1u"), rep_id))
+    is_dup = (F.col("doc_id") % 100) < F.lit(int(dup_frac * 100))
+    perturbed = near if dup_frac >= 1.0 else F.when(is_dup, near).otherwise(far)
+    return (
+        out.withColumn("text", F.when(rep == 0, F.col("text")).otherwise(perturbed))
+        .withColumn("doc_id", F.col("doc_id") + rep * n)
+        .drop("__rep")
+    )
 
 
 def amplify_embeddings(spark, sf_dir: str, reps: int):
@@ -84,22 +86,20 @@ def amplify_embeddings(spark, sf_dir: str, reps: int):
     # id-derived epsilon so replicas are near- but not exact copies —
     # LSH buckets stay realistically mixed instead of collapsing every
     # replica set into one saturated bucket
-    parts = [
-        base.withColumn("vec_id", F.col("vec_id") + F.lit(i * n)).withColumn(
+    return (
+        base.crossJoin(F.broadcast(spark.range(reps).toDF("__rep")))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * n)
+        .withColumn(
             "embedding",
-            F.expr(
-                "transform(embedding, (x, j) -> CASE WHEN j = 0 "
-                "THEN cast(x + (vec_id % 997) * 1e-6 as float) ELSE x END)"
-            )
-            if i
-            else F.col("embedding"),
+            F.when(F.col("__rep") == 0, F.col("embedding")).otherwise(
+                F.expr(
+                    "transform(embedding, (x, j) -> CASE WHEN j = 0 "
+                    "THEN cast(x + (vec_id % 997) * 1e-6 as float) ELSE x END)"
+                )
+            ),
         )
-        for i in range(reps)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .drop("__rep")
+    )
 
 
 def amplify_events(spark, sf_dir: str, reps: int):
@@ -107,16 +107,12 @@ def amplify_events(spark, sf_dir: str, reps: int):
 
     base = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_users = 10_000
-    parts = [
-        base.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000)).withColumn(
-            "user_id", F.col("user_id") + F.lit(i * n_users)
-        )
-        for i in range(reps)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return (
+        base.crossJoin(F.broadcast(spark.range(reps).toDF("__rep")))
+        .withColumn("event_id", F.col("event_id") + F.col("__rep") * 10_000_000)
+        .withColumn("user_id", F.col("user_id") + F.col("__rep") * n_users)
+        .drop("__rep")
+    )
 
 
 def main() -> int:
