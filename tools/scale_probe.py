@@ -273,21 +273,31 @@ def main() -> int:
         # bucket resolution sized for the 16x corpus: 2^10 buckets/band
         # keeps the average bucket ~80 vectors at 80k rows (at real
         # scale planes_per_band grows with log(N) for the same reason
-        # the df cap had to be fractional)
+        # the df cap had to be fractional).  SCALE_PROBE_MAX_BUCKET
+        # overrides the cap: under the default saturated amplification
+        # every original's replicas form ONE genuine reps-sized clique,
+        # so once reps exceeds the cap the clique is truncated and pair
+        # output COLLAPSES (observed at 1024x: 307k pairs vs 16.3M at
+        # 256x) — the documented under-resolution alarm, now probe-
+        # visible; a per-pair-constant measurement at high reps must
+        # raise the cap above the clique size.
         "emb_near_dups_lsh": lambda docs, ev, embs: similarity.cosine_near_duplicates_lsh(
-            embs, threshold=0.45, n_bands=8, planes_per_band=10, max_bucket=500
+            embs, threshold=0.45, n_bands=8, planes_per_band=10,
+            max_bucket=int(os.environ.get("SCALE_PROBE_MAX_BUCKET", "500")),
         ),
         # same candidates, within-bucket GEMM scoring — the probe pair
         # that motivated the variant (137.6s -> 27.8s at 16x)
         "emb_near_dups_gemm": lambda docs, ev, embs: similarity.cosine_near_duplicates_lsh_gemm(
-            embs, threshold=0.45, n_bands=8, planes_per_band=10, max_bucket=500
+            embs, threshold=0.45, n_bands=8, planes_per_band=10,
+            max_bucket=int(os.environ.get("SCALE_PROBE_MAX_BUCKET", "500")),
         ),
         # density-adaptive selection: measures what the selector COSTS
         # end-to-end (the ids-only density pass recomputes the
         # hyperplane projections before the chosen scorer does) on top
         # of what it saves by routing to the right scorer
         "emb_near_dups_auto": lambda docs, ev, embs: similarity.cosine_near_duplicates_lsh_auto(
-            embs, threshold=0.45, n_bands=8, planes_per_band=10, max_bucket=500
+            embs, threshold=0.45, n_bands=8, planes_per_band=10,
+            max_bucket=int(os.environ.get("SCALE_PROBE_MAX_BUCKET", "500")),
         ),
         # clustered dedup with the density-routed scorer (r8): at probe
         # scales the cluster-size histogram is duplication-heavy, so
