@@ -2388,3 +2388,404 @@ R9_STAGED = [
     q_telemetry_global_completion_rates,
     q_telemetry_round_validation_summary,
 ]
+
+
+# ---------------------------------------------------------------------------
+# R10-STAGED entries: the third dashboard-library batch (VERDICT r7 item 6
+# rotation, continued).  Staged, NOT registered: rounds 8 and 9 already have
+# full sweep heads, so these follow the same playbook as R8_STAGED/R9_STAGED
+# — built and oracle'd now, held to the exact driver standard by
+# tests/test_telemetry_bridge_staged.py (generic over every unregistered
+# R{N}_STAGED block) and driver_sim's SIM_STAGED hook, promoted mechanically
+# when a sweep head has room (append to QUERIES, slot into the head, record
+# oracle texts with tools/update_query_text_hashes.py).
+#
+# Exactness: this batch RETAINS the library's ROUND(avg)/ROUND(pct) display
+# columns in the hashed projection by mirroring Spark's ROUND semantics in
+# the DuckDB oracle (`_duck_round` below — the telemetry_global_overview
+# idiom: Spark's round(double, n) rounds BigDecimal.valueOf(d), i.e. the
+# double's SHORTEST-DECIMAL representation, HALF_UP; DuckDB reproduces that
+# with VARCHAR -> DECIMAL(38,20) -> round -> DOUBLE).  Only engine-specific
+# percentile sketches (PERCENTILE_APPROX) leave the projection.  Decimal-
+# typed Spark outputs (decimal-literal pct arithmetic) are cast to DOUBLE on
+# both sides — the _missing_pct_as_double rule.
+# ---------------------------------------------------------------------------
+
+
+def _duck_round(expr: str, n: int) -> str:
+    """Spark-semantics ROUND for a DuckDB oracle expression: round the
+    double's shortest-decimal representation (what Spark's
+    BigDecimal.valueOf(double) sees), HALF_UP, back to DOUBLE.  NULL
+    propagates through every step on both engines."""
+    return (
+        "CAST(round(CAST(CAST((" + expr + ") AS VARCHAR) AS DECIMAL(38,20)), "
+        f"{n}) AS DOUBLE)"
+    )
+
+
+def _dexact_avg(col: str) -> str:
+    """The library's decimal-exact AVG rewrite (telemetry._exact_avg_std
+    form), identical text both engines."""
+    return f"(CAST(SUM(CAST({col} AS DECIMAL(28,10))) AS DOUBLE) / COUNT({col}))"
+
+
+q_telemetry_overview_stats = Query(
+    name="telemetry_overview_stats",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _bridged(spark, sf_dir, "overview_stats"), "earliest_date", "latest_date"
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            COUNT(DISTINCT course_id) AS total_courses,
+            COUNT(DISTINCT round_id) AS total_rounds,
+            COUNT(*) AS total_events,
+            CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS real_events,
+            CAST(MIN(event_date) AS TIMESTAMP) AS earliest_date,
+            CAST(MAX(event_date) AS TIMESTAMP) AS latest_date
+        FROM fact_telemetry_event
+    """,
+    doc="Reference parity, the dashboard overview tab's headline strip "
+    "(dashboard/utils/queries.py OVERVIEW_STATS) over the "
+    "events->telemetry bridge — exact counts and date bounds.",
+)
+
+_PBH_AVG = _dexact_avg("hp.pace")
+_PBH_STDDEV = (
+    "(CASE WHEN COUNT(hp.pace) > 1 THEN SQRT(GREATEST((CAST(SUM(CAST("
+    "CAST(hp.pace AS DECIMAL(18,6)) * CAST(hp.pace AS DECIMAL(18,6)) "
+    "AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST(hp.pace AS DECIMAL(18,6))) "
+    "AS DOUBLE) * CAST(SUM(CAST(hp.pace AS DECIMAL(18,6))) AS DOUBLE) / "
+    "CAST(COUNT(hp.pace) AS DOUBLE)) / (CAST(COUNT(hp.pace) AS DOUBLE) - "
+    "1.0e0), 0.0e0)) END)"
+)
+
+q_telemetry_pace_by_hole = Query(
+    name="telemetry_pace_by_hole",
+    # Registry shim: only the PERCENTILE_APPROX median (engine-specific
+    # sketch) leaves the hashed projection; every ROUNDed double stays,
+    # matched by the _duck_round idiom.  hole_category compares
+    # decimal-exact hole AVGs against the ROUNDed course average —
+    # both sides of the threshold are bit-identical cross-engine.
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "pace_by_hole").drop(
+        "median_pace"
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        hole_pace AS (
+            SELECT course_id, hole_number, pace, round_id
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE
+              AND pace IS NOT NULL AND pace > 0 AND pace < 60
+              AND hole_number IS NOT NULL
+        ),
+        course_avg AS (
+            SELECT course_id,
+                   {_duck_round(_dexact_avg("pace"), 1)} AS course_avg_pace
+            FROM hole_pace
+            GROUP BY course_id
+        )
+        SELECT
+            hp.course_id,
+            hp.hole_number,
+            COUNT(DISTINCT hp.round_id) AS sample_rounds,
+            COUNT(*) AS sample_events,
+            {_duck_round(_PBH_AVG, 1)} AS avg_pace,
+            {_duck_round("MIN(hp.pace)", 1)} AS min_pace,
+            {_duck_round("MAX(hp.pace)", 1)} AS max_pace,
+            {_duck_round(_PBH_STDDEV, 1)} AS pace_stddev,
+            ca.course_avg_pace,
+            {_duck_round(_PBH_AVG + " - ca.course_avg_pace", 1)} AS pace_vs_avg,
+            CASE
+                WHEN {_PBH_AVG} > ca.course_avg_pace * 1.15 THEN 'bottleneck'
+                WHEN {_PBH_AVG} < ca.course_avg_pace * 0.85 THEN 'fast'
+                ELSE 'normal'
+            END AS hole_category
+        FROM hole_pace hp
+        JOIN course_avg ca ON hp.course_id = ca.course_id
+        GROUP BY hp.course_id, hp.hole_number, ca.course_avg_pace
+        ORDER BY hp.course_id, hp.hole_number
+    """,
+    doc="Reference parity, the per-hole pace table "
+    "(dashboard/utils/queries.py PACE_BY_HOLE, the J11 "
+    "pace-vs-course-average idiom) over the events->telemetry bridge; "
+    "every ROUNDed column hashes via the Spark-semantics ROUND idiom, "
+    "only the approx median is shimmed out.",
+)
+
+q_telemetry_round_duration_summary = Query(
+    name="telemetry_round_duration_summary",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "round_duration"),
+    # round_duration_minutes is BIGINT (exact µs-derived), so Spark's
+    # ROUND(MIN/MAX, 0) stays BIGINT — the oracle mirrors with an
+    # explicit cast; the avg goes through the ROUND idiom at scale 0.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(DISTINCT round_id) AS rounds_with_duration,
+            {_duck_round(_dexact_avg("round_duration_minutes"), 0)} AS avg_duration_min,
+            CAST(ROUND(MIN(round_duration_minutes), 0) AS BIGINT) AS min_duration_min,
+            CAST(ROUND(MAX(round_duration_minutes), 0) AS BIGINT) AS max_duration_min
+        FROM fact_telemetry_event
+        WHERE round_duration_minutes IS NOT NULL
+          AND round_duration_minutes > 0
+          AND round_duration_minutes < 600
+        GROUP BY course_id
+        ORDER BY course_id
+    """,
+    doc="Reference parity, per-course round-duration summary "
+    "(dashboard/utils/queries.py ROUND_DURATION) over the "
+    "events->telemetry bridge at (user, day, hour) round grain — "
+    "integer-exact durations, decimal-exact average through the "
+    "ROUND idiom.",
+)
+
+_DS_PCT = (
+    "CAST(ROUND(100.0 * SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) / COUNT(*), 1)"
+    " AS DOUBLE)"
+)
+
+q_telemetry_device_stats = Query(
+    name="telemetry_device_stats",
+    # The four decimal-literal pct columns are DECIMAL-typed on Spark
+    # (the _missing_pct_as_double rule): cast to DOUBLE on both sides.
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(spark, sf_dir, "device_stats"),
+        "double",
+        "low_battery_pct",
+        "cached_pct",
+        "problem_pct",
+        "projected_pct",
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(DISTINCT device) AS unique_devices,
+            {_duck_round(_dexact_avg("battery_percentage"), 1)} AS avg_battery,
+            {_duck_round("MIN(battery_percentage)", 1)} AS min_battery,
+            COUNT(*) AS total_events,
+            CAST(SUM(CASE WHEN battery_percentage < 20 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS low_battery_events,
+            {_DS_PCT.format(cond="battery_percentage < 20")} AS low_battery_pct,
+            CAST(SUM(CASE WHEN is_cache = TRUE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cached_events,
+            {_DS_PCT.format(cond="is_cache = TRUE")} AS cached_pct,
+            CAST(SUM(CASE WHEN is_problem = TRUE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS problem_events,
+            {_DS_PCT.format(cond="is_problem = TRUE")} AS problem_pct,
+            CAST(SUM(CASE WHEN is_projected = TRUE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS projected_events,
+            {_DS_PCT.format(cond="is_projected = TRUE")} AS projected_pct
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+        GROUP BY course_id
+        ORDER BY course_id
+    """,
+    doc="Reference parity, per-course device fleet stats "
+    "(dashboard/utils/queries.py DEVICE_STATS) over the bridge's "
+    "deterministic battery/cache/problem/projected stripes; pct "
+    "columns hash as DOUBLEs (decimal-literal arithmetic is exact "
+    "at 1 dp on both engines), averages via the ROUND idiom.",
+)
+
+q_telemetry_round_types = Query(
+    name="telemetry_round_types",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "round_types"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(DISTINCT round_id) AS total_rounds,
+            CAST(SUM(CASE WHEN is_nine_hole = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nine_hole_rounds,
+            CAST(SUM(CASE WHEN is_nine_hole = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS full_rounds,
+            CAST(SUM(CASE WHEN is_complete = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS complete_rounds,
+            CAST(SUM(CASE WHEN start_hole != 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS shotgun_starts
+        FROM (
+            SELECT
+                course_id,
+                round_id,
+                MAX(CAST(is_nine_hole AS INTEGER)) AS is_nine_hole,
+                MAX(CAST(is_complete AS INTEGER)) AS is_complete,
+                MIN(start_hole) AS start_hole
+            FROM fact_telemetry_event
+            GROUP BY course_id, round_id
+        )
+        GROUP BY course_id
+        ORDER BY course_id
+    """,
+    doc="Reference parity, per-course round-type census "
+    "(dashboard/utils/queries.py ROUND_TYPES: nine/eighteen-hole, "
+    "complete, shotgun starts) over the events->telemetry bridge — "
+    "all integer-exact.",
+)
+
+q_telemetry_sections_per_hole = Query(
+    name="telemetry_sections_per_hole",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "sections_per_hole"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            hole_number,
+            MIN(section_number) AS section_start,
+            MAX(section_number) AS section_end,
+            COUNT(DISTINCT section_number) AS sections_count,
+            CASE
+                WHEN MIN(section_number) IS NOT NULL AND MAX(section_number) IS NOT NULL
+                THEN MAX(section_number) - MIN(section_number) + 1
+                ELSE NULL
+            END AS section_range
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+          AND hole_number IS NOT NULL
+          AND section_number IS NOT NULL
+        GROUP BY course_id, hole_number
+        ORDER BY course_id, hole_number
+    """,
+    doc="Reference parity, the G4 sections-per-hole topology inference "
+    "shape (dashboard/utils/queries.py SECTIONS_PER_HOLE) over the "
+    "events->telemetry bridge — all integer-exact.",
+)
+
+q_telemetry_rounds_by_weekday = Query(
+    name="telemetry_rounds_by_weekday",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "rounds_by_weekday", fact_sql=_SPARK_BRIDGE_EXT
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT})
+        SELECT
+            course_id,
+            event_weekday,
+            COUNT(DISTINCT round_id) AS round_count
+        FROM fact_telemetry_event
+        WHERE event_weekday IS NOT NULL
+        GROUP BY course_id, event_weekday
+        ORDER BY course_id, event_weekday
+    """,
+    doc="Reference parity, the dashboard's rounds-by-weekday "
+    "distribution (dashboard/utils/queries.py ROUNDS_BY_WEEKDAY — the "
+    "library text, distinct from the gold_rounds_by_weekday MODEL row) "
+    "over the extended bridge's ISO weekday — exact ints.",
+)
+
+q_telemetry_events_by_month = Query(
+    name="telemetry_events_by_month",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "events_by_month", fact_sql=_SPARK_BRIDGE_EXT
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT})
+        SELECT
+            event_year,
+            event_month,
+            COUNT(DISTINCT course_id) AS courses_active,
+            COUNT(DISTINCT round_id) AS rounds,
+            COUNT(*) AS events
+        FROM fact_telemetry_event
+        WHERE event_year IS NOT NULL AND event_month IS NOT NULL
+        GROUP BY event_year, event_month
+        ORDER BY event_year, event_month
+    """,
+    doc="Reference parity, global monthly activity "
+    "(dashboard/utils/queries.py EVENTS_BY_MONTH) over the extended "
+    "bridge's date parts — exact ints.",
+)
+
+q_telemetry_round_length_distribution = Query(
+    name="telemetry_round_length_distribution",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "round_length_distribution"
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        round_holes AS (
+            SELECT
+                course_id,
+                round_id,
+                COUNT(DISTINCT hole_number) AS holes_visited
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE
+              AND hole_number IS NOT NULL
+            GROUP BY course_id, round_id
+        )
+        SELECT
+            course_id,
+            CASE
+                WHEN holes_visited < 9 THEN '<9'
+                WHEN holes_visited = 9 THEN '9'
+                WHEN holes_visited = 18 THEN '18'
+                WHEN holes_visited = 27 THEN '27'
+                WHEN holes_visited > 27 THEN '>27'
+                ELSE 'other (10-26)'
+            END AS round_length_bucket,
+            COUNT(*) AS round_count
+        FROM round_holes
+        GROUP BY course_id, 2
+        ORDER BY course_id, round_length_bucket
+    """,
+    doc="Reference parity, round-length bucket distribution "
+    "(dashboard/utils/queries.py ROUND_LENGTH_DISTRIBUTION; positional "
+    "GROUP BY over the CASE bucket, both engines) over the "
+    "events->telemetry bridge — exact counts; the driver compare "
+    "re-sorts rows, so the display ORDER BY divergence is immaterial.",
+)
+
+q_telemetry_events_per_course = Query(
+    name="telemetry_events_per_course",
+    # avg_events_per_round is decimal-literal arithmetic on Spark
+    # (ROUND(COUNT*1.0/NULLIF(...), 0) -> DECIMAL): cast DOUBLE both
+    # sides, the _missing_pct_as_double rule.
+    build=lambda spark, sf_dir: _cast_cols(
+        _dates_as_ntz(
+            _bridged(spark, sf_dir, "events_per_course"),
+            "first_date",
+            "last_date",
+        ),
+        "double",
+        "avg_events_per_round",
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(DISTINCT round_id) AS rounds,
+            COUNT(*) AS total_events,
+            CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS real_events,
+            CAST(MIN(event_date) AS TIMESTAMP) AS first_date,
+            CAST(MAX(event_date) AS TIMESTAMP) AS last_date,
+            COUNT(DISTINCT event_date) AS playing_days,
+            CAST(ROUND(COUNT(*) * 1.0 / NULLIF(COUNT(DISTINCT round_id), 0), 0)
+                 AS DOUBLE) AS avg_events_per_round
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY total_events DESC
+    """,
+    doc="Reference parity, per-course activity summary "
+    "(dashboard/utils/queries.py EVENTS_PER_COURSE) over the "
+    "events->telemetry bridge — exact counts and date bounds; the "
+    "events-per-round average hashes as a DOUBLE (decimal-literal "
+    "arithmetic, exact at 0 dp on both engines).",
+)
+
+
+R10_STAGED = [
+    q_telemetry_overview_stats,
+    q_telemetry_pace_by_hole,
+    q_telemetry_round_duration_summary,
+    q_telemetry_device_stats,
+    q_telemetry_round_types,
+    q_telemetry_sections_per_hole,
+    q_telemetry_rounds_by_weekday,
+    q_telemetry_events_by_month,
+    q_telemetry_round_length_distribution,
+    q_telemetry_events_per_course,
+]

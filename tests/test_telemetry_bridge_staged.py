@@ -1,25 +1,24 @@
-"""Driver-sim verification for the R9-staged telemetry bridge entries.
+"""Driver-sim verification for staged (not-yet-registered) telemetry
+bridge entries.
 
-The seven staged entries (telemetry_bridge.R9_STAGED) continue the
-dashboard-library rotation (VERDICT r7 item 6): pace-by-section,
-bottleneck classification, the global weekday/hourly/monthly
-distributions, completion rates, and round-validation scoring — all the
-REAL library texts (queries/telemetry.py, reference
-dashboard/utils/queries.py) over the events->telemetry bridge.
-
-They are kept OUT of the registry this round because round 8's sweep
-head is already full and a never-green oracle-backed entry must sit
-inside it (tests/test_registry_order.py); this module holds them to the
+The dashboard-library rotation (VERDICT r7 item 6) lands a few driver
+rows per round; entries built ahead of their promotion round sit in
+`telemetry_bridge.R{N}_STAGED` blocks because a never-green
+oracle-backed entry must occupy a sweep-head slot the round it is
+registered (tests/test_registry_order.py) and the near-term heads are
+full.  This module holds every staged-and-unregistered entry to the
 driver's exact standard in the meantime: the same build(spark, sf_dir)
 vs DuckDB-oracle compare the correctness driver runs.
 
-Round-9 promotion checklist (the R8_STAGED playbook that worked for the
-gold models): append R9_STAGED to QUERIES, slot the names into the
+Promotion checklist per block (the R8_STAGED playbook that worked for
+the gold models): append the block to QUERIES, slot the names into the
 sweep head, record the oracle texts in the ledger
-(tools/update_query_text_hashes.py --round 9), flip
-test_staged_entries_not_yet_registered below to its registered inverse.
-None of the seven emits a timestamp column, so no
-test_tz_independence.TS_QUERIES move is needed.
+(tools/update_query_text_hashes.py --round N).  A block that has been
+promoted drops out of the parametrization below automatically (its
+names appear in the registry), so no test edit is needed at promotion
+time; entries emitting timestamp columns must also be added to
+test_tz_independence.TS_QUERIES (currently: the _dates_as_ntz users
+telemetry_overview_stats and telemetry_events_per_course in R10).
 """
 
 from __future__ import annotations
@@ -28,6 +27,7 @@ import os
 
 import pytest
 
+from tagmarshal_data_lakehouse_spark.queries import registry
 from tagmarshal_data_lakehouse_spark.queries import telemetry_bridge as tb
 
 from .oracle_harness import run_query_pair
@@ -35,8 +35,19 @@ from .oracle_harness import run_query_pair
 _TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 SF_DIR = os.environ.get("STAGED_SF_DIR", f"{_TESTDATA}/sf0.001")
 
+_REGISTERED = set(registry())
 
-@pytest.mark.parametrize("q", tb.R9_STAGED, ids=lambda q: q.name)
+# Every R{N}_STAGED block, in block order; entries already promoted to
+# the registry are excluded (their driver rows are the real check now).
+STAGED = [
+    q
+    for a in sorted(a for a in dir(tb) if a.endswith("_STAGED") and a[0] == "R")
+    for q in getattr(tb, a)
+    if q.name not in _REGISTERED
+]
+
+
+@pytest.mark.parametrize("q", STAGED, ids=lambda q: q.name)
 def test_staged_entry_matches_driver_oracle(spark, q):
     problems = run_query_pair(spark, q, SF_DIR, require_rows=True)
     assert not problems, f"{q.name}: {problems[:3]}"
@@ -45,16 +56,37 @@ def test_staged_entry_matches_driver_oracle(spark, q):
 def test_staged_entries_not_yet_registered():
     """Pre-promotion guard: registering a never-green oracle-backed
     entry mid-round would violate the rotation gate's head-capacity
-    arithmetic. Flip to the registered inverse at the round-9
-    promotion (the test_gold_bridge_staged precedent)."""
-    from tagmarshal_data_lakehouse_spark.queries import registry
-
-    reg = set(registry())
-    leaked = [q.name for q in tb.R9_STAGED if q.name in reg]
+    arithmetic — a staged block must be promoted at a round boundary
+    (the registry append + sweep-head slot together), never leak in
+    piecemeal.  STAGED above already excludes promoted names, so this
+    asserts the exclusion logic saw a consistent registry."""
+    leaked = [q.name for q in STAGED if q.name in _REGISTERED]
     assert not leaked, f"staged entries registered early: {leaked}"
 
 
 def test_staged_entries_have_unique_names_and_oracles():
-    names = [q.name for q in tb.R9_STAGED]
+    names = [q.name for q in STAGED]
     assert len(names) == len(set(names))
-    assert all(q.oracle for q in tb.R9_STAGED)
+    assert all(q.oracle for q in STAGED)
+
+
+# Timestamp-emitting staged entries, pre-verified under the tz gate's
+# nastiest zone BEFORE promotion (the R8_STAGED precedent) — at
+# promotion these names move into test_tz_independence.TS_QUERIES and
+# get the full three-zone sweep.  America/Asuncion: midnight DST gap
+# inside the TPC-H date range, the zone where a DATE-via-LTZ detour is
+# not the identity.
+_TS_STAGED = ["telemetry_overview_stats", "telemetry_events_per_course"]
+
+
+@pytest.mark.parametrize(
+    "q", [q for q in STAGED if q.name in _TS_STAGED], ids=lambda q: q.name
+)
+def test_staged_ts_entry_tz_independent(spark, q):
+    original = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Asuncion")
+    try:
+        problems = run_query_pair(spark, q, SF_DIR, require_rows=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+    assert not problems, f"{q.name} under America/Asuncion: {problems[:3]}"
