@@ -785,34 +785,79 @@ def near_dup_candidate_density(
     return _density_from_banded(banded, None, max_bucket, id_col, n_bands=n_bands)
 
 
+def near_dup_banding_diagnostics(
+    embeddings: DataFrame,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    max_bucket: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Density plus the under-cap alarm, from the SAME one-job ids-only
+    aggregate as `near_dup_candidate_density`: `density` (candidate
+    pairs per vector over valid buckets), `dropped_pair_frac` (share of
+    the total pair mass sitting in buckets ABOVE max_bucket — mass the
+    pair scorers silently exclude), and `capped_buckets`.
+
+    The 1024x octave probe (SCALE.md round 8) showed why this must be
+    observable: once genuine duplicate multiplicity exceeds max_bucket,
+    pair output COLLAPSES (~0.1% recall there) with a healthy-looking
+    plan and wall-clock — a pair count that falls as the corpus grows
+    is under-capped, not cleaner.  At real scale max_bucket must track
+    expected clique size; the verdict paths (minhash_dedup_verdicts,
+    semantic_dedup) are immune by construction (per-doc output)."""
+    banded = _banded_exploded(
+        embeddings, n_bands, planes_per_band, id_col, vec_col, include_vec=False
+    )
+    return _density_from_banded(
+        banded, None, max_bucket, id_col, n_bands=n_bands, full=True
+    )
+
+
 def _density_from_banded(
     banded: DataFrame,
     n: "int | None",
     max_bucket: float,
     id_col: str,
     n_bands: int = 1,
-) -> float:
+    full: bool = False,
+):
     """Candidate pairs per id over a (id, band_id, bucket) frame —
     sum(c·(c-1)/2) across valid buckets (2 <= c <= max_bucket) divided
     by the id count.  With n=None the id count is derived IN the same
     aggregate (every id lands in exactly one bucket per band, so
     sum(c) over ALL buckets == N·n_bands) — one Spark job for the
-    whole selection statistic, no separate count pass."""
+    whole selection statistic, no separate count pass.  The same
+    aggregate also measures the OVER-CAP pair mass (buckets with
+    c > max_bucket, which every pair scorer drops wholesale);
+    full=True returns the diagnostics dict instead of the density
+    float — still one job either way."""
     valid = (F.col("c") >= 2) & (F.col("c") <= F.lit(float(max_bucket)))
+    over = F.col("c") > F.lit(float(max_bucket))
+    pairs = F.col("c") * (F.col("c") - 1) / 2
     row = (
         banded.groupBy("band_id", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(
-            F.coalesce(
-                F.sum(F.when(valid, F.col("c") * (F.col("c") - 1) / 2)), F.lit(0.0)
-            ).alias("cand_pairs"),
+            F.coalesce(F.sum(F.when(valid, pairs)), F.lit(0.0)).alias("cand_pairs"),
+            F.coalesce(F.sum(F.when(over, pairs)), F.lit(0.0)).alias("over_pairs"),
+            F.coalesce(F.sum(F.when(over, 1)), F.lit(0)).alias("capped_buckets"),
             F.coalesce(F.sum("c"), F.lit(0)).alias("total"),
         )
         .collect()[0]
     )
     if n is None:
         n = int(row["total"]) // max(n_bands, 1)
-    return float(row["cand_pairs"]) / max(n, 1)
+    density = float(row["cand_pairs"]) / max(n, 1)
+    if not full:
+        return density
+    mass = float(row["cand_pairs"]) + float(row["over_pairs"])
+    return {
+        "density": density,
+        "dropped_pair_frac": float(row["over_pairs"]) / mass if mass else 0.0,
+        "capped_buckets": int(row["capped_buckets"]),
+        "n_ids": int(n),
+    }
 
 
 def cosine_near_duplicates_lsh_auto(
@@ -858,10 +903,33 @@ def cosine_near_duplicates_lsh_auto(
     accumulated).  The real fix was making projection cheap
     (_banded_exploded's one-GEMM-per-batch banding); with it the extra
     pass is a few percent and the selector keeps zero cached state.
+
+    The same one-job statistic doubles as the UNDER-CAP alarm (the
+    1024x-octave finding, SCALE.md round 8): when most of the banding's
+    pair mass sits in buckets above max_bucket, every pair scorer
+    silently drops those cliques and the output collapses while the
+    plan looks healthy — this emits a UserWarning so the caller learns
+    to raise max_bucket (or planes_per_band) instead of reading the
+    shrunken pair count as a cleaner corpus.
     """
-    density = near_dup_candidate_density(
+    diag = near_dup_banding_diagnostics(
         embeddings, n_bands, planes_per_band, max_bucket, id_col, vec_col
     )
+    if diag["dropped_pair_frac"] > 0.5:
+        import warnings
+
+        warnings.warn(
+            f"near-dup banding is under-capped: {diag['dropped_pair_frac']:.0%} "
+            f"of the candidate-pair mass sits in {diag['capped_buckets']} "
+            f"buckets above max_bucket={max_bucket} and will be silently "
+            "dropped by the pair scorers; raise max_bucket above the "
+            "expected duplicate multiplicity (or add planes_per_band), or "
+            "use a verdict-path dedup (minhash_dedup_verdicts / "
+            "semantic_dedup) whose output is per-doc, not per-pair.",
+            UserWarning,
+            stacklevel=2,
+        )
+    density = diag["density"]
     scorer = (
         cosine_near_duplicates_lsh_gemm
         if density >= gemm_density_cutover

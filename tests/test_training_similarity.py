@@ -519,6 +519,41 @@ def test_semantic_dedup_nan_vector_kept_on_both_scorers(spark):
     assert expr_v[0] == (False, True)  # NaN vector is never dropped
 
 
+def test_under_cap_alarm_fires_on_truncated_cliques(spark):
+    """The 1024x-octave finding (SCALE.md round 8) as engine behavior:
+    when genuine duplicate multiplicity exceeds max_bucket, the pair
+    scorers silently drop whole cliques — the diagnostics must expose
+    the dropped mass and the auto selector must warn, because the
+    failure signature (pair count FALLING on a growing corpus) reads
+    as a cleaner corpus otherwise."""
+    import warnings as _warnings
+
+    # one genuine 60-member clique (near-copies, identical sign
+    # pattern in every band) + a few singletons; cap far below the
+    # clique size
+    rows = [(i, [1.0, 0.5, 0.25, 0.125 + i * 1e-6]) for i in range(60)]
+    rows += [(100 + i, [(-1.0) ** i, float(i), -0.5 * i, 1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(n_bands=4, planes_per_band=2, max_bucket=20)
+
+    diag = similarity.near_dup_banding_diagnostics(df, **kw)
+    assert diag["capped_buckets"] >= 1
+    assert diag["dropped_pair_frac"] > 0.5  # the clique dominates the mass
+    assert diag["n_ids"] == 64
+    # the density float is the same statistic the selector always used
+    assert diag["density"] == similarity.near_dup_candidate_density(df, **kw)
+
+    with pytest.warns(UserWarning, match="under-capped"):
+        similarity.cosine_near_duplicates_lsh_auto(df, threshold=0.9, **kw)
+
+    # raising the cap above the clique size clears the alarm
+    ok = dict(kw, max_bucket=200)
+    assert similarity.near_dup_banding_diagnostics(df, **ok)["dropped_pair_frac"] == 0.0
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        similarity.cosine_near_duplicates_lsh_auto(df, threshold=0.9, **ok)
+
+
 def test_auto_scorer_selects_by_density_and_is_pair_identical(spark, sf_smoke):
     """The density-adaptive selector must (a) pick the expression path
     on a sparse corpus and the GEMM path on a duplication-heavy one —
