@@ -488,6 +488,27 @@ _EST_BYTES_PER_ROW = 400
 _STATS_UNKNOWN_SIZE = (1 << 63) - 1
 
 
+def _estimated_rows(embeddings: DataFrame) -> "int | None":
+    """Catalyst's row estimate for the frame — ZERO Spark jobs.  The
+    optimized plan's rowCount when the optimizer derived one, else
+    sizeInBytes / _EST_BYTES_PER_ROW, else None for unknown statistics
+    (the Long.MaxValue no-estimate sentinel on non-file-backed plans,
+    or no `_jdf` under Spark Connect)."""
+    try:
+        stats = embeddings._jdf.queryExecution().optimizedPlan().stats()
+        row_count = stats.rowCount()
+        if row_count.isDefined():
+            # py4j renders scala.math.BigInt as a Python int when it fits;
+            # str() round-trip covers both that and the raw JavaObject.
+            return int(str(row_count.get()))
+        size = int(str(stats.sizeInBytes()))
+    except Exception:  # no _jdf (Spark Connect) or plan-stats API drift
+        return None
+    if size >= _STATS_UNKNOWN_SIZE:
+        return None
+    return max(size // _EST_BYTES_PER_ROW, 1)
+
+
 def _corpus_is_small(embeddings: DataFrame, threshold_rows: int) -> bool:
     """True iff Catalyst estimates the frame at fewer than
     `threshold_rows` rows — ZERO Spark jobs.  Uses the optimizer's own
@@ -498,25 +519,47 @@ def _corpus_is_small(embeddings: DataFrame, threshold_rows: int) -> bool:
     the savings it arbitrates.
 
     Unknown statistics default to SMALL (the expression branch): a
-    sizeInBytes of Long.MaxValue is Catalyst's no-estimate sentinel for
-    non-file-backed plans (a 10-row createDataFrame corpus must not pay
-    the mapInPandas fixed costs), and the `_jdf` internals are absent
-    under Spark Connect — both routes fall back to the branch whose
-    fixed costs are lowest, and buckets are identical either way
-    (round-7 ADVICE)."""
-    try:
-        stats = embeddings._jdf.queryExecution().optimizedPlan().stats()
-        row_count = stats.rowCount()
-        if row_count.isDefined():
-            # py4j renders scala.math.BigInt as a Python int when it fits;
-            # str() round-trip covers both that and the raw JavaObject.
-            return int(str(row_count.get())) < threshold_rows
-        size = int(str(stats.sizeInBytes()))
-    except Exception:  # no _jdf (Spark Connect) or plan-stats API drift
-        return True
-    if size >= _STATS_UNKNOWN_SIZE:
-        return True
-    return size < threshold_rows * _EST_BYTES_PER_ROW
+    10-row createDataFrame corpus must not pay the mapInPandas fixed
+    costs — the route falls back to the branch whose fixed costs are
+    lowest, and buckets are identical either way (round-7 ADVICE)."""
+    est = _estimated_rows(embeddings)
+    return est is None or est < threshold_rows
+
+
+def resolve_planes_per_band(
+    embeddings: DataFrame,
+    planes_per_band: "int | str",
+    target_bucket: int = 100,
+    lo: int = 3,
+    hi: int = 20,
+) -> int:
+    """The "bucket resolution must grow with log(N)" guidance
+    (SCALE.md rounds 7-8), made mechanical at ZERO Spark jobs.
+
+    ``planes_per_band="auto"`` resolves to
+    clamp(ceil(log2(est_rows / target_bucket)), lo, hi) from Catalyst's
+    own plan statistics — 2^planes buckets per band keeps the AVERAGE
+    bucket near `target_bucket` vectors at any corpus size, which is
+    what keeps candidate mass bounded as the corpus grows (a fixed
+    plane count saturates every bucket past ~4x growth; the 1024x
+    octave showed the downstream failure is a silent recall collapse
+    at the max_bucket cap).  Unknown statistics resolve to `lo`
+    (coarse buckets = highest recall; the candidate mass stays bounded
+    by max_bucket plus the under-cap alarm).  An int passes through
+    untouched.  Resolution is an estimate by design: it tunes recall/
+    cost, and callers that fan one corpus into several banded passes
+    must resolve ONCE and pass the int down so every pass buckets
+    identically (what cosine_near_duplicates_lsh_auto does)."""
+    if not isinstance(planes_per_band, str):
+        return int(planes_per_band)
+    if planes_per_band != "auto":
+        raise ValueError(f"planes_per_band must be an int or 'auto', got {planes_per_band!r}")
+    est = _estimated_rows(embeddings)
+    if est is None:
+        return lo
+    import math as _math
+
+    return max(lo, min(hi, _math.ceil(_math.log2(max(est / target_bucket, 1.0)))))
 
 
 def _gemm_buckets(vec_series, planes, n_groups: int, width: int) -> "np.ndarray":
@@ -604,7 +647,7 @@ def cosine_near_duplicates_lsh(
     embeddings: DataFrame,
     threshold: float = 0.45,
     n_bands: int = 8,
-    planes_per_band: int = 4,
+    planes_per_band: "int | str" = 4,
     max_bucket: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -624,8 +667,11 @@ def cosine_near_duplicates_lsh(
     the band bucket key, pairs generated row-locally from sorted member
     lists, degenerate buckets dropped via max_bucket, candidates
     re-scored through an id-keyed join — the n² cross product is never
-    materialized.
+    materialized.  `planes_per_band="auto"` sizes the bucket
+    resolution from Catalyst plan statistics (resolve_planes_per_band
+    — the log(N) guidance, zero extra jobs).
     """
+    planes_per_band = resolve_planes_per_band(embeddings, planes_per_band)
     banded = _banded_exploded(
         embeddings, n_bands, planes_per_band, id_col, vec_col, include_vec=False
     )
@@ -686,7 +732,7 @@ def cosine_near_duplicates_lsh_gemm(
     embeddings: DataFrame,
     threshold: float = 0.45,
     n_bands: int = 8,
-    planes_per_band: int = 4,
+    planes_per_band: "int | str" = 4,
     max_bucket: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -713,7 +759,9 @@ def cosine_near_duplicates_lsh_gemm(
     sub-threshold candidate mass.  Scores are float64 BLAS sums
     (np.round half-even) — within 1e-6 of the expression path's
     sequential fold, pytest-pinned pair-identical on the fixture.
+    `planes_per_band="auto"` resolves via resolve_planes_per_band.
     """
+    planes_per_band = resolve_planes_per_band(embeddings, planes_per_band)
     banded = _banded_exploded(embeddings, n_bands, planes_per_band, id_col, vec_col)
     return _gemm_pairs_from_banded(banded, threshold, max_bucket, id_col, vec_col)
 
@@ -768,7 +816,7 @@ def _gemm_pairs_from_banded(
 def near_dup_candidate_density(
     embeddings: DataFrame,
     n_bands: int = 8,
-    planes_per_band: int = 4,
+    planes_per_band: "int | str" = 4,
     max_bucket: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -779,6 +827,7 @@ def near_dup_candidate_density(
     the pair-stream mass the expression path would materialize,
     computed from an ids-only pass over the same banding (one bucket
     aggregate, no vectors shuffled, no pairs formed)."""
+    planes_per_band = resolve_planes_per_band(embeddings, planes_per_band)
     banded = _banded_exploded(
         embeddings, n_bands, planes_per_band, id_col, vec_col, include_vec=False
     )
@@ -788,7 +837,7 @@ def near_dup_candidate_density(
 def near_dup_banding_diagnostics(
     embeddings: DataFrame,
     n_bands: int = 8,
-    planes_per_band: int = 4,
+    planes_per_band: "int | str" = 4,
     max_bucket: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -806,6 +855,7 @@ def near_dup_banding_diagnostics(
     is under-capped, not cleaner.  At real scale max_bucket must track
     expected clique size; the verdict paths (minhash_dedup_verdicts,
     semantic_dedup) are immune by construction (per-doc output)."""
+    planes_per_band = resolve_planes_per_band(embeddings, planes_per_band)
     banded = _banded_exploded(
         embeddings, n_bands, planes_per_band, id_col, vec_col, include_vec=False
     )
@@ -864,7 +914,7 @@ def cosine_near_duplicates_lsh_auto(
     embeddings: DataFrame,
     threshold: float = 0.45,
     n_bands: int = 8,
-    planes_per_band: int = 4,
+    planes_per_band: "int | str" = 4,
     max_bucket: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -911,7 +961,13 @@ def cosine_near_duplicates_lsh_auto(
     plan looks healthy — this emits a UserWarning so the caller learns
     to raise max_bucket (or planes_per_band) instead of reading the
     shrunken pair count as a cleaner corpus.
+
+    `planes_per_band="auto"` is resolved ONCE here (from Catalyst plan
+    statistics, resolve_planes_per_band) and the resolved int feeds
+    both the density pass and the chosen scorer, so the decision
+    statistic always describes exactly the banding the scorer applies.
     """
+    planes_per_band = resolve_planes_per_band(embeddings, planes_per_band)
     diag = near_dup_banding_diagnostics(
         embeddings, n_bands, planes_per_band, max_bucket, id_col, vec_col
     )

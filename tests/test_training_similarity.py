@@ -519,6 +519,53 @@ def test_semantic_dedup_nan_vector_kept_on_both_scorers(spark):
     assert expr_v[0] == (False, True)  # NaN vector is never dropped
 
 
+def test_auto_planes_resolution_tracks_corpus_size(spark, sf_smoke):
+    """planes_per_band='auto' makes the log(N) bucket-resolution
+    guidance mechanical: resolved from Catalyst plan statistics (zero
+    jobs), growing with the estimated corpus, falling back to the
+    coarsest (highest-recall) resolution when statistics are unknown,
+    and producing results identical to passing the resolved int."""
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+
+    # int passes through untouched; bogus strings are rejected
+    assert similarity.resolve_planes_per_band(embs, 7) == 7
+    with pytest.raises(ValueError):
+        similarity.resolve_planes_per_band(embs, "autoo")
+
+    # file-backed: resolution follows the documented formula on
+    # Catalyst's own estimate
+    import math
+
+    est = similarity._estimated_rows(embs)
+    assert est is not None and est > 0
+    expected = max(3, min(20, math.ceil(math.log2(max(est / 100, 1.0)))))
+    res = similarity.resolve_planes_per_band(embs, "auto")
+    assert res == expected
+
+    # a 64x-amplified plan resolves to MORE planes (stats propagate
+    # through the cross join) — the anti-saturation property
+    import pyspark.sql.functions as F
+
+    big = embs.crossJoin(F.broadcast(spark.range(64).toDF("__rep")))
+    assert similarity.resolve_planes_per_band(big, "auto") > res
+
+    # unknown statistics (createDataFrame -> LogicalRDD) -> lo
+    local = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    assert similarity.resolve_planes_per_band(local, "auto") == 3
+
+    # 'auto' and the resolved int produce the identical pair set
+    kw = dict(threshold=0.45, n_bands=12, max_bucket=200)
+    auto_pairs = _pairs(
+        similarity.cosine_near_duplicates_lsh(embs, planes_per_band="auto", **kw)
+    )
+    int_pairs = _pairs(
+        similarity.cosine_near_duplicates_lsh(embs, planes_per_band=res, **kw)
+    )
+    assert auto_pairs == int_pairs
+
+
 def test_under_cap_alarm_fires_on_truncated_cliques(spark):
     """The 1024x-octave finding (SCALE.md round 8) as engine behavior:
     when genuine duplicate multiplicity exceeds max_bucket, the pair
