@@ -2789,3 +2789,415 @@ R10_STAGED = [
     q_telemetry_round_length_distribution,
     q_telemetry_events_per_course,
 ]
+
+
+# ---------------------------------------------------------------------------
+# R11-STAGED entries: the fourth dashboard-library batch — the global
+# comparison tab and the data-quality family.  Two new bridge VARIANTS
+# unlock texts the base bridge could not exercise (both are NEW wrapper
+# texts; the green base/EXT strings stay byte-identical):
+#
+# - _SPARK/_DUCK_BRIDGE_PAD replaces the base bridge's constant
+#   is_location_padding=FALSE with a deterministic stripe
+#   (location_index % 7 = 0, a fresh prime), so padding_analysis — a
+#   query ABOUT padding — measures something real instead of a column
+#   of zeros.  Spark spells the column swap `* EXCEPT`, DuckDB
+#   `* EXCLUDE` (verified identical output column sets).
+# - _SPARK/_DUCK_BRIDGE_EXT2 wraps the EXT bridge with the two
+#   remaining reference-schema columns the quality family reads
+#   (current_hole / current_hole_section, fresh primes 71/73 for their
+#   NULL stripes).
+#
+# Exactness per the R10 rules: decimal-literal pct columns hash as
+# DOUBLEs (cast both sides), ROUNDed averages go through _duck_round,
+# engine-specific percentile sketches and two composite decimal-
+# division chains (quality_score and the ranking's avg_quality_score,
+# where Spark and DuckDB decimal-division scale rules genuinely
+# diverge) leave the hashed projection via registry shims.
+# ---------------------------------------------------------------------------
+
+_BRIDGE_PAD_TEMPLATE = """
+    SELECT b.* {exclude} (is_location_padding),
+           location_index % 7 = 0 AS is_location_padding
+    FROM ({inner}) b
+"""
+_SPARK_BRIDGE_PAD = _BRIDGE_PAD_TEMPLATE.format(exclude="EXCEPT", inner=_SPARK_BRIDGE)
+_DUCK_BRIDGE_PAD = _BRIDGE_PAD_TEMPLATE.format(exclude="EXCLUDE", inner=_DUCK_BRIDGE)
+
+_BRIDGE_EXT2_TEMPLATE = """
+    SELECT b.*,
+           CASE WHEN location_index % 71 = 0 THEN CAST(NULL AS INT)
+                ELSE CAST(location_index % 18 + 1 AS INT) END AS current_hole,
+           CASE WHEN location_index % 73 = 0 THEN CAST(NULL AS INT)
+                ELSE CAST(location_index % 3 + 1 AS INT) END AS current_hole_section
+    FROM ({inner}) b
+"""
+_SPARK_BRIDGE_EXT2 = _BRIDGE_EXT2_TEMPLATE.format(inner=_SPARK_BRIDGE_EXT)
+_DUCK_BRIDGE_EXT2 = _BRIDGE_EXT2_TEMPLATE.format(inner=_DUCK_BRIDGE_EXT)
+
+
+def _pct(cond: str, n: int = 1, denom: str = "COUNT(*)") -> str:
+    """The library's ROUND(100.0 * SUM(CASE)/denom, n) completeness
+    idiom in its oracle form: DOUBLE-cast (the _missing_pct_as_double
+    rule — Spark types the decimal-literal arithmetic DECIMAL)."""
+    return (
+        f"CAST(ROUND(100.0 * SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) / {denom}, {n})"
+        " AS DOUBLE)"
+    )
+
+
+q_telemetry_course_summary = Query(
+    name="telemetry_course_summary",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _bridged(spark, sf_dir, "course_summary"), "first_date", "last_date"
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(DISTINCT round_id) AS round_count,
+            COUNT(*) AS event_count,
+            CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS real_events,
+            CAST(MIN(event_date) AS TIMESTAMP) AS first_date,
+            CAST(MAX(event_date) AS TIMESTAMP) AS last_date,
+            CAST(DATE_DIFF('day', MIN(event_date), MAX(event_date)) AS INT) + 1
+                AS total_days,
+            COUNT(DISTINCT CASE WHEN is_location_padding = FALSE
+                                THEN event_date END) AS playing_days,
+            MAX(section_number) AS max_section,
+            MAX(hole_number) AS max_hole,
+            CASE
+                WHEN MAX(hole_number) >= 10 THEN '18-hole'
+                WHEN MAX(section_number) > 54 THEN '27-hole'
+                WHEN MAX(section_number) > 27 THEN '18-hole (loop)'
+                ELSE '9-hole'
+            END AS inferred_type
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY course_id
+    """,
+    doc="Reference parity, per-course summary with G3 course-type "
+    "inference (dashboard/utils/queries.py COURSE_SUMMARY) over the "
+    "events->telemetry bridge — exact ints and date bounds (Spark "
+    "DATEDIFF == DuckDB DATE_DIFF('day') on DATE inputs).",
+)
+
+q_telemetry_infrastructure_stats = Query(
+    name="telemetry_infrastructure_stats",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _bridged(spark, sf_dir, "infrastructure_stats"),
+        "earliest_date",
+        "latest_date",
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            COUNT(DISTINCT course_id) AS total_courses,
+            COUNT(DISTINCT round_id) AS total_rounds,
+            COUNT(*) AS total_events,
+            CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS real_events,
+            CAST(MIN(event_date) AS TIMESTAMP) AS earliest_date,
+            CAST(MAX(event_date) AS TIMESTAMP) AS latest_date,
+            COUNT(DISTINCT event_date) AS total_days,
+            COUNT(DISTINCT ingest_date) AS ingest_batches
+        FROM fact_telemetry_event
+    """,
+    doc="Reference parity, the infrastructure overview strip "
+    "(dashboard/utils/queries.py INFRASTRUCTURE_STATS) over the "
+    "events->telemetry bridge — exact counts, date bounds, and "
+    "ingest-batch census.",
+)
+
+_CC_PCTS = [
+    ("pace_pct", "pace IS NOT NULL"),
+    ("pace_gap_pct", "pace_gap IS NOT NULL"),
+    ("hole_pct", "hole_number IS NOT NULL"),
+    ("section_pct", "section_number IS NOT NULL"),
+    ("gps_pct", "latitude IS NOT NULL AND longitude IS NOT NULL"),
+    ("fix_timestamp_pct", "fix_timestamp IS NOT NULL"),
+    ("start_hole_pct", "start_hole IS NOT NULL"),
+    ("start_section_pct", "start_section IS NOT NULL"),
+    ("is_complete_pct", "is_complete IS NOT NULL"),
+    ("battery_pct", "battery_percentage IS NOT NULL"),
+    ("device_pct", "device IS NOT NULL"),
+]
+
+q_telemetry_column_completeness = Query(
+    name="telemetry_column_completeness",
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(spark, sf_dir, "column_completeness"),
+        "double",
+        *[name for name, _ in _CC_PCTS],
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(*) AS total_events,
+            {", ".join(f"{_pct(cond)} AS {name}" for name, cond in [(n, c) for n, c in _CC_PCTS][:6])},
+            {", ".join(f"{_pct(cond)} AS {name}" for name, cond in [(n, c) for n, c in _CC_PCTS][6:])}
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+        GROUP BY course_id
+        ORDER BY course_id
+    """,
+    doc="Reference parity, per-course column completeness "
+    "(dashboard/utils/queries.py COLUMN_COMPLETENESS) over the bridge's "
+    "deterministic NULL stripes — all eleven pct columns hash as "
+    "DOUBLEs (decimal-literal arithmetic, the _missing_pct rule).",
+)
+
+_DQS_PCTS = [
+    ("pace_pct", "pace IS NOT NULL"),
+    ("pace_gap_pct", "pace_gap IS NOT NULL"),
+    ("positional_gap_pct", "positional_gap IS NOT NULL"),
+    ("gps_complete_pct", "latitude IS NOT NULL AND longitude IS NOT NULL"),
+    ("fix_timestamp_pct", "fix_timestamp IS NOT NULL"),
+    ("hole_pct", "hole_number IS NOT NULL"),
+    ("section_pct", "section_number IS NOT NULL"),
+    ("location_index_pct", "location_index IS NOT NULL"),
+    ("current_hole_pct", "current_hole IS NOT NULL"),
+    ("current_hole_section_pct", "current_hole_section IS NOT NULL"),
+    ("round_start_time_pct", "round_start_time IS NOT NULL"),
+    ("round_end_time_pct", "round_end_time IS NOT NULL"),
+    ("start_hole_pct", "start_hole IS NOT NULL"),
+    ("start_section_pct", "start_section IS NOT NULL"),
+    ("is_complete_pct", "is_complete IS NOT NULL"),
+    ("goal_name_pct", "goal_name IS NOT NULL"),
+    ("is_projected_pct", "is_projected IS NOT NULL"),
+    ("is_problem_pct", "is_problem IS NOT NULL"),
+    ("device_pct", "device IS NOT NULL"),
+    ("battery_pct", "battery_percentage IS NOT NULL"),
+]
+
+q_telemetry_data_quality_score = Query(
+    name="telemetry_data_quality_score",
+    # Registry shim: the weighted composite quality_score and its CASE
+    # category leave the hashed projection — Spark and DuckDB decimal-
+    # DIVISION scale rules genuinely diverge on the 17-term weighted
+    # chain, unlike the single-ratio pct columns (which hash as
+    # DOUBLEs, all twenty of them).
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(
+            spark, sf_dir, "data_quality_score", fact_sql=_SPARK_BRIDGE_EXT2
+        ).drop("quality_score", "quality_category"),
+        "double",
+        *[name for name, _ in _DQS_PCTS],
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT2})
+        SELECT
+            course_id,
+            COUNT(*) AS total_events,
+            {", ".join(f"{_pct(cond, 1, 'NULLIF(COUNT(*), 0)')} AS {name}" for name, cond in _DQS_PCTS)}
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+        GROUP BY course_id
+        ORDER BY course_id
+    """,
+    doc="Reference parity, the 20-column data-quality scorecard "
+    "(dashboard/utils/queries.py DATA_QUALITY_SCORE) over the EXT2 "
+    "bridge (adds current_hole/current_hole_section stripes); every "
+    "single-ratio pct hashes, only the weighted composite and its "
+    "category bucket are shimmed (cross-engine decimal-division "
+    "scale divergence).",
+)
+
+q_telemetry_global_device_fleet = Query(
+    name="telemetry_global_device_fleet",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "global_device_fleet"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(DISTINCT device) AS unique_devices,
+            COUNT(DISTINCT round_id) AS rounds_tracked,
+            {_duck_round("CAST(COUNT(DISTINCT round_id) AS DOUBLE) / NULLIF(COUNT(DISTINCT device), 0)", 1)} AS rounds_per_device,
+            {_duck_round(_dexact_avg("battery_percentage"), 1)} AS avg_battery,
+            {_duck_round("MIN(battery_percentage)", 1)} AS min_battery,
+            CAST(SUM(CASE WHEN battery_percentage < 20 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS low_battery_events,
+            CAST(SUM(CASE WHEN is_problem = TRUE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS problem_events
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+        GROUP BY course_id
+        ORDER BY unique_devices DESC
+    """,
+    doc="Reference parity, the global device-fleet comparison "
+    "(dashboard/utils/queries.py GLOBAL_DEVICE_FLEET) over the "
+    "events->telemetry bridge — every column hashes (double-division "
+    "and decimal-exact averages through the ROUND idiom).",
+)
+
+_GPC_AVG = _dexact_avg("pace")
+_GPC_STDDEV = (
+    "(CASE WHEN COUNT(pace) > 1 THEN SQRT(GREATEST((CAST(SUM(CAST("
+    "CAST(pace AS DECIMAL(18,6)) * CAST(pace AS DECIMAL(18,6)) "
+    "AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST(pace AS DECIMAL(18,6))) "
+    "AS DOUBLE) * CAST(SUM(CAST(pace AS DECIMAL(18,6))) AS DOUBLE) / "
+    "CAST(COUNT(pace) AS DOUBLE)) / (CAST(COUNT(pace) AS DOUBLE) - "
+    "1.0e0), 0.0e0)) END)"
+)
+
+q_telemetry_global_pace_comparison = Query(
+    name="telemetry_global_pace_comparison",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "global_pace_comparison"
+    ).drop("median_pace"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(DISTINCT round_id) AS round_count,
+            {_duck_round(_GPC_AVG, 1)} AS avg_pace,
+            {_duck_round("MIN(pace)", 1)} AS min_pace,
+            {_duck_round("MAX(pace)", 1)} AS max_pace,
+            {_duck_round(_GPC_STDDEV, 1)} AS pace_stddev,
+            {_duck_round(_dexact_avg("pace_gap"), 1)} AS avg_pace_gap
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+          AND pace IS NOT NULL
+          AND pace > 0
+          AND pace < 600
+        GROUP BY course_id
+        ORDER BY avg_pace
+    """,
+    doc="Reference parity, cross-course pace comparison "
+    "(dashboard/utils/queries.py GLOBAL_PACE_COMPARISON) over the "
+    "events->telemetry bridge; only the approx median is shimmed, "
+    "avg/min/max/stddev/pace-gap hash via the ROUND idiom.",
+)
+
+_GRD_AVG = _dexact_avg("duration_minutes")
+_GRD_STDDEV = (
+    "(CASE WHEN COUNT(duration_minutes) > 1 THEN SQRT(GREATEST((CAST(SUM(CAST("
+    "CAST(duration_minutes AS DECIMAL(18,6)) * CAST(duration_minutes AS DECIMAL(18,6)) "
+    "AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST(duration_minutes AS DECIMAL(18,6))) "
+    "AS DOUBLE) * CAST(SUM(CAST(duration_minutes AS DECIMAL(18,6))) AS DOUBLE) / "
+    "CAST(COUNT(duration_minutes) AS DOUBLE)) / (CAST(COUNT(duration_minutes) AS DOUBLE) - "
+    "1.0e0), 0.0e0)) END)"
+)
+
+q_telemetry_global_round_duration_comparison = Query(
+    name="telemetry_global_round_duration_comparison",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "global_round_duration_comparison"
+    ).drop("median_duration_min"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        round_durations AS (
+            SELECT
+                course_id,
+                round_id,
+                MAX(round_duration_minutes) AS duration_minutes,
+                MAX(CAST(is_nine_hole AS INTEGER)) = 1 AS is_nine_hole
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE
+              AND round_duration_minutes IS NOT NULL
+              AND round_duration_minutes > 30
+              AND round_duration_minutes < 480
+            GROUP BY course_id, round_id
+        )
+        SELECT
+            course_id,
+            COUNT(*) AS round_count,
+            {_duck_round(_GRD_AVG, 0)} AS avg_duration_min,
+            CAST(ROUND(MIN(duration_minutes), 0) AS BIGINT) AS min_duration_min,
+            CAST(ROUND(MAX(duration_minutes), 0) AS BIGINT) AS max_duration_min,
+            {_duck_round(_GRD_STDDEV, 0)} AS duration_stddev,
+            CAST(SUM(CASE WHEN is_nine_hole THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nine_hole_rounds,
+            CAST(SUM(CASE WHEN NOT is_nine_hole THEN 1 ELSE 0 END)
+                 AS BIGINT) AS full_rounds
+        FROM round_durations
+        GROUP BY course_id
+        ORDER BY avg_duration_min
+    """,
+    doc="Reference parity, cross-course round-duration comparison "
+    "(dashboard/utils/queries.py GLOBAL_ROUND_DURATION_COMPARISON) over "
+    "the bridge's integer-exact µs-derived durations; only the approx "
+    "median is shimmed.",
+)
+
+q_telemetry_global_data_quality_ranking = Query(
+    name="telemetry_global_data_quality_ranking",
+    # Registry shim: avg_quality_score (composite decimal division) and
+    # quality_rank (a RANK over that composite — a value divergence
+    # would silently reorder it) leave the hashed projection; the four
+    # single-ratio completeness columns hash as DOUBLEs.
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(spark, sf_dir, "global_data_quality_ranking").drop(
+            "avg_quality_score", "quality_rank"
+        ),
+        "double",
+        "pace_completeness",
+        "gps_completeness",
+        "hole_completeness",
+        "timestamp_completeness",
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(*) AS total_events,
+            {_pct("pace IS NOT NULL", 1, "NULLIF(COUNT(*), 0)")} AS pace_completeness,
+            {_pct("latitude IS NOT NULL AND longitude IS NOT NULL", 1, "NULLIF(COUNT(*), 0)")} AS gps_completeness,
+            {_pct("hole_number IS NOT NULL", 1, "NULLIF(COUNT(*), 0)")} AS hole_completeness,
+            {_pct("fix_timestamp IS NOT NULL", 1, "NULLIF(COUNT(*), 0)")} AS timestamp_completeness
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+        GROUP BY course_id
+        ORDER BY course_id
+    """,
+    doc="Reference parity, the global data-quality ranking's "
+    "completeness columns (dashboard/utils/queries.py "
+    "GLOBAL_DATA_QUALITY_RANKING); the composite average and its RANK "
+    "are shimmed (decimal-division divergence would silently reorder "
+    "the rank), the four ratios hash as DOUBLEs.",
+)
+
+q_telemetry_padding_analysis = Query(
+    name="telemetry_padding_analysis",
+    # Runs on the PAD bridge variant: a real padding stripe
+    # (location_index % 7) instead of the base bridge's constant FALSE,
+    # so a query ABOUT padding measures something non-trivial.
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(spark, sf_dir, "padding_analysis", fact_sql=_SPARK_BRIDGE_PAD),
+        "double",
+        "padding_pct",
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_PAD})
+        SELECT
+            course_id,
+            COUNT(*) AS total_events,
+            CAST(SUM(CASE WHEN is_location_padding = TRUE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS padding_events,
+            CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS real_events,
+            {_pct("is_location_padding = TRUE")} AS padding_pct
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY padding_pct DESC
+    """,
+    doc="Reference parity, the padding-rate audit "
+    "(dashboard/utils/queries.py PADDING_ANALYSIS) over the PAD bridge "
+    "variant's deterministic padding stripe — counts exact, the rate "
+    "hashes as a DOUBLE.",
+)
+
+
+R11_STAGED = [
+    q_telemetry_course_summary,
+    q_telemetry_infrastructure_stats,
+    q_telemetry_column_completeness,
+    q_telemetry_data_quality_score,
+    q_telemetry_global_device_fleet,
+    q_telemetry_global_pace_comparison,
+    q_telemetry_global_round_duration_comparison,
+    q_telemetry_global_data_quality_ranking,
+    q_telemetry_padding_analysis,
+]

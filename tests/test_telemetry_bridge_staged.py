@@ -76,7 +76,12 @@ def test_staged_entries_have_unique_names_and_oracles():
 # get the full three-zone sweep.  America/Asuncion: midnight DST gap
 # inside the TPC-H date range, the zone where a DATE-via-LTZ detour is
 # not the identity.
-_TS_STAGED = ["telemetry_overview_stats", "telemetry_events_per_course"]
+_TS_STAGED = [
+    "telemetry_overview_stats",
+    "telemetry_events_per_course",
+    "telemetry_course_summary",
+    "telemetry_infrastructure_stats",
+]
 
 
 @pytest.mark.parametrize(
