@@ -2429,6 +2429,32 @@ def _dexact_avg(col: str) -> str:
     return f"(CAST(SUM(CAST({col} AS DECIMAL(28,10))) AS DOUBLE) / COUNT({col}))"
 
 
+def _dexact_std(col: str) -> str:
+    """The library's decimal-exact sample-STDDEV rewrite
+    (telemetry._exact_avg_std std form) — exact decimal moment sums,
+    one IEEE-pinned SQRT; must stay byte-equivalent to the rewrite the
+    Spark-side texts run, so every oracle spells it through this ONE
+    helper."""
+    return (
+        f"(CASE WHEN COUNT({col}) > 1 THEN SQRT(GREATEST((CAST(SUM(CAST("
+        f"CAST({col} AS DECIMAL(18,6)) * CAST({col} AS DECIMAL(18,6)) "
+        f"AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST({col} AS DECIMAL(18,6))) "
+        f"AS DOUBLE) * CAST(SUM(CAST({col} AS DECIMAL(18,6))) AS DOUBLE) / "
+        f"CAST(COUNT({col}) AS DOUBLE)) / (CAST(COUNT({col}) AS DOUBLE) - "
+        "1.0e0), 0.0e0)) END)"
+    )
+
+
+def _pct(cond: str, n: int = 1, denom: str = "COUNT(*)") -> str:
+    """The library's ROUND(100.0 * SUM(CASE)/denom, n) completeness
+    idiom in its oracle form: DOUBLE-cast (the _missing_pct_as_double
+    rule — Spark types the decimal-literal arithmetic DECIMAL)."""
+    return (
+        f"CAST(ROUND(100.0 * SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) / {denom}, {n})"
+        " AS DOUBLE)"
+    )
+
+
 q_telemetry_overview_stats = Query(
     name="telemetry_overview_stats",
     build=lambda spark, sf_dir: _dates_as_ntz(
@@ -2452,14 +2478,7 @@ q_telemetry_overview_stats = Query(
 )
 
 _PBH_AVG = _dexact_avg("hp.pace")
-_PBH_STDDEV = (
-    "(CASE WHEN COUNT(hp.pace) > 1 THEN SQRT(GREATEST((CAST(SUM(CAST("
-    "CAST(hp.pace AS DECIMAL(18,6)) * CAST(hp.pace AS DECIMAL(18,6)) "
-    "AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST(hp.pace AS DECIMAL(18,6))) "
-    "AS DOUBLE) * CAST(SUM(CAST(hp.pace AS DECIMAL(18,6))) AS DOUBLE) / "
-    "CAST(COUNT(hp.pace) AS DOUBLE)) / (CAST(COUNT(hp.pace) AS DOUBLE) - "
-    "1.0e0), 0.0e0)) END)"
-)
+_PBH_STDDEV = _dexact_std("hp.pace")
 
 q_telemetry_pace_by_hole = Query(
     name="telemetry_pace_by_hole",
@@ -2542,11 +2561,6 @@ q_telemetry_round_duration_summary = Query(
     "ROUND idiom.",
 )
 
-_DS_PCT = (
-    "CAST(ROUND(100.0 * SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) / COUNT(*), 1)"
-    " AS DOUBLE)"
-)
-
 q_telemetry_device_stats = Query(
     name="telemetry_device_stats",
     # The four decimal-literal pct columns are DECIMAL-typed on Spark
@@ -2569,16 +2583,16 @@ q_telemetry_device_stats = Query(
             COUNT(*) AS total_events,
             CAST(SUM(CASE WHEN battery_percentage < 20 THEN 1 ELSE 0 END)
                  AS BIGINT) AS low_battery_events,
-            {_DS_PCT.format(cond="battery_percentage < 20")} AS low_battery_pct,
+            {_pct("battery_percentage < 20")} AS low_battery_pct,
             CAST(SUM(CASE WHEN is_cache = TRUE THEN 1 ELSE 0 END)
                  AS BIGINT) AS cached_events,
-            {_DS_PCT.format(cond="is_cache = TRUE")} AS cached_pct,
+            {_pct("is_cache = TRUE")} AS cached_pct,
             CAST(SUM(CASE WHEN is_problem = TRUE THEN 1 ELSE 0 END)
                  AS BIGINT) AS problem_events,
-            {_DS_PCT.format(cond="is_problem = TRUE")} AS problem_pct,
+            {_pct("is_problem = TRUE")} AS problem_pct,
             CAST(SUM(CASE WHEN is_projected = TRUE THEN 1 ELSE 0 END)
                  AS BIGINT) AS projected_events,
-            {_DS_PCT.format(cond="is_projected = TRUE")} AS projected_pct
+            {_pct("is_projected = TRUE")} AS projected_pct
         FROM fact_telemetry_event
         WHERE is_location_padding = FALSE
         GROUP BY course_id
@@ -2836,16 +2850,6 @@ _SPARK_BRIDGE_EXT2 = _BRIDGE_EXT2_TEMPLATE.format(inner=_SPARK_BRIDGE_EXT)
 _DUCK_BRIDGE_EXT2 = _BRIDGE_EXT2_TEMPLATE.format(inner=_DUCK_BRIDGE_EXT)
 
 
-def _pct(cond: str, n: int = 1, denom: str = "COUNT(*)") -> str:
-    """The library's ROUND(100.0 * SUM(CASE)/denom, n) completeness
-    idiom in its oracle form: DOUBLE-cast (the _missing_pct_as_double
-    rule — Spark types the decimal-literal arithmetic DECIMAL)."""
-    return (
-        f"CAST(ROUND(100.0 * SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) / {denom}, {n})"
-        " AS DOUBLE)"
-    )
-
-
 q_telemetry_course_summary = Query(
     name="telemetry_course_summary",
     build=lambda spark, sf_dir: _dates_as_ntz(
@@ -2936,8 +2940,7 @@ q_telemetry_column_completeness = Query(
         SELECT
             course_id,
             COUNT(*) AS total_events,
-            {", ".join(f"{_pct(cond)} AS {name}" for name, cond in [(n, c) for n, c in _CC_PCTS][:6])},
-            {", ".join(f"{_pct(cond)} AS {name}" for name, cond in [(n, c) for n, c in _CC_PCTS][6:])}
+            {", ".join(f"{_pct(cond)} AS {name}" for name, cond in _CC_PCTS)}
         FROM fact_telemetry_event
         WHERE is_location_padding = FALSE
         GROUP BY course_id
@@ -3033,14 +3036,7 @@ q_telemetry_global_device_fleet = Query(
 )
 
 _GPC_AVG = _dexact_avg("pace")
-_GPC_STDDEV = (
-    "(CASE WHEN COUNT(pace) > 1 THEN SQRT(GREATEST((CAST(SUM(CAST("
-    "CAST(pace AS DECIMAL(18,6)) * CAST(pace AS DECIMAL(18,6)) "
-    "AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST(pace AS DECIMAL(18,6))) "
-    "AS DOUBLE) * CAST(SUM(CAST(pace AS DECIMAL(18,6))) AS DOUBLE) / "
-    "CAST(COUNT(pace) AS DOUBLE)) / (CAST(COUNT(pace) AS DOUBLE) - "
-    "1.0e0), 0.0e0)) END)"
-)
+_GPC_STDDEV = _dexact_std("pace")
 
 q_telemetry_global_pace_comparison = Query(
     name="telemetry_global_pace_comparison",
@@ -3072,14 +3068,7 @@ q_telemetry_global_pace_comparison = Query(
 )
 
 _GRD_AVG = _dexact_avg("duration_minutes")
-_GRD_STDDEV = (
-    "(CASE WHEN COUNT(duration_minutes) > 1 THEN SQRT(GREATEST((CAST(SUM(CAST("
-    "CAST(duration_minutes AS DECIMAL(18,6)) * CAST(duration_minutes AS DECIMAL(18,6)) "
-    "AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST(duration_minutes AS DECIMAL(18,6))) "
-    "AS DOUBLE) * CAST(SUM(CAST(duration_minutes AS DECIMAL(18,6))) AS DOUBLE) / "
-    "CAST(COUNT(duration_minutes) AS DOUBLE)) / (CAST(COUNT(duration_minutes) AS DOUBLE) - "
-    "1.0e0), 0.0e0)) END)"
-)
+_GRD_STDDEV = _dexact_std("duration_minutes")
 
 q_telemetry_global_round_duration_comparison = Query(
     name="telemetry_global_round_duration_comparison",

@@ -16,9 +16,11 @@ sweep head, record the oracle texts in the ledger
 (tools/update_query_text_hashes.py --round N).  A block that has been
 promoted drops out of the parametrization below automatically (its
 names appear in the registry), so no test edit is needed at promotion
-time; entries emitting timestamp columns must also be added to
-test_tz_independence.TS_QUERIES (currently: the _dates_as_ntz users
-telemetry_overview_stats and telemetry_events_per_course in R10).
+time; every promoted name listed in _TS_STAGED below (the
+_dates_as_ntz users) must simultaneously move into
+test_tz_independence.TS_QUERIES — promotion removes it from the staged
+single-zone check here, and only the TS_QUERIES move keeps (and
+widens) its timezone coverage.
 """
 
 from __future__ import annotations
@@ -37,14 +39,15 @@ SF_DIR = os.environ.get("STAGED_SF_DIR", f"{_TESTDATA}/sf0.001")
 
 _REGISTERED = set(registry())
 
-# Every R{N}_STAGED block, in block order; entries already promoted to
-# the registry are excluded (their driver rows are the real check now).
-STAGED = [
-    q
+# Every R{N}_STAGED block (lexicographic attribute order — fine, names
+# are unique and ordering only affects test ids); entries already
+# promoted to the registry are excluded (their driver rows are the real
+# check now).
+_BLOCKS = {
+    a: list(getattr(tb, a))
     for a in sorted(a for a in dir(tb) if a.endswith("_STAGED") and a[0] == "R")
-    for q in getattr(tb, a)
-    if q.name not in _REGISTERED
-]
+}
+STAGED = [q for qs in _BLOCKS.values() for q in qs if q.name not in _REGISTERED]
 
 
 @pytest.mark.parametrize("q", STAGED, ids=lambda q: q.name)
@@ -53,15 +56,20 @@ def test_staged_entry_matches_driver_oracle(spark, q):
     assert not problems, f"{q.name}: {problems[:3]}"
 
 
-def test_staged_entries_not_yet_registered():
+def test_staged_blocks_promote_whole_or_not_at_all():
     """Pre-promotion guard: registering a never-green oracle-backed
     entry mid-round would violate the rotation gate's head-capacity
-    arithmetic — a staged block must be promoted at a round boundary
-    (the registry append + sweep-head slot together), never leak in
-    piecemeal.  STAGED above already excludes promoted names, so this
-    asserts the exclusion logic saw a consistent registry."""
-    leaked = [q.name for q in STAGED if q.name in _REGISTERED]
-    assert not leaked, f"staged entries registered early: {leaked}"
+    arithmetic — a staged block is promoted at a round boundary as a
+    UNIT (the registry append + sweep-head slots together), never
+    piecemeal.  A partially-registered block is therefore always a
+    mistake: the registered names sit outside the sweep head while
+    their block-mates silently keep running only the staged check."""
+    partial = {
+        a: sorted(q.name for q in qs if q.name in _REGISTERED)
+        for a, qs in _BLOCKS.items()
+        if 0 < sum(q.name in _REGISTERED for q in qs) < len(qs)
+    }
+    assert not partial, f"staged blocks partially registered: {partial}"
 
 
 def test_staged_entries_have_unique_names_and_oracles():
