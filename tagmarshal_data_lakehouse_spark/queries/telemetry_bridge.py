@@ -3190,3 +3190,395 @@ R11_STAGED = [
     q_telemetry_global_data_quality_ranking,
     q_telemetry_padding_analysis,
 ]
+
+
+# ---------------------------------------------------------------------------
+# R12-STAGED entries: the fifth dashboard-library batch — the exploration
+# notebook family (`expl_*`: exploration/*.sql in the reference, served by
+# run_telemetry_query).  Three of them read GOLD MODEL tables rather than
+# the fact: `_expl_on_model` materializes the model's real chain over the
+# bridge (the `_gold_on_bridge` machinery), registers the model frame under
+# its dbt name, and runs the REAL exploration text on top — the reference's
+# own shape, where exploration SQL reads the stored model table.  Their
+# oracles WRAP the registered gold entries' oracle texts as subqueries
+# (single-sourced: a bridge/model edit flows into both), re-rounding
+# display columns through `_duck_round` (re-ROUNDing an exact 2-dp DOUBLE
+# at 1 dp is a half-boundary hazard — 3.45 rounds up on Spark's exact
+# decimal but down through a raw double round; the shortest-decimal idiom
+# recovers the exact value).  Composite multi-ratio scores summed from
+# per-ratio divisions (overall_completeness_score) are shimmed, same class
+# as R11's quality_score.
+# ---------------------------------------------------------------------------
+
+
+def _expl_on_model(
+    spark: SparkSession, sf_dir: str, model: str, name: str
+) -> DataFrame:
+    """Run an exploration library text that reads a gold MODEL table:
+    build the model's dependency chain over the bridge (real gold
+    texts), register the model frame under its name, run the real
+    exploration text on top."""
+    from . import telemetry
+
+    _gold_on_bridge(spark, sf_dir, model).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView(model)
+    return spark.sql(telemetry.TELEMETRY_QUERIES[name])
+
+
+# The registered gold entries' oracle texts, wrapped as subqueries by the
+# model-reading exploration oracles below (single-sourced chains).
+_REG_CCA_ORACLE = q_gold_course_configuration.oracle
+_REG_CCG_ORACLE = q_gold_critical_column_gaps.oracle
+
+
+q_telemetry_expl_executive_summary = Query(
+    name="telemetry_expl_executive_summary",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "expl_executive_summary"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            COUNT(DISTINCT course_id) AS total_courses,
+            COUNT(DISTINCT round_id) AS total_rounds,
+            COUNT(*) AS total_events
+        FROM fact_telemetry_event
+    """,
+    doc="Reference parity, the exploration notebook's executive "
+    "summary (exploration SQL; run_telemetry_query"
+    "('expl_executive_summary')) — exact counts.",
+)
+
+q_telemetry_expl_battery_analysis = Query(
+    name="telemetry_expl_battery_analysis",
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(spark, sf_dir, "expl_battery_analysis"),
+        "double",
+        "pct_low_battery",
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(*) AS total_events,
+            CAST(SUM(CASE WHEN battery_percentage < 20 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS low_battery,
+            {_pct("battery_percentage < 20")} AS pct_low_battery
+        FROM fact_telemetry_event
+        WHERE battery_percentage IS NOT NULL
+        GROUP BY course_id
+        ORDER BY pct_low_battery DESC
+    """,
+    doc="Reference parity, exploration battery audit "
+    "(expl_battery_analysis) over the bridge's battery NULL stripe — "
+    "counts exact, the rate hashes as a DOUBLE.",
+)
+
+_ECC_PCTS = [
+    ("pace_pct", "pace IS NOT NULL"),
+    ("pace_gap_pct", "pace_gap IS NOT NULL"),
+    ("hole_pct", "hole_number IS NOT NULL"),
+    ("battery_pct", "battery_percentage IS NOT NULL"),
+    ("gps_pct", "latitude IS NOT NULL"),
+]
+
+q_telemetry_expl_column_completeness = Query(
+    name="telemetry_expl_column_completeness",
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(spark, sf_dir, "expl_column_completeness"),
+        "double",
+        *[name for name, _ in _ECC_PCTS],
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(*) AS total,
+            {", ".join(f"{_pct(cond)} AS {name}" for name, cond in _ECC_PCTS)}
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY course_id
+    """,
+    doc="Reference parity, the exploration notebook's quick "
+    "completeness scan (expl_column_completeness) — five pct columns "
+    "hash as DOUBLEs (distinct from the dashboard's 11-column "
+    "column_completeness text, R11).",
+)
+
+_DCS_PCTS = [
+    (
+        "timestamp_complete_pct",
+        "fix_timestamp IS NOT NULL AND is_timestamp_missing = false",
+    ),
+    ("pace_complete_pct", "pace IS NOT NULL"),
+    ("pace_gap_complete_pct", "pace_gap IS NOT NULL"),
+    ("pos_gap_complete_pct", "positional_gap IS NOT NULL"),
+    ("hole_complete_pct", "hole_number IS NOT NULL"),
+    ("gps_complete_pct", "latitude IS NOT NULL AND longitude IS NOT NULL"),
+    ("battery_complete_pct", "battery_percentage IS NOT NULL"),
+    ("start_hole_complete_pct", "start_hole IS NOT NULL"),
+]
+
+q_telemetry_expl_data_completeness_summary = Query(
+    name="telemetry_expl_data_completeness_summary",
+    # Registry shim: overall_completeness_score sums four per-ratio
+    # decimal divisions before its ROUND — the R11 quality_score
+    # composite class, where engine decimal-vs-double chains diverge.
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(spark, sf_dir, "expl_data_completeness_summary").drop(
+            "overall_completeness_score"
+        ),
+        "double",
+        *[name for name, _ in _DCS_PCTS],
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(*) AS total_records,
+            COUNT(DISTINCT round_id) AS unique_rounds,
+            {", ".join(f"{_pct(cond)} AS {name}" for name, cond in _DCS_PCTS)}
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY course_id
+    """,
+    doc="Reference parity, the exploration completeness summary "
+    "(expl_data_completeness_summary); eight single-ratio pct columns "
+    "hash, the composite score is shimmed (the quality_score class).",
+)
+
+q_telemetry_expl_dataset_variance = Query(
+    name="telemetry_expl_dataset_variance",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _cast_cols(
+            _bridged(spark, sf_dir, "expl_dataset_variance"),
+            "double",
+            "avg_events_per_round",
+        ),
+        "earliest_data",
+        "latest_data",
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(*) AS total_events,
+            COUNT(DISTINCT round_id) AS total_rounds,
+            {_duck_round("CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT round_id)", 1)} AS avg_events_per_round,
+            MIN(fix_timestamp) AS earliest_data,
+            MAX(fix_timestamp) AS latest_data,
+            COUNT(DISTINCT CAST(fix_timestamp AS DATE)) AS unique_days,
+            MAX(location_index) AS max_location_index,
+            COUNT(DISTINCT hole_number) AS unique_holes_seen,
+            COUNT(DISTINCT start_hole) AS unique_start_holes
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY total_events DESC
+    """,
+    doc="Reference parity, per-course dataset variance profile "
+    "(expl_dataset_variance) — exact counts, NTZ timestamp bounds "
+    "(Spark DATE(ts) == DuckDB CAST(ts AS DATE) on NTZ), the "
+    "events-per-round average through the ROUND idiom.",
+)
+
+_ENA_COLS = [
+    ("null_timestamp", "is_timestamp_missing = true", 2),
+    ("null_pace", "pace IS NULL", 2),
+    ("null_pace_gap", "pace_gap IS NULL", 2),
+    ("null_positional_gap", "positional_gap IS NULL", 2),
+    ("null_hole", "hole_number IS NULL", 2),
+    ("null_section", "section_number IS NULL", 2),
+    ("null_gps", "latitude IS NULL OR longitude IS NULL", 2),
+    ("null_battery", "battery_percentage IS NULL", 2),
+    ("null_start_hole", "start_hole IS NULL", 2),
+    ("null_goal_time", "goal_time IS NULL", 2),
+]
+
+q_telemetry_expl_null_analysis = Query(
+    name="telemetry_expl_null_analysis",
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(spark, sf_dir, "expl_null_analysis"),
+        "double",
+        *[f"pct_{name}" for name, _, _ in _ENA_COLS],
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(*) AS total_rows,
+            {", ".join(
+                f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}, "
+                f"{_pct(cond, n)} AS pct_{name}"
+                for name, cond, n in _ENA_COLS
+            )}
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY pct_null_timestamp DESC, course_id
+    """,
+    doc="Reference parity, the exploration null census "
+    "(exploration/null_patterns.sql expl_null_analysis) over every "
+    "deterministic NULL stripe — ten count/pct pairs, all hashed.",
+)
+
+q_telemetry_expl_null_pattern_by_hole = Query(
+    name="telemetry_expl_null_pattern_by_hole",
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(spark, sf_dir, "expl_null_pattern_by_hole"),
+        "double",
+        "pct_null_pace",
+        "pct_null_pace_gap",
+        "avg_null_rate",
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            hole_number,
+            COUNT(*) AS total_records,
+            CAST(SUM(CASE WHEN pace IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pace,
+            CAST(SUM(CASE WHEN pace_gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pace_gap,
+            CAST(SUM(CASE WHEN positional_gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pos_gap,
+            CAST(SUM(CASE WHEN battery_percentage IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_battery,
+            CAST(SUM(CASE WHEN is_timestamp_missing = true THEN 1 ELSE 0 END) AS BIGINT) AS null_timestamp,
+            {_pct("pace IS NULL")} AS pct_null_pace,
+            {_pct("pace_gap IS NULL")} AS pct_null_pace_gap,
+            CAST(ROUND(
+                100.0 * (
+                    SUM(CASE WHEN pace IS NULL THEN 1 ELSE 0 END) +
+                    SUM(CASE WHEN pace_gap IS NULL THEN 1 ELSE 0 END) +
+                    SUM(CASE WHEN positional_gap IS NULL THEN 1 ELSE 0 END)
+                ) / (COUNT(*) * 3), 1
+            ) AS DOUBLE) AS avg_null_rate
+        FROM fact_telemetry_event
+        WHERE hole_number IS NOT NULL
+        GROUP BY course_id, hole_number
+        ORDER BY course_id, hole_number
+    """,
+    doc="Reference parity, per-hole null clustering "
+    "(expl_null_pattern_by_hole); avg_null_rate is a SINGLE decimal "
+    "division of an integer sum (unlike the shimmed multi-division "
+    "composites), so it hashes as a DOUBLE too.",
+)
+
+q_telemetry_expl_pace_gap_coverage = Query(
+    name="telemetry_expl_pace_gap_coverage",
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(spark, sf_dir, "expl_pace_gap_coverage"),
+        "double",
+        "pct_missing",
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(*) AS total_events,
+            CAST(SUM(CASE WHEN pace_gap IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS missing_pace_gap,
+            {_pct("pace_gap IS NULL", 2)} AS pct_missing
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY pct_missing DESC
+    """,
+    doc="Reference parity, pace-gap coverage audit "
+    "(expl_pace_gap_coverage) over the pace_gap NULL stripe.",
+)
+
+q_telemetry_expl_data_quality_overview = Query(
+    name="telemetry_expl_data_quality_overview",
+    build=lambda spark, sf_dir: _decimals_as_double(
+        _expl_on_model(
+            spark, sf_dir, "data_quality_overview", "expl_data_quality_overview"
+        )
+    ),
+    oracle=f"""
+        SELECT
+            course_id,
+            total_events,
+            total_rounds,
+            {_duck_round("data_quality_score", 1)} AS data_quality_score,
+            {_duck_round("pct_missing_pace", 1)} AS pct_missing_pace,
+            {_duck_round("pct_missing_hole_number", 1)} AS pct_missing_hole,
+            low_battery_events
+        FROM ({q_gold_data_quality_overview.oracle}) data_quality_overview
+        ORDER BY data_quality_score DESC
+    """,
+    doc="Reference parity, the exploration overview read OVER the "
+    "data_quality_overview gold model (the reference's "
+    "exploration-reads-dbt-table shape); oracle wraps the registered "
+    "gold oracle's chain, display re-ROUNDs through the "
+    "shortest-decimal idiom.",
+)
+
+q_telemetry_expl_course_configuration = Query(
+    name="telemetry_expl_course_configuration",
+    build=lambda spark, sf_dir: _cast_cols(
+        _decimals_as_double(
+            _expl_on_model(
+                spark,
+                sf_dir,
+                "course_configuration_analysis",
+                "expl_course_configuration",
+            )
+        ),
+        "bigint",
+        "course_complexity_score",
+    ),
+    oracle=f"""
+        SELECT
+            course_id,
+            total_rounds,
+            likely_course_type,
+            max_section_seen,
+            max_holes_in_round,
+            {_duck_round("pct_nine_hole", 1)} AS pct_nine_hole,
+            unique_start_holes,
+            {_duck_round("pct_shotgun_starts", 1)} AS pct_shotgun_starts,
+            course_complexity_score
+        FROM ({_REG_CCA_ORACLE}) course_configuration_analysis
+        ORDER BY course_complexity_score DESC
+    """,
+    doc="Reference parity, the exploration course-configuration read "
+    "over the course_configuration_analysis gold model; oracle wraps "
+    "the registered gold oracle's chain.",
+)
+
+q_telemetry_expl_critical_gaps = Query(
+    name="telemetry_expl_critical_gaps",
+    build=lambda spark, sf_dir: _decimals_as_double(
+        _expl_on_model(
+            spark, sf_dir, "critical_column_gaps", "expl_critical_gaps"
+        )
+    ),
+    oracle=f"""
+        SELECT
+            course_id,
+            total_events,
+            total_rounds,
+            {_duck_round("usability_score", 1)} AS usability_score,
+            pace_data_status,
+            location_data_status,
+            device_health_status,
+            round_config_status,
+            top_recommendation
+        FROM ({_REG_CCG_ORACLE}) critical_column_gaps
+        ORDER BY usability_score DESC
+    """,
+    doc="Reference parity, the exploration critical-gaps read over "
+    "the critical_column_gaps gold model (usability score, four "
+    "status verdicts, the recommendation text); oracle wraps the "
+    "registered gold oracle's chain.",
+)
+
+
+R12_STAGED = [
+    q_telemetry_expl_executive_summary,
+    q_telemetry_expl_battery_analysis,
+    q_telemetry_expl_column_completeness,
+    q_telemetry_expl_data_completeness_summary,
+    q_telemetry_expl_dataset_variance,
+    q_telemetry_expl_null_analysis,
+    q_telemetry_expl_null_pattern_by_hole,
+    q_telemetry_expl_pace_gap_coverage,
+    q_telemetry_expl_data_quality_overview,
+    q_telemetry_expl_course_configuration,
+    q_telemetry_expl_critical_gaps,
+]
