@@ -3582,3 +3582,491 @@ R12_STAGED = [
     q_telemetry_expl_course_configuration,
     q_telemetry_expl_critical_gaps,
 ]
+
+
+# ---------------------------------------------------------------------------
+# R13-STAGED entries: the sixth dashboard-library batch — the
+# examples/common_queries.sql family (`ex_*`) and the remaining
+# null-patterns texts.  Two library texts are deliberately NOT bridged
+# (each would verify nothing real against this bridge):
+#
+# - ex_duplicate_fix_check: the bridge has no duplicate
+#   (round_id, fix_timestamp) pairs at any test SF (measured: 0 groups
+#   at sf0.001 and sf0.01), so its driver row would be a 0=0 row-count
+#   match proving nothing; the dedup semantics it spot-checks are
+#   pinned for real by the W1 window_dedup oracle and silver's
+#   dedup-stage tests.
+# - expl_np_missing_ts_by_round: ORDER BY missing_timestamp_count DESC
+#   LIMIT 20 is not a total order, and on the bridge every per-round
+#   missing count is 1 (measured) — the 20-row cut is entirely
+#   tie-arbitrary, so Spark and DuckDB legitimately return different
+#   row SETS.  The same grain is driver-verified through
+#   telemetry_missing_ts_overview/by_course, which aggregate before
+#   any cut.
+# ---------------------------------------------------------------------------
+
+q_telemetry_ex_events_by_course = Query(
+    name="telemetry_ex_events_by_course",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "ex_events_by_course"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT course_id, COUNT(*) AS total_events
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY total_events DESC
+    """,
+    doc="Reference parity, examples/common_queries.sql events-by-course "
+    "(run_telemetry_query('ex_events_by_course')) — exact counts.",
+)
+
+q_telemetry_ex_rounds_by_course = Query(
+    name="telemetry_ex_rounds_by_course",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "ex_rounds_by_course"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT course_id, COUNT(DISTINCT round_id) AS rounds
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY rounds DESC
+    """,
+    doc="Reference parity, examples rounds-by-course "
+    "(run_telemetry_query('ex_rounds_by_course')) — exact counts.",
+)
+
+q_telemetry_ex_events_by_date = Query(
+    name="telemetry_ex_events_by_date",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _bridged(spark, sf_dir, "ex_events_by_date"), "event_date"
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            CAST(CAST(fix_timestamp AS DATE) AS TIMESTAMP) AS event_date,
+            course_id,
+            COUNT(*) AS events,
+            COUNT(DISTINCT round_id) AS rounds
+        FROM fact_telemetry_event
+        WHERE fix_timestamp IS NOT NULL
+        GROUP BY CAST(fix_timestamp AS DATE), course_id
+        ORDER BY event_date DESC, course_id
+    """,
+    doc="Reference parity, examples daily activity "
+    "(run_telemetry_query('ex_events_by_date')); Spark DATE(ntz) == "
+    "DuckDB CAST(ts AS DATE), shipped as NTZ timestamps.",
+)
+
+q_telemetry_ex_missing_critical_fields = Query(
+    name="telemetry_ex_missing_critical_fields",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "ex_missing_critical_fields"
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(*) AS total_events,
+            CAST(SUM(CASE WHEN pace IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS missing_pace,
+            CAST(SUM(CASE WHEN hole_number IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS missing_hole,
+            CAST(SUM(CASE WHEN latitude IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS missing_gps
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY course_id
+    """,
+    doc="Reference parity, examples critical-field audit "
+    "(run_telemetry_query('ex_missing_critical_fields')) over the "
+    "bridge's NULL stripes — exact counts.",
+)
+
+q_telemetry_missing_ts_by_course = Query(
+    name="telemetry_missing_ts_by_course",
+    build=lambda spark, sf_dir: _missing_pct_as_double(
+        _bridged(spark, sf_dir, "expl_np_missing_ts_by_course")
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(*) AS total_rows,
+            COUNT(*) FILTER (WHERE is_timestamp_missing = true) AS missing_count,
+            COUNT(*) FILTER (WHERE is_timestamp_missing = false) AS valid_count,
+            CAST(ROUND(100.0 * COUNT(*) FILTER (WHERE is_timestamp_missing = true)
+                       / COUNT(*), 2) AS DOUBLE) AS missing_percentage
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY missing_percentage DESC, missing_count DESC
+    """,
+    doc="Reference parity, missing-timestamp rate per course "
+    "(exploration/null_patterns.sql expl_np_missing_ts_by_course) — "
+    "the per-course face of the r06-green missing_ts_overview.",
+)
+
+q_telemetry_missing_ts_sample = Query(
+    name="telemetry_missing_ts_sample",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _bridged(spark, sf_dir, "expl_np_missing_ts_sample"), "event_date"
+    ),
+    # LIMIT 50 is safe here: ORDER BY (course_id, round_id,
+    # location_index) is a TOTAL order (location_index is the unique
+    # event id), so both engines cut the identical row set — unlike
+    # the skipped by_round text above.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id, round_id, location_index, hole_number, section_number,
+            longitude, latitude, pace, is_cache, is_timestamp_missing,
+            fix_timestamp, CAST(event_date AS TIMESTAMP) AS event_date
+        FROM fact_telemetry_event
+        WHERE is_timestamp_missing = true
+        ORDER BY course_id, round_id, location_index
+        LIMIT 50
+    """,
+    doc="Reference parity, the missing-timestamp row sample "
+    "(expl_np_missing_ts_sample): a raw-projection detail view whose "
+    "LIMIT rides a total order, every column hashed (the "
+    "keep-and-flag NULL-preservation contract made row-visible).",
+)
+
+q_telemetry_np_quality_report = Query(
+    name="telemetry_np_quality_report",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "expl_np_quality_report"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(*) AS total_rows,
+            COUNT(*) FILTER (WHERE is_timestamp_missing = true) AS missing_timestamps,
+            COUNT(*) FILTER (WHERE longitude IS NULL OR latitude IS NULL) AS missing_coordinates,
+            COUNT(*) FILTER (WHERE pace IS NULL) AS missing_pace,
+            COUNT(*) FILTER (WHERE battery_percentage IS NULL) AS missing_battery,
+            COUNT(*) FILTER (WHERE hole_number IS NULL) AS missing_hole,
+            COUNT(*) FILTER (WHERE section_number IS NULL) AS missing_section,
+            COUNT(*) FILTER (WHERE is_timestamp_missing = true
+                             AND (longitude IS NULL OR latitude IS NULL))
+                AS missing_timestamp_and_coords
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY missing_timestamps DESC
+    """,
+    doc="Reference parity, the null-patterns quality report "
+    "(expl_np_quality_report): FILTER-clause counts over every NULL "
+    "stripe plus the timestamp-and-coords correlation — exact ints.",
+)
+
+
+R13_STAGED = [
+    q_telemetry_ex_events_by_course,
+    q_telemetry_ex_rounds_by_course,
+    q_telemetry_ex_events_by_date,
+    q_telemetry_ex_missing_critical_fields,
+    q_telemetry_missing_ts_by_course,
+    q_telemetry_missing_ts_sample,
+    q_telemetry_np_quality_report,
+]
+
+
+# ---------------------------------------------------------------------------
+# R14-STAGED entries: the seventh dashboard-library batch — the demo
+# notebook family (`demo_*`) and the dimension-reading texts.  Three
+# deterministic DIM views (identical SQL text both engines) stand in for
+# tables the bridge did not carry:
+#
+# - dim_facility_topology gains section ranges (`_TOPOLOGY_FULL`: nine n
+#   covers sections (n-1)*27+1 .. n*27 — the reference's 27-sections-per-
+#   nine convention) on top of the green `_SPARK_TOPOLOGY` unit census;
+# - dim_sections_per_hole is the G4 inference shape materialized over the
+#   bridge (MIN/MAX/COUNT DISTINCT section per hole);
+# - dim_course_profile is a seeded VALUES table (the reference's profile
+#   SEED csv), one row per bridge course, with a loop course so
+#   `loop_courses` matches something.
+#
+# The seasonality demos read the course_rounds_by_month/weekday MODELS
+# (via _expl_on_model); their oracles wrap the registered gold oracles and
+# recompute pct_total through the shortest-decimal ROUND idiom — the model
+# text's ROUND(CAST(x AS DOUBLE)/y*100, 2) is a double-ROUND, exactly what
+# _duck_round mirrors, so the column the r6-era gold row had to SHIM is
+# fully hashable here (and the top/bottom-3 row_number cuts ride
+# bit-identical sort keys with a month_start tiebreak — a total order).
+# Skipped, with reasons: demo_rarest_sections (ORDER BY fixes ASC LIMIT 50
+# — tie-arbitrary cut, most section counts collide) and round_list
+# (ORDER BY course_id, round_date DESC LIMIT 100 — many rounds share a
+# date, same tie-arbitrary class).
+# ---------------------------------------------------------------------------
+
+_TOPOLOGY_FULL_TEMPLATE = """
+    SELECT facility_id, nine_number, unit_name,
+           (nine_number - 1) * 27 + 1 AS section_start,
+           nine_number * 27 AS section_end
+    FROM ({inner}) t
+"""
+_SPARK_TOPOLOGY_FULL = _TOPOLOGY_FULL_TEMPLATE.format(inner=_SPARK_TOPOLOGY)
+_DUCK_TOPOLOGY_FULL = _TOPOLOGY_FULL_TEMPLATE.format(inner=_DUCK_TOPOLOGY)
+
+# Identical text both engines (VALUES inline table, verified syntax parity).
+_PROFILE_VIEW = """
+    SELECT * FROM (VALUES
+        ('course_0', '18-hole', FALSE, 'standard', 3, 8, 'seeded profile'),
+        ('course_1', '18-hole (loop)', TRUE, 'high', 4, 9, 'seeded profile'),
+        ('course_2', '27-hole', FALSE, 'low', 5, 10, 'seeded profile')
+    ) AS t(course_id, course_type, is_loop_course, volume_profile,
+           peak_season_start_month, peak_season_end_month, notes)
+"""
+
+# The G4 sections-per-hole dim materialized over the bridge (identical
+# text both engines).
+_SECTIONS_PER_HOLE_VIEW = """
+    SELECT course_id, hole_number,
+           MIN(section_number) AS section_start,
+           MAX(section_number) AS section_end,
+           COUNT(DISTINCT section_number) AS sections_count
+    FROM fact_telemetry_event
+    WHERE is_location_padding = FALSE
+      AND hole_number IS NOT NULL AND section_number IS NOT NULL
+    GROUP BY course_id, hole_number
+"""
+
+
+def _dim_bridged(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Run a library text that reads the dimension tables: register the
+    bridge fact plus the three deterministic dim views, then run the
+    REAL library text."""
+    from . import telemetry
+
+    load_views(spark, sf_dir)
+    spark.sql(_SPARK_BRIDGE).createOrReplaceTempView("fact_telemetry_event")
+    spark.sql(_SPARK_TOPOLOGY_FULL).createOrReplaceTempView("dim_facility_topology")
+    spark.sql(_SECTIONS_PER_HOLE_VIEW).createOrReplaceTempView("dim_sections_per_hole")
+    spark.sql(_PROFILE_VIEW).createOrReplaceTempView("dim_course_profile")
+    return spark.sql(telemetry.TELEMETRY_QUERIES[name])
+
+
+q_telemetry_demo_data_volume = Query(
+    name="telemetry_demo_data_volume",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "demo_data_volume"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            COUNT(DISTINCT round_id) AS rounds,
+            COUNT(*) AS fixes
+        FROM fact_telemetry_event
+        GROUP BY course_id
+        ORDER BY fixes DESC
+    """,
+    doc="Reference parity, the demo notebook's data-volume strip "
+    "(run_telemetry_query('demo_data_volume')) — exact counts.",
+)
+
+q_telemetry_demo_topology_rows = Query(
+    name="telemetry_demo_topology_rows",
+    build=lambda spark, sf_dir: _dim_bridged(spark, sf_dir, "demo_topology_rows"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        dim_facility_topology AS ({_DUCK_TOPOLOGY_FULL})
+        SELECT facility_id, COUNT(*) AS topology_rows
+        FROM dim_facility_topology
+        GROUP BY facility_id
+        ORDER BY facility_id
+    """,
+    doc="Reference parity, demo topology census "
+    "(demo_topology_rows) over the deterministic bridge topology.",
+)
+
+q_telemetry_topology = Query(
+    name="telemetry_topology",
+    build=lambda spark, sf_dir: _dim_bridged(spark, sf_dir, "topology"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        dim_facility_topology AS ({_DUCK_TOPOLOGY_FULL})
+        SELECT
+            facility_id AS course_id,
+            unit_name,
+            nine_number,
+            section_start,
+            section_end,
+            section_end - section_start + 1 AS sections_in_nine
+        FROM dim_facility_topology
+        ORDER BY facility_id, nine_number
+    """,
+    doc="Reference parity, the dashboard topology table "
+    "(dashboard/utils/queries.py TOPOLOGY) over the full bridge "
+    "topology (unit census + the 27-sections-per-nine ranges).",
+)
+
+q_telemetry_sections_per_hole_dim = Query(
+    name="telemetry_sections_per_hole_dim",
+    build=lambda spark, sf_dir: _dim_bridged(
+        spark, sf_dir, "sections_per_hole_dim"
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        dim_sections_per_hole AS ({_SECTIONS_PER_HOLE_VIEW})
+        SELECT
+            course_id,
+            hole_number,
+            section_start,
+            section_end,
+            sections_count,
+            section_end - section_start + 1 AS section_range
+        FROM dim_sections_per_hole
+        ORDER BY course_id, hole_number
+    """,
+    doc="Reference parity, the dim-table face of sections-per-hole "
+    "(sections_per_hole_dim) over the materialized G4 inference view — "
+    "all integer-exact.",
+)
+
+q_telemetry_course_profile = Query(
+    name="telemetry_course_profile",
+    build=lambda spark, sf_dir: _dim_bridged(spark, sf_dir, "course_profile"),
+    oracle=f"""
+        WITH dim_course_profile AS ({_PROFILE_VIEW})
+        SELECT
+            course_id,
+            course_type,
+            COALESCE(is_loop_course, FALSE) AS is_loop_course,
+            volume_profile,
+            peak_season_start_month,
+            peak_season_end_month,
+            notes
+        FROM dim_course_profile
+        ORDER BY course_id
+    """,
+    doc="Reference parity, the course-profile seed read "
+    "(dashboard/utils/queries.py COURSE_PROFILE) over the seeded "
+    "VALUES dim (identical inline table both engines).",
+)
+
+q_telemetry_loop_courses = Query(
+    name="telemetry_loop_courses",
+    build=lambda spark, sf_dir: _dim_bridged(spark, sf_dir, "loop_courses"),
+    oracle=f"""
+        WITH dim_course_profile AS ({_PROFILE_VIEW})
+        SELECT course_id, course_type, notes
+        FROM dim_course_profile
+        WHERE is_loop_course = TRUE
+           OR course_type LIKE '%loop%'
+        ORDER BY course_id
+    """,
+    doc="Reference parity, the loop-course selector "
+    "(dashboard/utils/queries.py LOOP_COURSES) over the seeded "
+    "profile dim (the seed includes one loop course).",
+)
+
+# pct_total recomputed over the WRAPPED registered gold oracle: the model
+# text's ROUND(CAST(rounds AS DOUBLE) / total * 100, 2) is a double-ROUND
+# — exactly the semantics _duck_round mirrors — and SUM(rounds) OVER
+# (PARTITION BY course_id) equals the model's total_rounds join.
+_DEMO_PCT_TOTAL = (
+    "CAST(rounds AS DOUBLE) / SUM(rounds) OVER (PARTITION BY course_id) * 100"
+)
+
+q_telemetry_demo_seasonality_months = Query(
+    name="telemetry_demo_seasonality_months",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _expl_on_model(
+            spark, sf_dir, "course_rounds_by_month", "demo_seasonality_months"
+        ),
+        "month_start",
+    ),
+    oracle=f"""
+        SELECT
+            course_id,
+            month_start,
+            month_name,
+            rounds,
+            {_duck_round(_DEMO_PCT_TOTAL, 2)} AS pct_total
+        FROM ({q_gold_rounds_by_month.oracle}) course_rounds_by_month
+        ORDER BY course_id, month_start
+    """,
+    doc="Reference parity, the demo seasonality-by-month read over the "
+    "course_rounds_by_month MODEL — pct_total, the column the r6 gold "
+    "row had to shim, hashes here through the shortest-decimal ROUND "
+    "idiom.",
+)
+
+q_telemetry_demo_seasonality_weekdays = Query(
+    name="telemetry_demo_seasonality_weekdays",
+    build=lambda spark, sf_dir: _expl_on_model(
+        spark, sf_dir, "course_rounds_by_weekday", "demo_seasonality_weekdays"
+    ),
+    oracle=f"""
+        SELECT course_id, weekday_number, weekday_name, rounds
+        FROM ({q_gold_rounds_by_weekday.oracle}) course_rounds_by_weekday
+        ORDER BY course_id, weekday_number
+    """,
+    doc="Reference parity, the demo seasonality-by-weekday read over "
+    "the course_rounds_by_weekday MODEL (oracle wraps the registered "
+    "gold chain).",
+)
+
+
+def _demo_rank_months(direction: str) -> str:
+    """The demo top/bottom-3 ranked CTE over the wrapped month model:
+    bit-identical pct sort keys (the idiom) + the month_start tiebreak
+    make the row_number cut a total order on both engines."""
+    return f"""
+        WITH months AS (
+            SELECT
+                course_id,
+                month_start,
+                month_name,
+                rounds,
+                {_duck_round(_DEMO_PCT_TOTAL, 2)} AS pct_total
+            FROM ({q_gold_rounds_by_month.oracle}) course_rounds_by_month
+        ),
+        ranked AS (
+            SELECT *,
+                ROW_NUMBER() OVER (
+                    PARTITION BY course_id
+                    ORDER BY pct_total {direction}, month_start
+                ) AS rn
+            FROM months
+        )
+        SELECT course_id, month_name, month_start, rounds, pct_total
+        FROM ranked
+        WHERE rn <= 3
+        ORDER BY course_id, rn
+    """
+
+
+q_telemetry_demo_top3_months = Query(
+    name="telemetry_demo_top3_months",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _expl_on_model(spark, sf_dir, "course_rounds_by_month", "demo_top3_months"),
+        "month_start",
+    ),
+    oracle=_demo_rank_months("DESC"),
+    doc="Reference parity, the demo top-3 months read over the month "
+    "model — the ranked cut rides bit-identical pct keys plus the "
+    "month_start tiebreak (a total order).",
+)
+
+q_telemetry_demo_bottom3_months = Query(
+    name="telemetry_demo_bottom3_months",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _expl_on_model(
+            spark, sf_dir, "course_rounds_by_month", "demo_bottom3_months"
+        ),
+        "month_start",
+    ),
+    oracle=_demo_rank_months("ASC"),
+    doc="Reference parity, the demo bottom-3 months read over the "
+    "month model (same total-order contract as top-3).",
+)
+
+
+R14_STAGED = [
+    q_telemetry_demo_data_volume,
+    q_telemetry_demo_topology_rows,
+    q_telemetry_topology,
+    q_telemetry_sections_per_hole_dim,
+    q_telemetry_course_profile,
+    q_telemetry_loop_courses,
+    q_telemetry_demo_seasonality_months,
+    q_telemetry_demo_seasonality_weekdays,
+    q_telemetry_demo_top3_months,
+    q_telemetry_demo_bottom3_months,
+]

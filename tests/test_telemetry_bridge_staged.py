@@ -89,6 +89,14 @@ _TS_STAGED = [
     "telemetry_events_per_course",
     "telemetry_course_summary",
     "telemetry_infrastructure_stats",
+    "telemetry_expl_dataset_variance",
+    "telemetry_ex_events_by_date",
+    "telemetry_missing_ts_sample",
+    # month_start derives from round_start_ts via DATE_TRUNC('month') —
+    # the tz-sensitive surface gold_rounds_by_month guards in TS_QUERIES
+    "telemetry_demo_seasonality_months",
+    "telemetry_demo_top3_months",
+    "telemetry_demo_bottom3_months",
 ]
 
 
