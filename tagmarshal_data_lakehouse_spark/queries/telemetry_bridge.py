@@ -3828,17 +3828,28 @@ _SECTIONS_PER_HOLE_VIEW = """
 """
 
 
-def _dim_bridged(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _dim_bridged(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fact_sql: str | None = None,
+    **params,
+) -> DataFrame:
     """Run a library text that reads the dimension tables: register the
-    bridge fact plus the three deterministic dim views, then run the
-    REAL library text."""
+    bridge fact (optionally an extended variant) plus the three
+    deterministic dim views, then run the REAL library text (fixed or
+    parameterized — the `_bridged` contract)."""
     from . import telemetry
 
     load_views(spark, sf_dir)
-    spark.sql(_SPARK_BRIDGE).createOrReplaceTempView("fact_telemetry_event")
+    spark.sql(fact_sql or _SPARK_BRIDGE).createOrReplaceTempView(
+        "fact_telemetry_event"
+    )
     spark.sql(_SPARK_TOPOLOGY_FULL).createOrReplaceTempView("dim_facility_topology")
     spark.sql(_SECTIONS_PER_HOLE_VIEW).createOrReplaceTempView("dim_sections_per_hole")
     spark.sql(_PROFILE_VIEW).createOrReplaceTempView("dim_course_profile")
+    if name in telemetry.PARAMETERIZED:
+        return spark.sql(telemetry.PARAMETERIZED[name](**params))
     return spark.sql(telemetry.TELEMETRY_QUERIES[name])
 
 
@@ -4069,4 +4080,755 @@ R14_STAGED = [
     q_telemetry_demo_seasonality_weekdays,
     q_telemetry_demo_top3_months,
     q_telemetry_demo_bottom3_months,
+]
+
+
+# ---------------------------------------------------------------------------
+# R15-STAGED entries: the eighth dashboard-library batch — the
+# PARAMETERIZED per-course drill-down family (`get_*`, rendered through
+# telemetry.PARAMETERIZED's _exact_avg_std rewrite exactly as
+# run_telemetry_query serves them) plus the remaining fixed texts.
+# Standing parameter: course_id='course_1' (the _COURSE the earlier
+# parameterized green rows pin).  Deliberately NOT bridged, with reasons:
+#
+# - get_round_map_points: its round_id parameter is data-dependent (a
+#   (user, day, hour) bridge key that differs by scale factor), and the
+#   oracle is a static string — the same raw-detail projection is
+#   driver-verified by telemetry_missing_ts_sample and
+#   telemetry_round_progression instead.
+# - ex_slow_rounds: HAVING avg_pace > 500 can never match the bridge's
+#   integer 1..50 pace domain (a 0=0 match proving nothing).
+# - expl_bottleneck_analysis: HAVING COUNT(*) > 50 matches zero groups
+#   at sf0.001 (measured) — the same clause classes are driver-covered
+#   by telemetry_pace_by_section (sample floors) and agg_having.
+# - get_check_loop_fatigue: reads the fact_round_hole_performance MODEL
+#   with a parameterized filter; the model chain is driver-green via
+#   gold_hole_performance and the within-nine comparison is covered by
+#   telemetry_nine_loop_pace_comparison below — left for a later batch
+#   if a param-aware model wrapper earns its keep.
+# ---------------------------------------------------------------------------
+
+_PBHC_AVG = _dexact_avg("hp.pace")
+
+q_telemetry_pace_by_hole_course = Query(
+    name="telemetry_pace_by_hole_course",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "get_pace_by_hole_for_course", course_id=_COURSE
+    ).drop("median_pace"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        hole_pace AS (
+            SELECT course_id, hole_number, pace, round_id
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE
+              AND pace IS NOT NULL AND pace > 0 AND pace < 60
+              AND hole_number IS NOT NULL
+              AND course_id = '{_COURSE}'
+        ),
+        course_avg AS (
+            SELECT course_id,
+                   {_duck_round(_dexact_avg("pace"), 1)} AS course_avg_pace
+            FROM hole_pace
+            GROUP BY course_id
+        )
+        SELECT
+            hp.course_id,
+            hp.hole_number,
+            COUNT(DISTINCT hp.round_id) AS sample_rounds,
+            COUNT(*) AS sample_events,
+            {_duck_round(_PBHC_AVG, 1)} AS avg_pace,
+            {_duck_round("MIN(hp.pace)", 1)} AS min_pace,
+            {_duck_round("MAX(hp.pace)", 1)} AS max_pace,
+            {_duck_round(_dexact_std("hp.pace"), 1)} AS pace_stddev,
+            ca.course_avg_pace,
+            {_duck_round(_PBHC_AVG + " - ca.course_avg_pace", 1)} AS pace_vs_avg,
+            CASE
+                WHEN {_PBHC_AVG} > ca.course_avg_pace * 1.15 THEN 'bottleneck'
+                WHEN {_PBHC_AVG} < ca.course_avg_pace * 0.85 THEN 'fast'
+                ELSE 'normal'
+            END AS hole_category
+        FROM hole_pace hp
+        JOIN course_avg ca ON hp.course_id = ca.course_id
+        GROUP BY hp.course_id, hp.hole_number, ca.course_avg_pace
+        ORDER BY hp.course_id, hp.hole_number
+    """,
+    doc="Reference parity, the course-detail per-hole pace table "
+    "(run_telemetry_query('get_pace_by_hole_for_course')) — the "
+    "parameterized face of telemetry_pace_by_hole, same idiom shims "
+    "(only the approx median leaves the projection).",
+)
+
+q_telemetry_pace_by_section_course = Query(
+    name="telemetry_pace_by_section_course",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "get_pace_by_section_for_course", course_id=_COURSE
+    ).drop("median_pace"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id, hole_number, section_number,
+            COUNT(DISTINCT round_id) AS sample_rounds,
+            {_duck_round(_dexact_avg("pace"), 1)} AS avg_pace
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+          AND pace IS NOT NULL AND pace > 0 AND pace < 60
+          AND hole_number IS NOT NULL AND section_number IS NOT NULL
+          AND course_id = '{_COURSE}'
+        GROUP BY course_id, hole_number, section_number
+        ORDER BY hole_number, section_number
+    """,
+    doc="Reference parity, the course-detail per-section pace heatmap "
+    "(run_telemetry_query('get_pace_by_section_for_course')); avg via "
+    "the ROUND idiom, only the approx median shimmed.",
+)
+
+q_telemetry_round_sample = Query(
+    name="telemetry_round_sample",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "get_round_sample", course_id=_COURSE
+    ),
+    # LIMIT 100 rides a TOTAL order: location_index is the globally
+    # unique event id, so both engines cut the identical row set.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            round_id, location_index, hole_number, section_number, nine_number,
+            pace, fix_timestamp, is_location_padding
+        FROM fact_telemetry_event
+        WHERE course_id = '{_COURSE}'
+        ORDER BY round_id, hole_number NULLS LAST, section_number NULLS LAST,
+                 location_index
+        LIMIT 100
+    """,
+    doc="Reference parity, the raw round-sample detail view "
+    "(run_telemetry_query('get_round_sample')) — all columns hashed, "
+    "the LIMIT rides a total order ending in the unique event id.",
+)
+
+q_telemetry_round_validation_course = Query(
+    name="telemetry_round_validation_course",
+    build=lambda spark, sf_dir: _bridged(
+        spark,
+        sf_dir,
+        "get_round_validation_for_course",
+        fact_sql=_SPARK_BRIDGE_EXT,
+        course_id=_COURSE,
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT}),
+        round_stats AS (
+            SELECT
+                course_id,
+                round_id,
+                MIN(fix_timestamp) AS first_fix,
+                MAX(fix_timestamp) AS last_fix,
+                MIN(round_start_time) AS round_start,
+                MAX(round_end_time) AS round_end,
+                MAX(round_duration_minutes) AS duration_minutes,
+                MIN(start_hole) AS start_hole,
+                MIN(hole_number) AS min_hole,
+                MAX(hole_number) AS max_hole,
+                MIN(section_number) AS min_section,
+                MAX(section_number) AS max_section,
+                COUNT(DISTINCT hole_number) AS holes_visited,
+                COUNT(DISTINCT section_number) AS sections_visited,
+                MAX(CAST(is_complete AS INTEGER)) AS is_complete,
+                MAX(CAST(is_nine_hole AS INTEGER)) AS is_nine_hole,
+                COUNT(*) AS event_count,
+                CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END)
+                     AS BIGINT) AS real_events,
+                CAST(SUM(CASE WHEN pace IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS events_with_pace
+            FROM fact_telemetry_event
+            WHERE course_id = '{_COURSE}'
+            GROUP BY course_id, round_id
+        )
+        SELECT
+            course_id,
+            round_id,
+            duration_minutes,
+            start_hole,
+            min_hole,
+            max_hole,
+            holes_visited,
+            sections_visited,
+            event_count,
+            real_events,
+            is_complete,
+            is_nine_hole,
+            CASE
+                WHEN duration_minutes IS NULL THEN FALSE
+                WHEN is_nine_hole = 1 AND duration_minutes BETWEEN 45 AND 200 THEN TRUE
+                WHEN is_nine_hole = 0 AND duration_minutes BETWEEN 90 AND 400 THEN TRUE
+                ELSE FALSE
+            END AS duration_valid,
+            CASE
+                WHEN start_hole IS NULL THEN FALSE
+                WHEN min_hole IS NULL THEN FALSE
+                WHEN start_hole > 1 AND min_hole = start_hole THEN TRUE
+                WHEN start_hole = 1 AND min_hole = 1 THEN TRUE
+                ELSE FALSE
+            END AS sequence_valid,
+            CASE
+                WHEN real_events < 10 THEN FALSE
+                WHEN is_nine_hole = 1 AND real_events >= 9 THEN TRUE
+                WHEN is_nine_hole = 0 AND real_events >= 18 THEN TRUE
+                ELSE FALSE
+            END AS events_valid,
+            CASE
+                WHEN events_with_pace = 0 THEN FALSE
+                WHEN CAST(events_with_pace AS DOUBLE) / NULLIF(real_events, 0) >= 0.5 THEN TRUE
+                ELSE FALSE
+            END AS pace_valid
+        FROM round_stats
+        ORDER BY round_id
+    """,
+    doc="Reference parity, per-round validation detail "
+    "(run_telemetry_query('get_round_validation_for_course')) over the "
+    "extended bridge — duration/sequence/events/pace validity verdicts, "
+    "all integer- and boolean-exact (the text drops the stats CTE's "
+    "timestamp columns from its own projection).",
+)
+
+q_telemetry_demo_hole_max_outlier = Query(
+    name="telemetry_demo_hole_max_outlier",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "get_demo_hole_max_outlier", course_id=_COURSE
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        hole_section_counts AS (
+            SELECT course_id, hole_number, section_number, COUNT(*) AS fixes
+            FROM fact_telemetry_event
+            WHERE course_id = '{_COURSE}'
+              AND hole_number IS NOT NULL
+              AND section_number IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        max_per_hole AS (
+            SELECT course_id, hole_number, MAX(section_number) AS max_section
+            FROM hole_section_counts
+            GROUP BY 1, 2
+        )
+        SELECT
+            m.course_id,
+            m.hole_number,
+            m.max_section,
+            c.fixes AS fixes_at_max_section
+        FROM max_per_hole m
+        JOIN hole_section_counts c
+            ON m.course_id = c.course_id
+           AND m.hole_number = c.hole_number
+           AND m.max_section = c.section_number
+        ORDER BY fixes_at_max_section ASC, m.hole_number
+    """,
+    doc="Reference parity, the demo's J7 outlier-vs-max idiom at hole "
+    "grain (run_telemetry_query('get_demo_hole_max_outlier')) — exact "
+    "ints, positional GROUP BY both engines.",
+)
+
+q_telemetry_demo_unit_summary = Query(
+    name="telemetry_demo_unit_summary",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "get_demo_unit_summary", course_id=_COURSE
+    ),
+    # UNROUNDED decimal-exact averages: bit-identical doubles on both
+    # engines (the bridge's integer-valued pace/pace_gap domains), so
+    # every column hashes with no shim at all.
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            nine_number,
+            {_dexact_avg("pace")} AS avg_pace_sec,
+            {_dexact_avg("pace_gap")} AS avg_pace_gap_sec,
+            COUNT(DISTINCT round_id) AS rounds,
+            COUNT(*) AS fixes
+        FROM fact_telemetry_event
+        WHERE course_id = '{_COURSE}'
+          AND nine_number IS NOT NULL
+        GROUP BY nine_number
+        ORDER BY nine_number
+    """,
+    doc="Reference parity, the demo per-nine unit summary "
+    "(run_telemetry_query('get_demo_unit_summary')) — unrounded "
+    "decimal-exact averages hash directly.",
+)
+
+q_telemetry_demo_loop_fatigue = Query(
+    name="telemetry_demo_loop_fatigue",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "get_demo_loop_fatigue", course_id=_COURSE, hole_number=_HOLE
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            nine_number,
+            {_dexact_avg("pace")} AS avg_pace_sec,
+            COUNT(*) AS fixes
+        FROM fact_telemetry_event
+        WHERE course_id = '{_COURSE}'
+          AND hole_number = {_HOLE}
+        GROUP BY nine_number
+        ORDER BY nine_number
+    """,
+    doc="Reference parity, the demo loop-fatigue probe (same hole, "
+    "first vs second nine; run_telemetry_query"
+    "('get_demo_loop_fatigue')) — unrounded exact averages.",
+)
+
+q_telemetry_demo_boundary_support = Query(
+    name="telemetry_demo_boundary_support",
+    build=lambda spark, sf_dir: _dim_bridged(
+        spark, sf_dir, "get_demo_boundary_support", course_id=_COURSE
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        dim_facility_topology AS ({_DUCK_TOPOLOGY_FULL}),
+        topo AS (
+            SELECT facility_id, nine_number, section_start, section_end
+            FROM dim_facility_topology
+            WHERE facility_id = '{_COURSE}'
+        ),
+        counts AS (
+            SELECT course_id, section_number, COUNT(*) AS fixes
+            FROM fact_telemetry_event
+            WHERE course_id = '{_COURSE}'
+              AND section_number IS NOT NULL
+            GROUP BY course_id, section_number
+        )
+        SELECT
+            t.facility_id AS course_id,
+            t.nine_number,
+            t.section_start,
+            COALESCE(c1.fixes, 0) AS fixes_at_section_start,
+            t.section_end,
+            COALESCE(c2.fixes, 0) AS fixes_at_section_end
+        FROM topo t
+        LEFT JOIN counts c1
+            ON c1.course_id = t.facility_id AND c1.section_number = t.section_start
+        LEFT JOIN counts c2
+            ON c2.course_id = t.facility_id AND c2.section_number = t.section_end
+        ORDER BY t.nine_number
+    """,
+    doc="Reference parity, the J8 boundary-support join "
+    "(run_telemetry_query('get_demo_boundary_support')): topology "
+    "section boundaries vs fix support at each edge, over the full "
+    "bridge topology — its first DRIVER row (previously pytest-only).",
+)
+
+q_telemetry_nine_loop_pace_comparison = Query(
+    name="telemetry_nine_loop_pace_comparison",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "get_nine_loop_pace_comparison", course_id=_COURSE
+    ).drop("median_pace"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            hole_number, nine_number,
+            CASE
+                WHEN nine_number = 1 THEN 'first_nine'
+                WHEN nine_number = 2 THEN 'second_nine'
+                ELSE 'nine_' || CAST(nine_number AS VARCHAR)
+            END AS pass_number,
+            COUNT(DISTINCT round_id) AS sample_rounds,
+            COUNT(*) AS sample_events,
+            {_duck_round(_dexact_avg("pace"), 1)} AS avg_pace,
+            {_duck_round("MIN(pace)", 1)} AS min_pace,
+            {_duck_round("MAX(pace)", 1)} AS max_pace,
+            {_duck_round(_dexact_std("pace"), 1)} AS pace_stddev
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+          AND course_id = '{_COURSE}'
+          AND is_nine_hole = FALSE
+          AND pace IS NOT NULL AND pace > 0 AND pace < 60
+          AND hole_number IS NOT NULL AND nine_number IS NOT NULL
+        GROUP BY hole_number, nine_number
+        ORDER BY hole_number, nine_number
+    """,
+    doc="Reference parity, the loop-course first-vs-second-nine pace "
+    "comparison (run_telemetry_query('get_nine_loop_pace_comparison')) "
+    "— only the approx median shimmed.",
+)
+
+q_telemetry_course_topology_map_points = Query(
+    name="telemetry_course_topology_map_points",
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(
+            spark, sf_dir, "get_course_topology_map_points", course_id=_COURSE
+        ),
+        "double",
+        "projected_pct",
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id, nine_number, hole_number, section_number,
+            {_duck_round(_dexact_avg("latitude"), 6)} AS latitude,
+            {_duck_round(_dexact_avg("longitude"), 6)} AS longitude,
+            COUNT(*) AS event_count,
+            CAST(SUM(CASE WHEN is_projected = TRUE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS projected_events,
+            {_pct("is_projected = TRUE")} AS projected_pct
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+          AND course_id = '{_COURSE}'
+          AND latitude IS NOT NULL AND longitude IS NOT NULL
+          AND nine_number IS NOT NULL AND hole_number IS NOT NULL
+          AND section_number IS NOT NULL
+        GROUP BY course_id, nine_number, hole_number, section_number
+        ORDER BY nine_number, hole_number, section_number
+    """,
+    doc="Reference parity, the course map's section centroids "
+    "(run_telemetry_query('get_course_topology_map_points')) — "
+    "centroid coordinates through the 6-dp ROUND idiom, counts exact.",
+)
+
+q_telemetry_course_centroids = Query(
+    name="telemetry_course_centroids",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "course_centroids"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE})
+        SELECT
+            course_id,
+            {_duck_round(_dexact_avg("latitude"), 6)} AS latitude,
+            {_duck_round(_dexact_avg("longitude"), 6)} AS longitude,
+            COUNT(*) AS event_count,
+            CAST(SUM(CASE WHEN is_projected = TRUE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS projected_events
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+          AND latitude IS NOT NULL
+          AND longitude IS NOT NULL
+        GROUP BY course_id
+        ORDER BY course_id
+    """,
+    doc="Reference parity, per-course GPS centroids "
+    "(dashboard/utils/queries.py COURSE_CENTROIDS) — 6-dp coordinate "
+    "averages through the ROUND idiom.",
+)
+
+q_telemetry_course_summary_with_profile = Query(
+    name="telemetry_course_summary_with_profile",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _dim_bridged(spark, sf_dir, "course_summary_with_profile"),
+        "first_date",
+        "last_date",
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        dim_course_profile AS ({_PROFILE_VIEW})
+        SELECT
+            cs.course_id,
+            cs.round_count,
+            cs.event_count,
+            cs.real_events,
+            CAST(cs.first_date AS TIMESTAMP) AS first_date,
+            CAST(cs.last_date AS TIMESTAMP) AS last_date,
+            cs.total_days,
+            cs.playing_days,
+            cs.inferred_type,
+            COALESCE(cp.course_type, cs.inferred_type) AS course_type,
+            COALESCE(cp.is_loop_course, FALSE) AS is_loop_course,
+            cp.volume_profile,
+            cp.notes
+        FROM (
+            SELECT
+                course_id,
+                COUNT(DISTINCT round_id) AS round_count,
+                COUNT(*) AS event_count,
+                CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END)
+                     AS BIGINT) AS real_events,
+                MIN(event_date) AS first_date,
+                MAX(event_date) AS last_date,
+                CAST(DATE_DIFF('day', MIN(event_date), MAX(event_date)) AS INT) + 1
+                    AS total_days,
+                COUNT(DISTINCT CASE WHEN is_location_padding = FALSE
+                                    THEN event_date END) AS playing_days,
+                CASE
+                    WHEN MAX(hole_number) >= 10 THEN '18-hole'
+                    WHEN MAX(section_number) > 54 THEN '27-hole'
+                    WHEN MAX(section_number) > 27 THEN '18-hole (loop)'
+                    ELSE '9-hole'
+                END AS inferred_type
+            FROM fact_telemetry_event
+            GROUP BY course_id
+        ) cs
+        LEFT JOIN dim_course_profile cp ON cs.course_id = cp.course_id
+        ORDER BY cs.course_id
+    """,
+    doc="Reference parity, course summary stitched with the profile "
+    "seed (dashboard/utils/queries.py COURSE_SUMMARY_WITH_PROFILE): "
+    "the G3 inference beside the curated profile, COALESCE precedence "
+    "included — exact ints, strings, and date bounds.",
+)
+
+_CCE_PCTS = [
+    ("pace_pct", "pace IS NOT NULL"),
+    ("pace_gap_pct", "pace_gap IS NOT NULL"),
+    ("positional_gap_pct", "positional_gap IS NOT NULL"),
+    ("latitude_pct", "latitude IS NOT NULL"),
+    ("longitude_pct", "longitude IS NOT NULL"),
+    ("fix_timestamp_pct", "fix_timestamp IS NOT NULL"),
+    ("hole_pct", "hole_number IS NOT NULL"),
+    ("section_pct", "section_number IS NOT NULL"),
+    ("location_index_pct", "location_index IS NOT NULL"),
+    ("current_hole_pct", "current_hole IS NOT NULL"),
+    ("current_hole_section_pct", "current_hole_section IS NOT NULL"),
+    ("round_start_time_pct", "round_start_time IS NOT NULL"),
+    ("round_end_time_pct", "round_end_time IS NOT NULL"),
+    ("start_hole_pct", "start_hole IS NOT NULL"),
+    ("start_section_pct", "start_section IS NOT NULL"),
+    ("is_complete_pct", "is_complete IS NOT NULL"),
+    ("goal_name_pct", "goal_name IS NOT NULL"),
+    ("is_projected_pct", "is_projected IS NOT NULL"),
+    ("is_problem_pct", "is_problem IS NOT NULL"),
+    ("goal_time_pct", "goal_time IS NOT NULL"),
+    ("end_section_pct", "end_section IS NOT NULL"),
+    ("device_pct", "device IS NOT NULL"),
+    ("battery_pct", "battery_percentage IS NOT NULL"),
+]
+
+q_telemetry_column_completeness_extended = Query(
+    name="telemetry_column_completeness_extended",
+    build=lambda spark, sf_dir: _cast_cols(
+        _bridged(
+            spark,
+            sf_dir,
+            "column_completeness_extended",
+            fact_sql=_SPARK_BRIDGE_EXT2,
+        ),
+        "double",
+        *[name for name, _ in _CCE_PCTS],
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT2})
+        SELECT
+            course_id,
+            COUNT(*) AS total_events,
+            {", ".join(f"{_pct(cond)} AS {name}" for name, cond in _CCE_PCTS)}
+        FROM fact_telemetry_event
+        WHERE is_location_padding = FALSE
+        GROUP BY course_id
+        ORDER BY course_id
+    """,
+    doc="Reference parity, the 23-column extended completeness scan "
+    "(dashboard/utils/queries.py COLUMN_COMPLETENESS_EXTENDED) over "
+    "the EXT2 bridge — every single-ratio pct hashes as a DOUBLE.",
+)
+
+
+R15_STAGED = [
+    q_telemetry_pace_by_hole_course,
+    q_telemetry_pace_by_section_course,
+    q_telemetry_round_sample,
+    q_telemetry_round_validation_course,
+    q_telemetry_demo_hole_max_outlier,
+    q_telemetry_demo_unit_summary,
+    q_telemetry_demo_loop_fatigue,
+    q_telemetry_demo_boundary_support,
+    q_telemetry_nine_loop_pace_comparison,
+    q_telemetry_course_topology_map_points,
+    q_telemetry_course_centroids,
+    q_telemetry_course_summary_with_profile,
+    q_telemetry_column_completeness_extended,
+]
+
+
+# ---------------------------------------------------------------------------
+# R16-STAGED entries: the ninth (and, for the bridgeable surface, FINAL)
+# dashboard-library batch — the four remaining fixed texts, the
+# all-courses faces of already-green per-course drill-downs.  With this
+# block every library text is either driver-bridged (86/94) or skipped
+# with a measured reason recorded in the R13/R15 block comments (8/94:
+# structurally-empty matches, tie-arbitrary LIMIT cuts, a data-dependent
+# parameter, and one model-reading parameterized text whose chain is
+# driver-green via gold_hole_performance).
+# ---------------------------------------------------------------------------
+
+q_telemetry_round_duration_details = Query(
+    name="telemetry_round_duration_details",
+    build=lambda spark, sf_dir: _dates_as_ntz(
+        _bridged(spark, sf_dir, "round_duration_details"), "round_date"
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        round_stats AS (
+            SELECT
+                course_id,
+                round_id,
+                MAX(round_duration_minutes) AS duration_minutes,
+                MAX(CAST(is_nine_hole AS INTEGER)) = 1 AS is_nine_hole,
+                COUNT(DISTINCT hole_number) AS holes_visited,
+                MIN(event_date) AS round_date
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE
+            GROUP BY course_id, round_id
+        )
+        SELECT
+            course_id,
+            round_id,
+            CAST(round_date AS TIMESTAMP) AS round_date,
+            duration_minutes,
+            is_nine_hole,
+            holes_visited,
+            CASE WHEN is_nine_hole THEN '9-hole' ELSE '18-hole' END AS round_type
+        FROM round_stats
+        WHERE duration_minutes IS NOT NULL
+          AND duration_minutes > 0
+          AND duration_minutes < 600
+        ORDER BY course_id, round_date DESC
+    """,
+    doc="Reference parity, per-round duration details across ALL "
+    "courses (dashboard/utils/queries.py ROUND_DURATION_DETAILS — the "
+    "all-courses face of the green get_round_duration_for_course row) "
+    "— integer-exact µs-derived durations.",
+)
+
+q_telemetry_round_nine_combinations = Query(
+    name="telemetry_round_nine_combinations",
+    build=lambda spark, sf_dir: _bridged(spark, sf_dir, "round_nine_combinations"),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),
+        round_nines AS (
+            SELECT
+                course_id, round_id,
+                list_sort(list(DISTINCT nine_number)) AS nines_array,
+                COUNT(DISTINCT nine_number) AS nines_count,
+                COUNT(DISTINCT hole_number) AS holes_played
+            FROM fact_telemetry_event
+            WHERE is_location_padding = FALSE
+              AND nine_number IS NOT NULL
+            GROUP BY course_id, round_id
+        )
+        SELECT
+            course_id,
+            array_to_string(nines_array, '+') AS nines_played,
+            nines_count,
+            CASE
+                WHEN holes_played < 9 THEN '<9'
+                WHEN holes_played = 9 THEN '9'
+                WHEN holes_played = 18 THEN '18'
+                WHEN holes_played = 27 THEN '27'
+                WHEN holes_played > 27 THEN '>27'
+                ELSE 'other (10-26)'
+            END AS holes_played_bucket,
+            COUNT(*) AS round_count
+        FROM round_nines
+        GROUP BY course_id, nines_array, nines_count, 4
+        ORDER BY course_id, nines_count, nines_played
+    """,
+    doc="Reference parity, nine-combination census across ALL courses "
+    "(ROUND_NINE_COMBINATIONS — the all-courses face of the green "
+    "telemetry_nine_combinations row): SORT_ARRAY(COLLECT_SET) == "
+    "DuckDB list_sort(list(DISTINCT)), arrays '+'-joined for transport.",
+)
+
+q_telemetry_round_validation = Query(
+    name="telemetry_round_validation",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "round_validation", fact_sql=_SPARK_BRIDGE_EXT
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT}),
+        round_stats AS (
+            SELECT
+                course_id,
+                round_id,
+                MIN(fix_timestamp) AS first_fix,
+                MAX(fix_timestamp) AS last_fix,
+                MIN(round_start_time) AS round_start,
+                MAX(round_end_time) AS round_end,
+                MAX(round_duration_minutes) AS duration_minutes,
+                MIN(start_hole) AS start_hole,
+                MIN(hole_number) AS min_hole,
+                MAX(hole_number) AS max_hole,
+                MIN(section_number) AS min_section,
+                MAX(section_number) AS max_section,
+                COUNT(DISTINCT hole_number) AS holes_visited,
+                COUNT(DISTINCT section_number) AS sections_visited,
+                MAX(CAST(is_complete AS INTEGER)) AS is_complete,
+                MAX(CAST(is_nine_hole AS INTEGER)) AS is_nine_hole,
+                COUNT(*) AS event_count,
+                CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END)
+                     AS BIGINT) AS real_events,
+                CAST(SUM(CASE WHEN pace IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS events_with_pace
+            FROM fact_telemetry_event
+            GROUP BY course_id, round_id
+        )
+        SELECT
+            course_id,
+            round_id,
+            duration_minutes,
+            start_hole,
+            min_hole,
+            max_hole,
+            holes_visited,
+            sections_visited,
+            event_count,
+            real_events,
+            is_complete,
+            is_nine_hole,
+            CASE
+                WHEN duration_minutes IS NULL THEN FALSE
+                WHEN is_nine_hole = 1 AND duration_minutes BETWEEN 45 AND 200 THEN TRUE
+                WHEN is_nine_hole = 0 AND duration_minutes BETWEEN 90 AND 400 THEN TRUE
+                ELSE FALSE
+            END AS duration_valid,
+            CASE
+                WHEN start_hole IS NULL THEN FALSE
+                WHEN min_hole IS NULL THEN FALSE
+                WHEN start_hole > 1 AND min_hole = start_hole THEN TRUE
+                WHEN start_hole = 1 AND min_hole = 1 THEN TRUE
+                ELSE FALSE
+            END AS sequence_valid,
+            CASE
+                WHEN real_events < 10 THEN FALSE
+                WHEN is_nine_hole = 1 AND real_events >= 9 THEN TRUE
+                WHEN is_nine_hole = 0 AND real_events >= 18 THEN TRUE
+                ELSE FALSE
+            END AS events_valid,
+            CASE
+                WHEN events_with_pace = 0 THEN FALSE
+                WHEN CAST(events_with_pace AS DOUBLE) / NULLIF(real_events, 0) >= 0.5 THEN TRUE
+                ELSE FALSE
+            END AS pace_valid
+        FROM round_stats
+        ORDER BY round_id
+    """,
+    doc="Reference parity, per-round validation across ALL courses "
+    "(ROUND_VALIDATION — the all-courses face of "
+    "telemetry_round_validation_course) over the extended bridge — "
+    "all verdicts integer/boolean-exact.",
+)
+
+q_telemetry_rounds_by_month = Query(
+    name="telemetry_rounds_by_month",
+    build=lambda spark, sf_dir: _bridged(
+        spark, sf_dir, "rounds_by_month", fact_sql=_SPARK_BRIDGE_EXT
+    ),
+    oracle=f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT})
+        SELECT
+            course_id,
+            event_year,
+            event_month,
+            COUNT(DISTINCT round_id) AS round_count
+        FROM fact_telemetry_event
+        WHERE event_year IS NOT NULL
+        GROUP BY course_id, event_year, event_month
+        ORDER BY course_id, event_year, event_month
+    """,
+    doc="Reference parity, the dashboard's rounds-by-month "
+    "distribution (ROUNDS_BY_MONTH — the library text, distinct from "
+    "the gold_rounds_by_month MODEL row) over the extended bridge's "
+    "date parts — exact ints.",
+)
+
+
+R16_STAGED = [
+    q_telemetry_round_duration_details,
+    q_telemetry_round_nine_combinations,
+    q_telemetry_round_validation,
+    q_telemetry_rounds_by_month,
 ]

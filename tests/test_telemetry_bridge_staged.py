@@ -97,6 +97,9 @@ _TS_STAGED = [
     "telemetry_demo_seasonality_months",
     "telemetry_demo_top3_months",
     "telemetry_demo_bottom3_months",
+    "telemetry_round_sample",
+    "telemetry_course_summary_with_profile",
+    "telemetry_round_duration_details",
 ]
 
 
