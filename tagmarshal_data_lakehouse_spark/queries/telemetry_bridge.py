@@ -4109,6 +4109,81 @@ R14_STAGED = [
 # ---------------------------------------------------------------------------
 
 _PBHC_AVG = _dexact_avg("hp.pace")
+def _round_validation_oracle(where: str) -> str:
+    """The per-round validation oracle (round_stats CTE + the four
+    verdict CASEs), shared by the per-course and all-courses entries —
+    the two library texts differ only in the stats CTE's WHERE line,
+    so the oracle is factored the same way telemetry.py factors the
+    Spark texts."""
+    return f"""
+        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT}),
+        round_stats AS (
+            SELECT
+                course_id,
+                round_id,
+                MIN(fix_timestamp) AS first_fix,
+                MAX(fix_timestamp) AS last_fix,
+                MIN(round_start_time) AS round_start,
+                MAX(round_end_time) AS round_end,
+                MAX(round_duration_minutes) AS duration_minutes,
+                MIN(start_hole) AS start_hole,
+                MIN(hole_number) AS min_hole,
+                MAX(hole_number) AS max_hole,
+                MIN(section_number) AS min_section,
+                MAX(section_number) AS max_section,
+                COUNT(DISTINCT hole_number) AS holes_visited,
+                COUNT(DISTINCT section_number) AS sections_visited,
+                MAX(CAST(is_complete AS INTEGER)) AS is_complete,
+                MAX(CAST(is_nine_hole AS INTEGER)) AS is_nine_hole,
+                COUNT(*) AS event_count,
+                CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END)
+                     AS BIGINT) AS real_events,
+                CAST(SUM(CASE WHEN pace IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS events_with_pace
+            FROM fact_telemetry_event
+            {where}GROUP BY course_id, round_id
+        )
+        SELECT
+            course_id,
+            round_id,
+            duration_minutes,
+            start_hole,
+            min_hole,
+            max_hole,
+            holes_visited,
+            sections_visited,
+            event_count,
+            real_events,
+            is_complete,
+            is_nine_hole,
+            CASE
+                WHEN duration_minutes IS NULL THEN FALSE
+                WHEN is_nine_hole = 1 AND duration_minutes BETWEEN 45 AND 200 THEN TRUE
+                WHEN is_nine_hole = 0 AND duration_minutes BETWEEN 90 AND 400 THEN TRUE
+                ELSE FALSE
+            END AS duration_valid,
+            CASE
+                WHEN start_hole IS NULL THEN FALSE
+                WHEN min_hole IS NULL THEN FALSE
+                WHEN start_hole > 1 AND min_hole = start_hole THEN TRUE
+                WHEN start_hole = 1 AND min_hole = 1 THEN TRUE
+                ELSE FALSE
+            END AS sequence_valid,
+            CASE
+                WHEN real_events < 10 THEN FALSE
+                WHEN is_nine_hole = 1 AND real_events >= 9 THEN TRUE
+                WHEN is_nine_hole = 0 AND real_events >= 18 THEN TRUE
+                ELSE FALSE
+            END AS events_valid,
+            CASE
+                WHEN events_with_pace = 0 THEN FALSE
+                WHEN CAST(events_with_pace AS DOUBLE) / NULLIF(real_events, 0) >= 0.5 THEN TRUE
+                ELSE FALSE
+            END AS pace_valid
+        FROM round_stats
+        ORDER BY round_id
+    """
+
 
 q_telemetry_pace_by_hole_course = Query(
     name="telemetry_pace_by_hole_course",
@@ -4214,75 +4289,9 @@ q_telemetry_round_validation_course = Query(
         fact_sql=_SPARK_BRIDGE_EXT,
         course_id=_COURSE,
     ),
-    oracle=f"""
-        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT}),
-        round_stats AS (
-            SELECT
-                course_id,
-                round_id,
-                MIN(fix_timestamp) AS first_fix,
-                MAX(fix_timestamp) AS last_fix,
-                MIN(round_start_time) AS round_start,
-                MAX(round_end_time) AS round_end,
-                MAX(round_duration_minutes) AS duration_minutes,
-                MIN(start_hole) AS start_hole,
-                MIN(hole_number) AS min_hole,
-                MAX(hole_number) AS max_hole,
-                MIN(section_number) AS min_section,
-                MAX(section_number) AS max_section,
-                COUNT(DISTINCT hole_number) AS holes_visited,
-                COUNT(DISTINCT section_number) AS sections_visited,
-                MAX(CAST(is_complete AS INTEGER)) AS is_complete,
-                MAX(CAST(is_nine_hole AS INTEGER)) AS is_nine_hole,
-                COUNT(*) AS event_count,
-                CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END)
-                     AS BIGINT) AS real_events,
-                CAST(SUM(CASE WHEN pace IS NOT NULL THEN 1 ELSE 0 END)
-                     AS BIGINT) AS events_with_pace
-            FROM fact_telemetry_event
-            WHERE course_id = '{_COURSE}'
-            GROUP BY course_id, round_id
-        )
-        SELECT
-            course_id,
-            round_id,
-            duration_minutes,
-            start_hole,
-            min_hole,
-            max_hole,
-            holes_visited,
-            sections_visited,
-            event_count,
-            real_events,
-            is_complete,
-            is_nine_hole,
-            CASE
-                WHEN duration_minutes IS NULL THEN FALSE
-                WHEN is_nine_hole = 1 AND duration_minutes BETWEEN 45 AND 200 THEN TRUE
-                WHEN is_nine_hole = 0 AND duration_minutes BETWEEN 90 AND 400 THEN TRUE
-                ELSE FALSE
-            END AS duration_valid,
-            CASE
-                WHEN start_hole IS NULL THEN FALSE
-                WHEN min_hole IS NULL THEN FALSE
-                WHEN start_hole > 1 AND min_hole = start_hole THEN TRUE
-                WHEN start_hole = 1 AND min_hole = 1 THEN TRUE
-                ELSE FALSE
-            END AS sequence_valid,
-            CASE
-                WHEN real_events < 10 THEN FALSE
-                WHEN is_nine_hole = 1 AND real_events >= 9 THEN TRUE
-                WHEN is_nine_hole = 0 AND real_events >= 18 THEN TRUE
-                ELSE FALSE
-            END AS events_valid,
-            CASE
-                WHEN events_with_pace = 0 THEN FALSE
-                WHEN CAST(events_with_pace AS DOUBLE) / NULLIF(real_events, 0) >= 0.5 THEN TRUE
-                ELSE FALSE
-            END AS pace_valid
-        FROM round_stats
-        ORDER BY round_id
-    """,
+    oracle=_round_validation_oracle(
+        f"WHERE course_id = '{_COURSE}'\n            "
+    ),
     doc="Reference parity, per-round validation detail "
     "(run_telemetry_query('get_round_validation_for_course')) over the "
     "extended bridge — duration/sequence/events/pace validity verdicts, "
@@ -4373,7 +4382,12 @@ q_telemetry_demo_loop_fatigue = Query(
     """,
     doc="Reference parity, the demo loop-fatigue probe (same hole, "
     "first vs second nine; run_telemetry_query"
-    "('get_demo_loop_fatigue')) — unrounded exact averages.",
+    "('get_demo_loop_fatigue')) — unrounded exact averages.  Reduced "
+    "coverage on THIS bridge: nine_number is a pure function of "
+    "hole_number (event_id % 18 < 9), so hole 5 only ever produces "
+    "the nine-1 group — the text and its aggregate verify, the "
+    "two-nine comparison itself is exercised by the pytest "
+    "two-engine suite on the real telemetry fixtures.",
 )
 
 q_telemetry_demo_boundary_support = Query(
@@ -4639,10 +4653,10 @@ R15_STAGED = [
 # dashboard-library batch — the four remaining fixed texts, the
 # all-courses faces of already-green per-course drill-downs.  With this
 # block every library text is either driver-bridged (86/94) or skipped
-# with a measured reason recorded in the R13/R15 block comments (8/94:
-# structurally-empty matches, tie-arbitrary LIMIT cuts, a data-dependent
-# parameter, and one model-reading parameterized text whose chain is
-# driver-green via gold_hole_performance).
+# with a measured reason recorded in the R13/R14/R15 block comments
+# (8/94: structurally-empty matches, tie-arbitrary LIMIT cuts, a
+# data-dependent parameter, and one model-reading parameterized text
+# whose chain is driver-green via gold_hole_performance).
 # ---------------------------------------------------------------------------
 
 q_telemetry_round_duration_details = Query(
@@ -4728,74 +4742,7 @@ q_telemetry_round_validation = Query(
     build=lambda spark, sf_dir: _bridged(
         spark, sf_dir, "round_validation", fact_sql=_SPARK_BRIDGE_EXT
     ),
-    oracle=f"""
-        WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT}),
-        round_stats AS (
-            SELECT
-                course_id,
-                round_id,
-                MIN(fix_timestamp) AS first_fix,
-                MAX(fix_timestamp) AS last_fix,
-                MIN(round_start_time) AS round_start,
-                MAX(round_end_time) AS round_end,
-                MAX(round_duration_minutes) AS duration_minutes,
-                MIN(start_hole) AS start_hole,
-                MIN(hole_number) AS min_hole,
-                MAX(hole_number) AS max_hole,
-                MIN(section_number) AS min_section,
-                MAX(section_number) AS max_section,
-                COUNT(DISTINCT hole_number) AS holes_visited,
-                COUNT(DISTINCT section_number) AS sections_visited,
-                MAX(CAST(is_complete AS INTEGER)) AS is_complete,
-                MAX(CAST(is_nine_hole AS INTEGER)) AS is_nine_hole,
-                COUNT(*) AS event_count,
-                CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END)
-                     AS BIGINT) AS real_events,
-                CAST(SUM(CASE WHEN pace IS NOT NULL THEN 1 ELSE 0 END)
-                     AS BIGINT) AS events_with_pace
-            FROM fact_telemetry_event
-            GROUP BY course_id, round_id
-        )
-        SELECT
-            course_id,
-            round_id,
-            duration_minutes,
-            start_hole,
-            min_hole,
-            max_hole,
-            holes_visited,
-            sections_visited,
-            event_count,
-            real_events,
-            is_complete,
-            is_nine_hole,
-            CASE
-                WHEN duration_minutes IS NULL THEN FALSE
-                WHEN is_nine_hole = 1 AND duration_minutes BETWEEN 45 AND 200 THEN TRUE
-                WHEN is_nine_hole = 0 AND duration_minutes BETWEEN 90 AND 400 THEN TRUE
-                ELSE FALSE
-            END AS duration_valid,
-            CASE
-                WHEN start_hole IS NULL THEN FALSE
-                WHEN min_hole IS NULL THEN FALSE
-                WHEN start_hole > 1 AND min_hole = start_hole THEN TRUE
-                WHEN start_hole = 1 AND min_hole = 1 THEN TRUE
-                ELSE FALSE
-            END AS sequence_valid,
-            CASE
-                WHEN real_events < 10 THEN FALSE
-                WHEN is_nine_hole = 1 AND real_events >= 9 THEN TRUE
-                WHEN is_nine_hole = 0 AND real_events >= 18 THEN TRUE
-                ELSE FALSE
-            END AS events_valid,
-            CASE
-                WHEN events_with_pace = 0 THEN FALSE
-                WHEN CAST(events_with_pace AS DOUBLE) / NULLIF(real_events, 0) >= 0.5 THEN TRUE
-                ELSE FALSE
-            END AS pace_valid
-        FROM round_stats
-        ORDER BY round_id
-    """,
+    oracle=_round_validation_oracle(""),
     doc="Reference parity, per-round validation across ALL courses "
     "(ROUND_VALIDATION — the all-courses face of "
     "telemetry_round_validation_course) over the extended bridge — "
