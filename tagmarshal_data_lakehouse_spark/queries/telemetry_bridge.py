@@ -3212,17 +3212,20 @@ R11_STAGED = [
 
 
 def _expl_on_model(
-    spark: SparkSession, sf_dir: str, model: str, name: str
+    spark: SparkSession, sf_dir: str, model: str, name: str, **params
 ) -> DataFrame:
     """Run an exploration library text that reads a gold MODEL table:
     build the model's dependency chain over the bridge (real gold
     texts), register the model frame under its name, run the real
-    exploration text on top."""
+    exploration text on top (fixed or parameterized — the `_bridged`
+    contract)."""
     from . import telemetry
 
     _gold_on_bridge(spark, sf_dir, model).localCheckpoint(
         eager=True
     ).createOrReplaceTempView(model)
+    if name in telemetry.PARAMETERIZED:
+        return spark.sql(telemetry.PARAMETERIZED[name](**params))
     return spark.sql(telemetry.TELEMETRY_QUERIES[name])
 
 
@@ -4651,12 +4654,11 @@ R15_STAGED = [
 # ---------------------------------------------------------------------------
 # R16-STAGED entries: the ninth (and, for the bridgeable surface, FINAL)
 # dashboard-library batch — the four remaining fixed texts, the
-# all-courses faces of already-green per-course drill-downs.  With this
-# block every library text is either driver-bridged (86/94) or skipped
-# with a measured reason recorded in the R13/R14/R15 block comments
-# (8/94: structurally-empty matches, tie-arbitrary LIMIT cuts, a
-# data-dependent parameter, and one model-reading parameterized text
-# whose chain is driver-green via gold_hole_performance).
+# all-courses faces of already-green per-course drill-downs, plus the
+# appendix entry below.  With this block every library text is either
+# driver-bridged (87/94) or skipped with a measured reason recorded in
+# the R13/R14/R15 block comments (7/94: structurally-empty matches,
+# tie-arbitrary LIMIT cuts, and one data-dependent parameter).
 # ---------------------------------------------------------------------------
 
 q_telemetry_round_duration_details = Query(
@@ -4779,3 +4781,43 @@ R16_STAGED = [
     q_telemetry_round_validation,
     q_telemetry_rounds_by_month,
 ]
+
+
+# R16 appendix: the last skip from the R15 census, un-skipped — the
+# param-aware _expl_on_model made the model-reading parameterized
+# wrapper trivial after all.  Same nine-collapse caveat as
+# telemetry_demo_loop_fatigue (hole 5 -> nine 1 only on this bridge);
+# the avg-of-avgs decimal cast (CAST(avg_pace_sec AS DECIMAL(28,10))
+# over a non-integer double) is the one new exactness surface, held to
+# the three-SF staged gate like everything else.
+q_telemetry_check_loop_fatigue = Query(
+    name="telemetry_check_loop_fatigue",
+    build=lambda spark, sf_dir: _expl_on_model(
+        spark,
+        sf_dir,
+        "fact_round_hole_performance",
+        "get_check_loop_fatigue",
+        course_id=_COURSE,
+        hole_number=_HOLE,
+    ),
+    oracle=f"""
+        SELECT
+            nine_number,
+            (CAST(SUM(CAST(avg_pace_sec AS DECIMAL(28,10))) AS DOUBLE)
+             / COUNT(avg_pace_sec)) AS avg_pace_seconds,
+            COUNT(*) AS rounds_sample_size
+        FROM ({q_gold_hole_performance.oracle}) fact_round_hole_performance
+        WHERE course_id = '{_COURSE}'
+          AND hole_number = {_HOLE}
+        GROUP BY nine_number
+        ORDER BY nine_number
+    """,
+    doc="Reference parity, the loop-fatigue check read over the "
+    "fact_round_hole_performance MODEL "
+    "(run_telemetry_query('get_check_loop_fatigue')); oracle wraps the "
+    "registered gold oracle's chain — with this row every "
+    "parameterized library text that can run on this bridge has a "
+    "driver-grade row.",
+)
+
+R16_STAGED = R16_STAGED + [q_telemetry_check_loop_fatigue]
