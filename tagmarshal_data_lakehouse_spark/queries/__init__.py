@@ -191,7 +191,7 @@ def _register_tables(
 # test fails loudly if this marker ever falls more than one round
 # behind the artifacts (the round-5 zero-commit failure mode). Bump it
 # when rotating the head.
-HEAD_DESIGNED_FOR_ROUND = 8
+HEAD_DESIGNED_FOR_ROUND = 9
 
 _FLAGSHIP_INTERLEAVE = (
     "events_sessionize",
@@ -208,7 +208,7 @@ _FLAGSHIP_INTERLEAVE = (
     "join_multiway",
 )
 
-# Round-8 sweep priorities (38 entries; slots 13..50 of the head).
+# Round-9 sweep priorities (38 entries; slots 13..50 of the head).
 # Composition is governed by the artifact-driven standing gate in
 # tests/test_registry_order.py: every oracle-backed query that has NEVER
 # had a driver hash row, or whose text was edited after its last green
@@ -217,66 +217,40 @@ _FLAGSHIP_INTERLEAVE = (
 # (oldest driver-green round first); whatever the queue cannot fit this
 # round leads the tail (_STALE_TAIL) and must fit entirely into NEXT
 # round's priority block.
-#   - the 9 R8_STAGED gold/silver_normalized bridge entries promoted
-#     this round (never-green: built and sim-verified in round 7,
-#     registered now) — with these green, every one of the 20 reference
-#     gold models has a driver-green row;
-#   - the oldest 29 of round 7's 38-entry overflow (r02-vintage
-#     relational, then r03-vintage events/training, in rotation order);
-#     the remaining 9 spill to round 9's block, within the
-#     one-round-of-lag bound.
+#   - telemetry_hole_duration: the r08 red (transport-dtype divergence,
+#     values equal) — oracle re-CAST + the library text's NTZ-contract
+#     fix, re-recorded in the ledger, so it re-verifies first;
+#   - the 17 R9_STAGED + R10_STAGED dashboard-library entries promoted
+#     this round (never-green: built and sim-verified in round 8,
+#     registered now — VERDICT r8 items 4 and 7, two blocks since the
+#     head had room);
+#   - the 13 r03-vintage entries round 8's block could not fit (its
+#     declared overflow, due oldest-first);
+#   - 7 spare slots pre-refresh the oldest r05-vintage entries (the due
+#     queue underflows the budget at horizon 5, so these slots would
+#     otherwise idle; pulling round 10's wave forward shrinks it to 20).
 _SWEEP_PRIORITY = (
-    "gold_signal_quality_rounds",
-    "gold_course_configuration",
-    "gold_critical_column_gaps",
-    "gold_dim_round",
-    "gold_dim_device",
-    "gold_global_overview",
-    "gold_global_course_summary",
-    "gold_global_time_patterns",
-    "gold_fact_telemetry_fix",
-    # R8 batch 2: dashboard-library texts bridged to driver rows this
-    # round (never-green -> must be in the head); they displace the 4
-    # youngest r03-vintage entries to the tail front (overflow 13 <= 38).
-    "telemetry_round_progression",
-    "telemetry_progression_summary",
-    "telemetry_nine_combinations",
     "telemetry_hole_duration",
-    "window_ntile_distribution",
-    "pivot_status_counts",
-    "join_exists_correlated",
-    "scalar_correlated_subquery",
-    "explode_posexplode",
-    "set_intersect_except",
-    "agg_corr_regression",
-    "scalar_array_family",
-    "agg_string_agg",
-    "window_range_frame",
-    "join_full_outer",
-    "agg_skew_profile",
-    "scan_profile",
-    "events_funnel",
-    "events_dedup_exact",
-    "events_time_rollup",
-    "events_retention_cohorts",
-    "events_anomaly_zscore",
-    "doc_quality",
-    "doc_lang_id",
-    "doc_ngram_jaccard",
-    "emb_label_stats",
-    "emb_cosine_near_dups",
-    "doc_train_split",
-    "doc_stratified_sample",
-)
-
-# The rest of the stale rotation: the 13 r03-vintage entries the
-# round-8 block could not fit (9 original overflow + 4 displaced by the
-# batch-2 bridge entries; they MUST fill the front of round 9's priority
-# block — the standing gate asserts they fit), then the 27 r05-vintage
-# entries that cross the staleness horizon at round 9, in rotation
-# order. These lead the tail (slots 51+) and are picked up first if the
-# sweep budget ever grows.
-_STALE_TAIL = (
+    # R9_STAGED
+    "telemetry_pace_by_section",
+    "telemetry_bottleneck_summary",
+    "telemetry_global_weekday_heatmap",
+    "telemetry_global_hourly_distribution",
+    "telemetry_global_monthly_trend",
+    "telemetry_global_completion_rates",
+    "telemetry_round_validation_summary",
+    # R10_STAGED
+    "telemetry_overview_stats",
+    "telemetry_pace_by_hole",
+    "telemetry_round_duration_summary",
+    "telemetry_device_stats",
+    "telemetry_round_types",
+    "telemetry_sections_per_hole",
+    "telemetry_rounds_by_weekday",
+    "telemetry_events_by_month",
+    "telemetry_round_length_distribution",
+    "telemetry_events_per_course",
+    # round-8 overflow: r03-vintage, oldest-green first
     "doc_hash_sample_k",
     "doc_mixture_weights",
     "doc_decontaminate",
@@ -290,6 +264,7 @@ _STALE_TAIL = (
     "multimodal_frame_sample",
     "doc_span_dedup",
     "doc_cross_source_dups",
+    # spare-slot pre-refresh: oldest r05-vintage (due at round 10)
     "scalar_datetime",
     "doc_dedup_clusters",
     "doc_pack_sequences",
@@ -297,6 +272,14 @@ _STALE_TAIL = (
     "multimodal_resize",
     "doc_incremental_dedup",
     "doc_chunk_windows",
+)
+
+# The rest of the stale rotation: the due queue fits this round's head
+# entirely (overflow 0), so the tail leads with the 20 remaining
+# r05-vintage entries that cross the staleness horizon at round 10 —
+# next round's priority front, picked up first if the sweep budget ever
+# grows.
+_STALE_TAIL = (
     "doc_epoch_shuffle",
     "doc_curation_pipeline",
     "tpch_q2",

@@ -1712,7 +1712,18 @@ def get_round_duration_for_course(course_id: str) -> str:
 
 def get_hole_duration_for_course(course_id: str) -> str:
     """dashboard/utils/queries.py:950-994 (date_diff('minute') ->
-    floored epoch-minute difference)."""
+    floored second-boundary-crossing minute difference).
+
+    NTZ contract (queries/__init__.py load_views): fix_timestamp is
+    TIMESTAMP_NTZ, so the duration must avoid UNIX_TIMESTAMP (session-tz
+    dependent on NTZ inputs; the "offsets cancel within a round"
+    argument fails across a DST transition). TIMESTAMPDIFF over
+    DATE_TRUNC('SECOND')-aligned endpoints counts second-boundary
+    crossings — value-identical to the previous UNIX_TIMESTAMP
+    subtraction (floor(b)-floor(a)) and to DuckDB date_diff('second'),
+    but tz-independent by construction. Plain TIMESTAMPDIFF(SECOND,...)
+    would instead truncate ELAPSED seconds, which diverges on
+    sub-second timestamps."""
     return f"""
 WITH hole_times AS (
     SELECT
@@ -1729,7 +1740,7 @@ WITH hole_times AS (
 hole_durations AS (
     SELECT
         course_id, round_id, hole_number,
-        FLOOR((UNIX_TIMESTAMP(hole_end) - UNIX_TIMESTAMP(hole_start)) / 60) AS hole_duration_minutes
+        FLOOR(TIMESTAMPDIFF(SECOND, DATE_TRUNC('SECOND', hole_start), DATE_TRUNC('SECOND', hole_end)) / 60) AS hole_duration_minutes
     FROM hole_times
     WHERE hole_start IS NOT NULL AND hole_end IS NOT NULL
 )

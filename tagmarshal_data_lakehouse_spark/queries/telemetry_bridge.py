@@ -1494,7 +1494,7 @@ q_telemetry_hole_duration = Query(
         hole_durations AS (
             SELECT
                 course_id, round_id, hole_number,
-                FLOOR(date_diff('second', hole_start, hole_end) / 60) AS hole_duration_minutes
+                CAST(FLOOR(date_diff('second', hole_start, hole_end) / 60) AS BIGINT) AS hole_duration_minutes
             FROM hole_times
             WHERE hole_start IS NOT NULL AND hole_end IS NOT NULL
         )
@@ -1510,11 +1510,14 @@ q_telemetry_hole_duration = Query(
     """,
     doc="Reference parity, hole-duration distribution "
     "(dashboard/utils/queries.py:950-994) over the events->telemetry "
-    "bridge: per-(round, hole) window from second-truncated epoch "
-    "diffs (Spark UNIX_TIMESTAMP subtraction == DuckDB "
-    "date_diff('second'); session-tz offsets cancel within a round), "
-    "integer minute floor; ROUNDed avg/stddev and the approx median "
-    "are shimmed out of the hashed projection.",
+    "bridge: per-(round, hole) second-boundary-crossing diffs (Spark "
+    "TIMESTAMPDIFF over DATE_TRUNC('SECOND') endpoints — NTZ-pure — "
+    "== DuckDB date_diff('second')), integer minute floor. The oracle "
+    "CASTs the floor to BIGINT because DuckDB FLOOR returns DOUBLE "
+    "where Spark FLOOR returns BIGINT — the r08 transport-dtype red "
+    "(values were equal; only int64-vs-float64 diverged). ROUNDed "
+    "avg/stddev and the approx median are shimmed out of the hashed "
+    "projection.",
 )
 
 
@@ -2112,13 +2115,12 @@ QUERIES += [
 # ---------------------------------------------------------------------------
 # R9-STAGED entries: the next dashboard-library batch (VERDICT r7 item 6 —
 # rotate the pytest-only telemetry library onto driver rows at a few per
-# round).  Staged, NOT registered: round 8's sweep head is already full and
-# never-green entries must sit inside it (tests/test_registry_order.py), so
-# these follow the R8_STAGED playbook that worked for the gold models —
-# built now, held to the exact driver standard by
-# tests/test_telemetry_bridge_staged.py and driver_sim's SIM_STAGED hook,
-# promoted mechanically in round 9 (append to QUERIES, slot into the head,
-# record oracle texts with tools/update_query_text_hashes.py --round 9).
+# round).  Built in round 8 (round 8's sweep head was already full and
+# never-green entries must sit inside it, tests/test_registry_order.py),
+# held to the exact driver standard by tests/test_telemetry_bridge_staged.py
+# and driver_sim's SIM_STAGED hook, PROMOTED in round 9 per the mechanical
+# checklist (QUERIES append below, sweep-head slots in queries/__init__.py,
+# oracle texts ledgered via tools/update_query_text_hashes.py --round 9).
 #
 # Exactness per the standing rules: ROUND(double, N>0) percentage/average
 # columns and engine-specific percentile sketches leave the hashed
@@ -2389,16 +2391,19 @@ R9_STAGED = [
     q_telemetry_round_validation_summary,
 ]
 
+# Promoted in round 9 per the mechanical checklist (VERDICT r8 item 4);
+# the block name stays so the staged-entry pytest matrix and
+# driver_sim's SIM_STAGED hook keep working.
+QUERIES += R9_STAGED
+
 
 # ---------------------------------------------------------------------------
 # R10-STAGED entries: the third dashboard-library batch (VERDICT r7 item 6
-# rotation, continued).  Staged, NOT registered: rounds 8 and 9 already have
-# full sweep heads, so these follow the same playbook as R8_STAGED/R9_STAGED
-# — built and oracle'd now, held to the exact driver standard by
-# tests/test_telemetry_bridge_staged.py (generic over every unregistered
-# R{N}_STAGED block) and driver_sim's SIM_STAGED hook, promoted mechanically
-# when a sweep head has room (append to QUERIES, slot into the head, record
-# oracle texts with tools/update_query_text_hashes.py).
+# rotation, continued).  Built and oracle'd in round 8, held to the exact
+# driver standard by tests/test_telemetry_bridge_staged.py (generic over
+# every unregistered R{N}_STAGED block) and driver_sim's SIM_STAGED hook;
+# promoted in round 9 together with R9_STAGED (VERDICT r8 item 7: the
+# sweep head had room after the hard-due entries, so two blocks land).
 #
 # Exactness: this batch RETAINS the library's ROUND(avg)/ROUND(pct) display
 # columns in the hashed projection by mirroring Spark's ROUND semantics in
@@ -2803,6 +2808,9 @@ R10_STAGED = [
     q_telemetry_round_length_distribution,
     q_telemetry_events_per_course,
 ]
+
+# Promoted in round 9 (see the R9_STAGED note above).
+QUERIES += R10_STAGED
 
 
 # ---------------------------------------------------------------------------

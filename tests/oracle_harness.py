@@ -44,6 +44,25 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse transport-dtype class: the driver hashes TYPED values, so
+    int64 58 and float64 58.0 hash differently even though they compare
+    equal numerically (the r08 `telemetry_hole_duration` red: Spark
+    FLOOR ships BIGINT where DuckDB FLOOR ships DOUBLE). Classifying at
+    this granularity — not exact dtype — tolerates width differences
+    (int32 vs int64) that the transport normalizes, while catching every
+    class the driver's hash distinguishes."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def _values_equal(a: Any, b: Any) -> bool:
     if a is None and b is None:
         return True
@@ -81,6 +100,17 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
             s = frame[col]
             if s.dtype == object and s.map(lambda v: isinstance(v, decimal.Decimal)).any():
                 problems.append(f"col {col}: {side} side emits Decimal values (type hazard)")
+        # Transport-dtype class parity (r08 blind spot): _values_equal
+        # accepts int 58 == float 58.0, but the driver hashes typed
+        # values and reds exactly that pair. Flag the divergence even
+        # when every value compares equal.
+        ca, cb = _dtype_class(a[col]), _dtype_class(b[col])
+        if ca != cb:
+            problems.append(
+                f"col {col}: transport dtype class diverges: spark={ca} "
+                f"({a[col].dtype}) vs oracle={cb} ({b[col].dtype}) — the "
+                "driver hashes typed values, so this reds even if values match"
+            )
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         bad = [
@@ -195,6 +225,17 @@ def spark_sql_to_duckdb(sql: str) -> str:
             f"found {commas + 1} args at: ...{sql[m.start():m.start() + 80]}..."
         )
     sql = sql.replace("PERCENTILE_APPROX(", "quantile_disc(")
+    # TIMESTAMPDIFF(UNIT, a, b) -> date_diff('unit', a, b): a macro
+    # cannot capture the bare unit keyword. Both forms compute b - a;
+    # call sites pre-truncate endpoints to the unit (DATE_TRUNC) so
+    # Spark's elapsed-unit truncation and DuckDB's boundary counting
+    # coincide exactly.
+    sql = re.sub(
+        r"\bTIMESTAMPDIFF\(\s*(\w+)\s*,",
+        lambda m: f"date_diff('{m.group(1).lower()}',",
+        sql,
+        flags=re.IGNORECASE,
+    )
     return re.sub(r"\bROUND\(", "SPARK_ROUND(", sql, flags=re.IGNORECASE)
 
 

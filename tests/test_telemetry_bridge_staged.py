@@ -103,6 +103,25 @@ _TS_STAGED = [
 ]
 
 
+def test_ts_staged_names_are_live_or_promoted_into_ts_queries():
+    """_TS_STAGED is hand-maintained; a typo'd name (or a promoted name
+    not moved into test_tz_independence.TS_QUERIES per the checklist)
+    would silently drop out of the parametrization below with ZERO tz
+    coverage. Every name must therefore be either a currently-staged
+    entry (single-zone check here) or present in TS_QUERIES (full
+    three-zone sweep after promotion) — anything else fails loudly."""
+    from .test_tz_independence import TS_QUERIES
+
+    staged_names = {q.name for q in STAGED}
+    orphans = [
+        n for n in _TS_STAGED if n not in staged_names and n not in TS_QUERIES
+    ]
+    assert not orphans, (
+        f"_TS_STAGED names with no tz coverage anywhere: {orphans} — "
+        "stale/misspelled, or promoted without the TS_QUERIES move"
+    )
+
+
 @pytest.mark.parametrize(
     "q", [q for q in STAGED if q.name in _TS_STAGED], ids=lambda q: q.name
 )

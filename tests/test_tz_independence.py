@@ -63,10 +63,17 @@ TS_QUERIES = [
     "gold_global_time_patterns",
     "gold_fact_telemetry_fix",
     # r8 batch-2 bridge entries: round_progression emits raw NTZ
-    # fix_timestamps; hole_duration subtracts UNIX_TIMESTAMP of two NTZ
-    # stamps at (round, hole) grain — session tz enters and must cancel.
+    # fix_timestamps; hole_duration diffs two NTZ stamps at (round,
+    # hole) grain — TIMESTAMPDIFF over DATE_TRUNC'd endpoints since the
+    # r09 NTZ-contract fix, so session tz never enters at all.
     "telemetry_round_progression",
     "telemetry_hole_duration",
+    # r9 promotions (R10_STAGED's _TS_STAGED names, registered this
+    # round): overview_stats emits CAST(event_date AS TIMESTAMP) bounds;
+    # events_per_course emits the same date-as-timestamp first/last
+    # bounds per course.
+    "telemetry_overview_stats",
+    "telemetry_events_per_course",
 ]
 
 # Three adversarial zones, each catching a different leak class:

@@ -48,8 +48,11 @@ def main() -> int:
     # SIM_STAGED=1 appends every not-yet-registered R{N}_STAGED bridge
     # block (telemetry_bridge.py) so a promotion round can hold staged
     # entries to the exact driver harness before touching the registry.
-    # Already-registered blocks (R8_STAGED after its round-8 promotion)
-    # are naturally idempotent here — same name, same build.
+    # Names already in the registry are SKIPPED, never overwritten
+    # (mirroring test_telemetry_bridge_staged's `not in _REGISTERED`
+    # filter): if a promoted entry were ever edited independently of its
+    # staged block, an overwrite would silently sweep the staged variant
+    # instead of what is actually registered, masking regressions.
     staged = bool(os.environ.get("SIM_STAGED"))
     if staged:
         from tagmarshal_data_lakehouse_spark.queries import telemetry_bridge
@@ -61,6 +64,8 @@ def main() -> int:
         ]
         for block in blocks:
             for q in block:
+                if q.name in queries:
+                    continue
                 queries[q.name] = q.build
                 if q.oracle is not None:
                     oracles[q.name] = q.oracle
