@@ -4112,11 +4112,11 @@ R14_STAGED = [
 # - expl_bottleneck_analysis: HAVING COUNT(*) > 50 matches zero groups
 #   at sf0.001 (measured) — the same clause classes are driver-covered
 #   by telemetry_pace_by_section (sample floors) and agg_having.
-# - get_check_loop_fatigue: reads the fact_round_hole_performance MODEL
-#   with a parameterized filter; the model chain is driver-green via
-#   gold_hole_performance and the within-nine comparison is covered by
-#   telemetry_nine_loop_pace_comparison below — left for a later batch
-#   if a param-aware model wrapper earns its keep.
+# (get_check_loop_fatigue, formerly on this list, WAS bridged once
+# _expl_on_model accepted parameters — q_telemetry_check_loop_fatigue
+# in the R16 appendix below.)
+# The full 7-skip census lives in OPERATORS.md §"Bridge census" — keep
+# the two in sync when a skip is added or bridged.
 # ---------------------------------------------------------------------------
 
 _PBHC_AVG = _dexact_avg("hp.pace")

@@ -59,6 +59,56 @@ def assign_clusters(
     )
 
 
+def assign_clusters_multiprobe(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_probes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per (vector, probe): the `n_probes` nearest centroids
+    per vector, with `probe_rank` 1..n_probes (rank 1 == the argmin
+    cluster `assign_clusters` returns, ties to the lowest index — so
+    the primary assignment is identical by construction).
+
+    The ANN multi-probe idea applied to clustered dedup: a vector near
+    a Voronoi boundary gets scored in its runner-up cluster(s) too, so
+    near-dup pairs that straddle the boundary — the recall SemDeDup
+    gives up by design — are caught when the pair shares ANY probe
+    cluster.  Still row-local and codegen'd (distance array -> sort by
+    (dist, index) -> slice -> explode): the 100 TB side never shuffles
+    for assignment, and downstream per-cluster cost scales by <=
+    n_probes per vector (pair mass by <= n_probes^2).
+    """
+    k = len(centroids)
+    n_probes = max(1, min(n_probes, k))
+    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    ranked = F.expr(
+        f"""slice(array_sort(
+                arrays_zip(_dists, sequence(0, {k - 1})),
+                (l, r) -> CASE WHEN l._dists < r._dists THEN -1
+                               WHEN l._dists > r._dists THEN 1
+                               WHEN l.`1` < r.`1` THEN -1
+                               WHEN l.`1` > r.`1` THEN 1
+                               ELSE 0 END
+            ), 1, {n_probes})"""
+    )
+    return (
+        df.withColumn("_dists", dists)
+        .withColumn("_probes", ranked)
+        .select(
+            F.col(id_col),
+            F.posexplode("_probes").alias("_pos", "_probe"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_probe.`1`").cast("int").alias("cluster"),
+            F.round(F.col("_probe._dists"), 6).alias("sq_dist"),
+            (F.col("_pos") + 1).cast("int").alias("probe_rank"),
+        )
+    )
+
+
 def init_centroids(
     df: DataFrame,
     k: int,

@@ -41,6 +41,12 @@ _DOT = (
 # beyond this bound the broadcast itself becomes the bottleneck (and for
 # the exact path the O(|Q|·|C|·d) cost is prohibitive far earlier).
 MAX_BROADCAST_QUERIES = 100_000
+
+# Per-block float64 budget for in-worker GEMM scoring (semantic_dedup's
+# within-cluster pass): 16M doubles = 128 MB per similarity block, so a
+# worker's transient peak is bounded by this constant — not by the
+# square of whatever cluster size a skewed kmeans hands it.
+_GEMM_BLOCK_ELEMS = 1 << 24
 # The exact path is a correctness baseline, not a serving path: cost is
 # O(|Q|·|C|·d) with a decimal-sum shuffle — hard-capped so it cannot be
 # reached accidentally at scale.
@@ -532,6 +538,7 @@ def resolve_planes_per_band(
     target_bucket: int = 100,
     lo: int = 3,
     hi: int = 20,
+    warn_on_unknown: bool = True,
 ) -> int:
     """The "bucket resolution must grow with log(N)" guidance
     (SCALE.md rounds 7-8), made mechanical at ZERO Spark jobs.
@@ -543,19 +550,42 @@ def resolve_planes_per_band(
     what keeps candidate mass bounded as the corpus grows (a fixed
     plane count saturates every bucket past ~4x growth; the 1024x
     octave showed the downstream failure is a silent recall collapse
-    at the max_bucket cap).  Unknown statistics resolve to `lo`
-    (coarse buckets = highest recall; the candidate mass stays bounded
-    by max_bucket plus the under-cap alarm).  An int passes through
-    untouched.  Resolution is an estimate by design: it tunes recall/
-    cost, and callers that fan one corpus into several banded passes
-    must resolve ONCE and pass the int down so every pass buckets
-    identically (what cosine_near_duplicates_lsh_auto does)."""
+    at the max_bucket cap).  Unknown statistics resolve to `lo` with a
+    UserWarning: coarse buckets are the highest-RECALL setting, but on
+    a genuinely large stats-less frame (Spark Connect, LogicalRDD) the
+    saturated buckets overflow max_bucket and the direct pair scorers
+    silently DROP the over-cap cliques — only
+    `cosine_near_duplicates_lsh_auto` measures that mass and alarms, so
+    the direct-call fallback must at least say it is guessing (ADVICE
+    r8).  An int passes through untouched.  Resolution is an estimate
+    by design: it tunes recall/cost, and callers that fan one corpus
+    into several banded passes must resolve ONCE and pass the int down
+    so every pass buckets identically (what
+    cosine_near_duplicates_lsh_auto does)."""
     if not isinstance(planes_per_band, str):
         return int(planes_per_band)
     if planes_per_band != "auto":
         raise ValueError(f"planes_per_band must be an int or 'auto', got {planes_per_band!r}")
     est = _estimated_rows(embeddings)
     if est is None:
+        if not warn_on_unknown:
+            # the _auto selector suppresses this: its density pass
+            # measures the over-cap mass directly and alarms on it
+            return lo
+        import warnings
+
+        warnings.warn(
+            f"planes_per_band='auto' on a frame with unknown Catalyst "
+            f"statistics: resolving to the coarsest banding (lo={lo}, "
+            f"2^{lo} buckets/band). If this corpus is large, buckets will "
+            "saturate max_bucket and the direct pair scorers silently drop "
+            "the over-cap cliques — pass an explicit planes_per_band sized "
+            "to log2(rows/target_bucket), or route through "
+            "cosine_near_duplicates_lsh_auto, whose density pass measures "
+            "the over-cap mass and alarms on it.",
+            UserWarning,
+            stacklevel=2,
+        )
         return lo
     import math as _math
 
@@ -967,7 +997,9 @@ def cosine_near_duplicates_lsh_auto(
     both the density pass and the chosen scorer, so the decision
     statistic always describes exactly the banding the scorer applies.
     """
-    planes_per_band = resolve_planes_per_band(embeddings, planes_per_band)
+    planes_per_band = resolve_planes_per_band(
+        embeddings, planes_per_band, warn_on_unknown=False
+    )
     diag = near_dup_banding_diagnostics(
         embeddings, n_bands, planes_per_band, max_bucket, id_col, vec_col
     )
@@ -1308,6 +1340,45 @@ def quantize_int8(
     )
 
 
+def _chunked_upper_tri_drops(
+    ids: "np.ndarray",
+    mat: "np.ndarray",
+    threshold: float,
+    block_elems: int = _GEMM_BLOCK_ELEMS,
+) -> "np.ndarray":
+    """ids (ascending) dropped by the greedy near-dup rule: id j drops
+    iff SOME row i < j has round(cosine(i, j), 6) >= threshold.
+
+    Row-chunked GEMM (the cosine_topk_gemm batch pattern): worker peak
+    is O(chunk x cluster), never O(cluster^2). A full `mat @ mat.T`
+    allocates c^2 doubles in one worker — 8.6 GB per cluster at the
+    1024x probe's 32k-row clusters — and a skewed kmeans at 100 TB
+    would OOM an executor (VERDICT r8 hazard). Each similarity block
+    stays <= block_elems doubles (128 MB at the default) regardless of
+    cluster size; masking each block to its strict upper triangle and
+    OR-folding into one dropped bitmap reproduces the full-triu verdict
+    exactly (pytest-pinned at block_elems=1, and the peak bound is
+    tracemalloc-measured in test_training_similarity).
+
+    Same half-even-vs-HALF_UP caveat as score_bucket in
+    cosine_near_duplicates_lsh: boundary cosines ~1e-12 from a half-bin
+    edge may flip vs the expr scorer; dropped-set equality pins rely on
+    edge-clear fixtures (rows-only path)."""
+    norm = np.sqrt((mat * mat).sum(axis=1))
+    norm[norm == 0.0] = 1.0
+    n = len(ids)
+    chunk = max(1, block_elems // n)
+    dropped_mask = np.zeros(n, dtype=bool)
+    cols = np.arange(n)[None, :]
+    for s in range(0, n - 1, chunk):
+        e = min(s + chunk, n)
+        block = (mat[s:e] @ mat.T) / np.outer(norm[s:e], norm)
+        hit = np.round(block, 6) >= threshold
+        hit &= cols > np.arange(s, e)[:, None]
+        dropped_mask |= hit.any(axis=0)
+    return ids[dropped_mask]
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_clusters: int = 16,
@@ -1317,6 +1388,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     scorer: str = "auto",
     gemm_density_cutover: float = 50.0,
+    gemm_block_elems: int = _GEMM_BLOCK_ELEMS,
+    n_probes: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means partitions the embedding space, then
@@ -1339,11 +1412,27 @@ def semantic_dedup(
     output. Cross-cluster near-dups are missed by design — the paper's
     recall/cost trade.
 
-    `scorer='gemm'` routes the within-cluster scoring through one numpy
-    M @ M.T per cluster (applyInPandas) instead of the expression-path
-    pair join — same dropped set (pytest-pinned), but the sub-threshold
+    `n_probes` (r9) softens that trade the ANN multi-probe way: each
+    vector is SCORED in its n_probes nearest clusters (row-local
+    assignment, `clustering.assign_clusters_multiprobe`), so a near-dup
+    pair straddling a Voronoi boundary is caught whenever the two
+    vectors share any probe cluster. The verdict grain is unchanged —
+    one row per vector, `cluster` = the primary (argmin) assignment —
+    and n_probes=1 is byte-identical to the paper's behavior. Cost:
+    per-cluster rows grow <= n_probes x, pair mass <= n_probes^2 x
+    (the auto-router's density estimate is scaled by n_probes^2
+    accordingly); the kept-set independence property widens to "no two
+    kept vectors sharing a probe cluster are within threshold".
+
+    `scorer='gemm'` routes the within-cluster scoring through numpy
+    matmul blocks (applyInPandas) instead of the expression-path pair
+    join — same dropped set (pytest-pinned), but the sub-threshold
     within-cluster pair mass never leaves the executor (the same trade
-    measured 5x on the banded near-dup path, SCALE.md).
+    measured 5x on the banded near-dup path, SCALE.md). Scoring is
+    ROW-CHUNKED (r9): each block is chunk x cluster with chunk sized so
+    the block stays under `gemm_block_elems` doubles (default 128 MB),
+    so the worker's transient peak no longer grows with cluster^2 — a
+    skewed kmeans cannot OOM an executor on the sims matrix.
 
     `scorer='auto'` (the default since round 8) picks mechanically from
     the SAME statistic `cosine_near_duplicates_lsh_auto` uses — the
@@ -1366,7 +1455,7 @@ def semantic_dedup(
     from . import clustering
 
     if scorer == "auto":
-        assigned, _, sizes = clustering.kmeans(
+        assigned, centroids, sizes = clustering.kmeans(
             embeddings,
             k=n_clusters,
             max_iter=kmeans_iter,
@@ -1374,15 +1463,30 @@ def semantic_dedup(
             vec_col=vec_col,
             return_sizes=True,
         )
-        assigned = assigned.select(F.col(id_col), "cluster")
         n = sum(sizes.values())
-        density = sum(c * (c - 1) / 2 for c in sizes.values()) / max(n, 1)
+        # multi-probe multiplies per-cluster rows by <= n_probes, so
+        # the pair mass the router weighs scales by <= n_probes^2 —
+        # still from the fit's own histogram, zero extra jobs
+        density = (
+            sum(c * (c - 1) / 2 for c in sizes.values())
+            / max(n, 1)
+            * (max(n_probes, 1) ** 2)
+        )
         scorer = "gemm" if density >= gemm_density_cutover else "expr"
     else:
-        assigned = clustering.kmeans_assignments(
+        assigned, centroids = clustering.kmeans(
             embeddings, k=n_clusters, max_iter=kmeans_iter, id_col=id_col, vec_col=vec_col
+        )
+    assigned = assigned.select(F.col(id_col), "cluster")
+    if n_probes > 1:
+        # scored in every probe cluster; the OUTPUT keeps the primary
+        # assignment (probe_rank 1 == the argmin `assigned` carries)
+        score_assign = clustering.assign_clusters_multiprobe(
+            embeddings, centroids, n_probes, id_col=id_col, vec_col=vec_col
         ).select(F.col(id_col), "cluster")
-    vecs = assigned.join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
+    else:
+        score_assign = assigned
+    vecs = score_assign.join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
 
     if scorer == "gemm":
 
@@ -1392,16 +1496,9 @@ def semantic_dedup(
             pdf = pdf.sort_values(id_col)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            norm = np.sqrt((mat * mat).sum(axis=1))
-            norm[norm == 0.0] = 1.0
-            sims = (mat @ mat.T) / np.outer(norm, norm)
-            ia, ib = np.triu_indices(len(ids), k=1)
-            # Same half-even-vs-HALF_UP caveat as score_bucket in
-            # cosine_near_duplicates_lsh: boundary cosines ~1e-12 from a
-            # half-bin edge may flip vs the expr scorer; dropped-set
-            # equality pins rely on edge-clear fixtures (rows-only path).
-            hit = np.round(sims[ia, ib], 6) >= threshold
-            return pd.DataFrame({"_did": np.unique(ids[ib[hit]])})
+            return pd.DataFrame(
+                {"_did": _chunked_upper_tri_drops(ids, mat, threshold, gemm_block_elems)}
+            )
 
         dropped = (
             vecs.groupBy("cluster")

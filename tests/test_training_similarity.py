@@ -549,11 +549,15 @@ def test_auto_planes_resolution_tracks_corpus_size(spark, sf_smoke):
     big = embs.crossJoin(F.broadcast(spark.range(64).toDF("__rep")))
     assert similarity.resolve_planes_per_band(big, "auto") > res
 
-    # unknown statistics (createDataFrame -> LogicalRDD) -> lo
+    # unknown statistics (createDataFrame -> LogicalRDD) -> lo, and the
+    # fallback must SAY it is guessing (ADVICE r8: the direct scorers
+    # have no under-cap alarm, so a silent coarse fallback on a large
+    # stats-less frame reproduces the 1024x recall collapse unwarned)
     local = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
     )
-    assert similarity.resolve_planes_per_band(local, "auto") == 3
+    with pytest.warns(UserWarning, match="unknown Catalyst statistics"):
+        assert similarity.resolve_planes_per_band(local, "auto") == 3
 
     # 'auto' and the resolved int produce the identical pair set
     kw = dict(threshold=0.45, n_bands=12, max_bucket=200)
@@ -663,6 +667,146 @@ def test_semantic_dedup_gemm_scorer_matches_expr(spark, sf_smoke):
     expr_v = sorted(map(tuple, similarity.semantic_dedup(embs, scorer="expr", **kw).collect()))
     gemm_v = sorted(map(tuple, similarity.semantic_dedup(embs, scorer="gemm", **kw).collect()))
     assert expr_v == gemm_v
+
+
+def test_semantic_dedup_gemm_row_chunking_is_verdict_neutral(spark, sf_smoke):
+    """The r9 OOM fix blocks the within-cluster GEMM by query rows so
+    worker peak is O(chunk x cluster), not O(cluster^2). Chunking must
+    be invisible in the verdict: with gemm_block_elems=1 every row
+    becomes its own block (the most boundary-splits possible), and the
+    dropped set must still equal both the single-chunk GEMM and the
+    expression path. The fixture is built so near-dup groups straddle
+    chunk boundaries: 36 vectors in 12 edge-clear triples (cos ~0.9998
+    within a triple, <=0.12 across), one cluster, so every triple's
+    later two ids must drop and the drops depend on CROSS-chunk rows.
+    (The sf_smoke embeddings have no pair above cos 0.6 at any
+    threshold, so this pin needs the synthetic frame — the smoke-corpus
+    scorer-identity test above passes on an empty dropped set.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in range(12):
+        base = np.zeros(16)
+        base[g] = 1.0  # orthogonal group directions: cross-group cos ~ 0
+        for j in range(3):
+            v = base + rng.normal(0, 1e-3, 16)  # cos(v, base) ~ 0.999998
+            rows.append((g * 3 + j, [float(x) for x in v / np.linalg.norm(v)]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(n_clusters=1, threshold=0.98, kmeans_iter=2)
+    chunked = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup(
+                embs, scorer="gemm", gemm_block_elems=1, **kw
+            ).collect(),
+        )
+    )
+    one_block = sorted(
+        map(tuple, similarity.semantic_dedup(embs, scorer="gemm", **kw).collect())
+    )
+    expr_v = sorted(
+        map(tuple, similarity.semantic_dedup(embs, scorer="expr", **kw).collect())
+    )
+    assert chunked == one_block == expr_v
+    # every triple drops exactly its two later ids — 24 drops, 12 keeps
+    assert sum(1 for r in chunked if r[2]) == 24
+    dropped_ids = {r[0] for r in chunked if r[2]}
+    assert dropped_ids == {g * 3 + j for g in range(12) for j in (1, 2)}
+
+
+def test_semantic_dedup_multiprobe_catches_boundary_pairs(spark):
+    """n_probes=2 (the ANN multi-probe idea): a near-dup pair whose two
+    vectors fall in DIFFERENT primary clusters — the recall SemDeDup
+    gives up by design — is caught once each vector is also scored in
+    its runner-up cluster. Fixture: two tight orthogonal clumps (5 each)
+    plus a boundary pair x=[1,.95]/y=[.95,1] normalized (cos ~0.9987,
+    primary clusters differ by symmetry). Single-probe must keep BOTH
+    boundary vectors (no same-cluster partner); 2-probe must drop
+    exactly the higher id of the pair, with every other verdict and the
+    primary `cluster` column unchanged."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.default_rng(3)
+    for base_idx, id0 in ((0, 0), (1, 10)):
+        base = np.zeros(4)
+        base[base_idx] = 1.0
+        for j in range(5):
+            v = base + rng.normal(0, 5e-3, 4)
+            rows.append((id0 + j, [float(t) for t in v / np.linalg.norm(v)]))
+    bx = np.array([1.0, 0.95, 0.0, 0.0])
+    by = np.array([0.95, 1.0, 0.0, 0.0])
+    rows.append((100, [float(t) for t in bx / np.linalg.norm(bx)]))
+    rows.append((101, [float(t) for t in by / np.linalg.norm(by)]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(n_clusters=2, threshold=0.98, kmeans_iter=5)
+
+    single = {r[0]: r for r in similarity.semantic_dedup(embs, **kw).collect()}
+    multi = {
+        r[0]: r for r in similarity.semantic_dedup(embs, n_probes=2, **kw).collect()
+    }
+    # the boundary pair straddles the two clusters (else the fixture
+    # proves nothing) and single-probe keeps both
+    assert single[100]["cluster"] != single[101]["cluster"]
+    assert single[100]["keep"] and single[101]["keep"]
+    # 2-probe: the higher id drops, the lower stays kept
+    assert multi[101]["is_dropped"] and not multi[100]["is_dropped"]
+    # primary cluster column and every non-boundary verdict unchanged
+    for vid, row in single.items():
+        assert multi[vid]["cluster"] == row["cluster"]
+        if vid not in (100, 101):
+            assert multi[vid]["is_dropped"] == row["is_dropped"]
+
+
+def test_semantic_dedup_multiprobe_single_probe_is_identity(spark, sf_smoke):
+    """n_probes=1 must be byte-identical to the default path on both
+    scorers (the multi-probe plumbing may not perturb the baseline)."""
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    for scorer in ("expr", "gemm"):
+        kw = dict(n_clusters=8, threshold=0.98, kmeans_iter=3, scorer=scorer)
+        base = sorted(map(tuple, similarity.semantic_dedup(embs, **kw).collect()))
+        probe1 = sorted(
+            map(tuple, similarity.semantic_dedup(embs, n_probes=1, **kw).collect())
+        )
+        assert base == probe1
+
+
+def test_chunked_gemm_worker_peak_is_block_bounded():
+    """The r9 OOM fix, MEASURED: on a 6000-row cluster the full
+    `mat @ mat.T` would allocate 6000^2 doubles = 288 MB in one worker;
+    the row-chunked scorer with 8 MB blocks must peak far below that
+    (numpy allocations route through tracemalloc since 1.22, so the
+    peak is the real allocator high-water mark, not an estimate). The
+    bound is what makes a skewed kmeans at 100 TB survivable: worker
+    peak is a CONSTANT of the block budget, not a function of cluster
+    size. Also pins correctness at this scale: three planted near-dup
+    pairs (appended copies of rows 0/1/2) and nothing else."""
+    import tracemalloc
+
+    import numpy as np
+
+    from tagmarshal_data_lakehouse_spark.training.similarity import (
+        _chunked_upper_tri_drops,
+    )
+
+    rng = np.random.default_rng(0)
+    n, d = 6000, 8
+    mat = rng.normal(size=(n, d))
+    mat[-3:] = mat[:3]  # planted dups: rows n-3..n-1 copy rows 0..2
+    ids = np.arange(n, dtype=np.int64)
+    full_bytes = n * n * 8
+    tracemalloc.start()
+    try:
+        dropped = _chunked_upper_tri_drops(ids, mat, 0.9999, block_elems=1 << 20)
+        _, peak = tracemalloc.get_traced_memory()
+    finally:
+        tracemalloc.stop()
+    assert sorted(dropped) == [n - 3, n - 2, n - 1]
+    assert peak < full_bytes / 4, (
+        f"chunked scorer peaked at {peak / 1e6:.0f} MB — not block-bounded "
+        f"(full matrix would be {full_bytes / 1e6:.0f} MB)"
+    )
 
 
 def test_semantic_dedup_auto_scorer_routes_by_cluster_density(spark, sf_smoke):

@@ -309,6 +309,13 @@ def main() -> int:
         "semantic_dedup_gemm": lambda docs, ev, embs: similarity.semantic_dedup(
             embs, n_clusters=16, kmeans_iter=3, threshold=0.98, scorer="gemm"
         ),
+        # r9 multi-probe: each vector scored in its 2 nearest clusters
+        # (boundary-pair recall); pair mass <= 4x the single-probe row
+        # above, so the gap between this row and semantic_dedup_auto
+        # measures what the recall costs at scale
+        "semantic_dedup_probe2": lambda docs, ev, embs: similarity.semantic_dedup(
+            embs, n_clusters=16, kmeans_iter=3, threshold=0.98, n_probes=2
+        ),
     }
 
     # Optional operator filter for targeted re-measurement after an
