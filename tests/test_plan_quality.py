@@ -373,6 +373,34 @@ def test_semantic_dedup_cluster_keyed_no_cartesian(spark, sf_smoke):
     assert strategies and all("NestedLoop" not in s for s in strategies)
 
 
+def test_semantic_dedup_multiprobe_assignment_is_row_local(spark, sf_smoke):
+    """Multi-probe (n_probes=2) keeps the scale shape: the probe
+    assignment is a row-local projection (distance array -> sort ->
+    slice -> posexplode — NO shuffle, NO Python UDF in assignment), the
+    scoring join stays cluster-keyed, and no cartesian appears. The
+    probe expansion may add at most the same exchange count as the
+    single-probe plan plus the one extra scoring-side exchange."""
+    from tagmarshal_data_lakehouse_spark.training import clustering, similarity
+
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    # assignment primitive alone: zero exchanges, zero Python eval
+    probe = clustering.assign_clusters_multiprobe(
+        embs, [[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62], 2
+    )
+    probe_plan = plans.physical_plan(probe)
+    assert plans.count_exchanges(probe) == 0
+    assert "InPandas" not in probe_plan and "BatchEvalPython" not in probe_plan
+
+    df = similarity.semantic_dedup(
+        embs, n_clusters=4, threshold=0.9, kmeans_iter=1, n_probes=2
+    )
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    strategies = plans.join_strategies(df)
+    assert strategies and all("NestedLoop" not in s for s in strategies)
+
+
 def test_stream_corpus_dedup_is_anti_join(spark, sf_smoke):
     """The streaming corpus dedup must plan as a left-anti hash join on
     the digest (state-free stream-static shape) — checked on the batch
