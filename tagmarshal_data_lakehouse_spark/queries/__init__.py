@@ -220,15 +220,12 @@ _FLAGSHIP_INTERLEAVE = (
 #   - telemetry_hole_duration: the r08 red (transport-dtype divergence,
 #     values equal) — oracle re-CAST + the library text's NTZ-contract
 #     fix, re-recorded in the ledger, so it re-verifies first;
-#   - the 17 R9_STAGED + R10_STAGED dashboard-library entries promoted
-#     this round (never-green: built and sim-verified in round 8,
-#     registered now — VERDICT r8 items 4 and 7, two blocks since the
-#     head had room);
-#   - the 13 r03-vintage entries round 8's block could not fit (its
-#     declared overflow, due oldest-first);
-#   - 7 spare slots pre-refresh the oldest r05-vintage entries (the due
-#     queue underflows the budget at horizon 5, so these slots would
-#     otherwise idle; pulling round 10's wave forward shrinks it to 20).
+#   - the 37 R9+R10+R11+R12 dashboard-library entries promoted this
+#     round (never-green: built and sim-verified in round 8, registered
+#     now — VERDICT r8 items 4 and 7, FOUR blocks: 1 + 37 hard entries
+#     fill the priority block exactly, maximizing first-row coverage
+#     per sweep, and the 13 r03-vintage stale entries lead the tail
+#     within the gate's one-round-lag bound).
 _SWEEP_PRIORITY = (
     "telemetry_hole_duration",
     # R9_STAGED
@@ -250,7 +247,36 @@ _SWEEP_PRIORITY = (
     "telemetry_events_by_month",
     "telemetry_round_length_distribution",
     "telemetry_events_per_course",
-    # round-8 overflow: r03-vintage, oldest-green first
+    # R11_STAGED
+    "telemetry_course_summary",
+    "telemetry_infrastructure_stats",
+    "telemetry_column_completeness",
+    "telemetry_data_quality_score",
+    "telemetry_global_device_fleet",
+    "telemetry_global_pace_comparison",
+    "telemetry_global_round_duration_comparison",
+    "telemetry_global_data_quality_ranking",
+    "telemetry_padding_analysis",
+    # R12_STAGED
+    "telemetry_expl_executive_summary",
+    "telemetry_expl_battery_analysis",
+    "telemetry_expl_column_completeness",
+    "telemetry_expl_data_completeness_summary",
+    "telemetry_expl_dataset_variance",
+    "telemetry_expl_null_analysis",
+    "telemetry_expl_null_pattern_by_hole",
+    "telemetry_expl_pace_gap_coverage",
+    "telemetry_expl_data_quality_overview",
+    "telemetry_expl_course_configuration",
+    "telemetry_expl_critical_gaps",
+)
+
+# The rest of the stale rotation: the 13 r03-vintage entries the
+# full-hard head could not fit lead the tail (the gate's one-round-lag
+# bound; they MUST fill the front of round 10's priority block), then
+# the 27 r05-vintage entries that cross the staleness horizon at round
+# 10, in rotation order — picked up first if the sweep budget grows.
+_STALE_TAIL = (
     "doc_hash_sample_k",
     "doc_mixture_weights",
     "doc_decontaminate",
@@ -264,7 +290,6 @@ _SWEEP_PRIORITY = (
     "multimodal_frame_sample",
     "doc_span_dedup",
     "doc_cross_source_dups",
-    # spare-slot pre-refresh: oldest r05-vintage (due at round 10)
     "scalar_datetime",
     "doc_dedup_clusters",
     "doc_pack_sequences",
@@ -272,14 +297,6 @@ _SWEEP_PRIORITY = (
     "multimodal_resize",
     "doc_incremental_dedup",
     "doc_chunk_windows",
-)
-
-# The rest of the stale rotation: the due queue fits this round's head
-# entirely (overflow 0), so the tail leads with the 20 remaining
-# r05-vintage entries that cross the staleness horizon at round 10 —
-# next round's priority front, picked up first if the sweep budget ever
-# grows.
-_STALE_TAIL = (
     "doc_epoch_shuffle",
     "doc_curation_pipeline",
     "tpch_q2",

@@ -3199,6 +3199,14 @@ R11_STAGED = [
     q_telemetry_padding_analysis,
 ]
 
+# Promoted in round 9 (second wave, with R12): after the hole_duration
+# fix and the R9/R10 promotion, the head's 20 soft slots were on stale
+# refresh — filling the ENTIRE 38-slot priority block with never-green
+# entries instead maximizes first-row coverage per sweep (the 13
+# r03-vintage stale entries lead the tail, within the gate's
+# one-round-lag bound, and come due again at round 10).
+QUERIES += R11_STAGED
+
 
 # ---------------------------------------------------------------------------
 # R12-STAGED entries: the fifth dashboard-library batch — the exploration
@@ -3593,6 +3601,9 @@ R12_STAGED = [
     q_telemetry_expl_course_configuration,
     q_telemetry_expl_critical_gaps,
 ]
+
+# Promoted in round 9 (see the R11_STAGED note above).
+QUERIES += R12_STAGED
 
 
 # ---------------------------------------------------------------------------

@@ -74,6 +74,12 @@ TS_QUERIES = [
     # bounds per course.
     "telemetry_overview_stats",
     "telemetry_events_per_course",
+    # r9 second wave (R11/R12 _TS_STAGED names): course_summary and
+    # infrastructure_stats emit date-as-timestamp activity bounds;
+    # expl_dataset_variance emits MIN/MAX fix_timestamp per course.
+    "telemetry_course_summary",
+    "telemetry_infrastructure_stats",
+    "telemetry_expl_dataset_variance",
 ]
 
 # Three adversarial zones, each catching a different leak class:
