@@ -47,7 +47,8 @@ round_rollup AS (
         course_id, round_id,
         MIN(fix_timestamp) AS round_start_ts,
         MAX(fix_timestamp) AS round_end_ts,
-        UNIX_TIMESTAMP(MAX(fix_timestamp)) - UNIX_TIMESTAMP(MIN(fix_timestamp)) AS duration_sec,
+        TIMESTAMPDIFF(SECOND, DATE_TRUNC('SECOND', MIN(fix_timestamp)),
+                      DATE_TRUNC('SECOND', MAX(fix_timestamp))) AS duration_sec,
         COUNT(*) AS fix_count,
         SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS ts_missing_fix_count,
         COUNT(DISTINCT hole_number) AS holes_played,
@@ -416,7 +417,8 @@ WITH hole_stats AS (
     SELECT course_id, round_id, hole_number, nine_number,
            MIN(fix_timestamp) AS hole_start_time,
            MAX(fix_timestamp) AS hole_end_time,
-           UNIX_TIMESTAMP(MAX(fix_timestamp)) - UNIX_TIMESTAMP(MIN(fix_timestamp)) AS duration_sec,
+           TIMESTAMPDIFF(SECOND, DATE_TRUNC('SECOND', MIN(fix_timestamp)),
+                      DATE_TRUNC('SECOND', MAX(fix_timestamp))) AS duration_sec,
            AVG(pace) AS avg_pace_sec,
            MAX(pace) AS max_pace_sec,
            AVG(pace_gap) AS avg_pace_gap_sec,

@@ -589,7 +589,9 @@ _FACT_ROUNDS_COLS = (
 # DuckDB spelling of the fact_rounds rollup over the bridge (the oracle
 # re-derivation of gold/models.py FACT_ROUNDS; reference
 # pipeline/gold/models/gold/fact_rounds.sql). Dialect deltas:
-# UNIX_TIMESTAMP diff -> date_diff('second'), Spark's ISO day-of-week
+# TIMESTAMPDIFF-over-truncated-endpoints -> date_diff('second')
+# (boundary-counting on both engines; the Spark text has been NTZ-pure
+# since the r9 contract sweep), Spark's ISO day-of-week
 # arithmetic -> isodow(), int-typed date parts, HUGEINT sums pinned
 # back to BIGINT.
 _DUCK_FACT_ROUNDS = """

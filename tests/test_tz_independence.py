@@ -37,11 +37,12 @@ TS_QUERIES = [
     "events_retention_cohorts",
     "scalar_datetime",
     "window_dedup",  # emits raw ts — LTZ coercion anywhere upstream shifts it
-    # gold bridge chain (r6): duration_sec subtracts UNIX_TIMESTAMP of
-    # two NTZ stamps — session-tz enters and must cancel (both ends of a
-    # (user, day, hour) round share one offset, DST transitions land on
-    # hour boundaries); round_date/year/weekday and the seasonality
-    # bucketing must stay NTZ-pure.
+    # gold bridge chain (r6): duration_sec diffs two NTZ stamps —
+    # TIMESTAMPDIFF over DATE_TRUNC('SECOND') endpoints since the r9
+    # NTZ-contract sweep (formerly UNIX_TIMESTAMP subtraction, which
+    # made session tz enter and cancel; a DST transition inside a round
+    # would have broken the cancellation); round_date/year/weekday and
+    # the seasonality bucketing must stay NTZ-pure.
     "gold_fact_rounds",
     "gold_rounds_by_month",
     "gold_rounds_by_weekday",
