@@ -1366,14 +1366,21 @@ def _chunked_upper_tri_drops(
     edge-clear fixtures (rows-only path)."""
     norm = np.sqrt((mat * mat).sum(axis=1))
     norm[norm == 0.0] = 1.0
+    # Normalize rows ONCE (one n x d pass) so each block is a bare
+    # GEMM: the naive per-block `/ np.outer(norm_chunk, norm)` spends
+    # two extra chunk x n float64 temporaries per block — ~3x the
+    # advertised block budget in transient peak, on exactly the path
+    # this function exists to bound. Unit-row cosines differ from
+    # dot/(|a||b|) only in ~1e-16 rounding, inside the documented
+    # half-bin caveat below.
+    mat = mat / norm[:, None]
     n = len(ids)
     chunk = max(1, block_elems // n)
     dropped_mask = np.zeros(n, dtype=bool)
     cols = np.arange(n)[None, :]
     for s in range(0, n - 1, chunk):
         e = min(s + chunk, n)
-        block = (mat[s:e] @ mat.T) / np.outer(norm[s:e], norm)
-        hit = np.round(block, 6) >= threshold
+        hit = np.round(mat[s:e] @ mat.T, 6) >= threshold
         hit &= cols > np.arange(s, e)[:, None]
         dropped_mask |= hit.any(axis=0)
     return ids[dropped_mask]

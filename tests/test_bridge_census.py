@@ -10,11 +10,15 @@ skipped) without this suite going red.
 
 Detection is textual by necessity: bridge builders reference their
 library text by its registry name string (`_bridged(spark, sf_dir,
-"pace_by_section")`, `_expl_on_model(..., "demo_top3_months")`, ...),
-so a quoted-name scan of telemetry_bridge.py is exactly the linkage the
-census claims. Parameterized names may appear with or without their
-`get_` prefix (the bridge passes the full name; the census strips it
-nowhere, so both spellings count).
+"pace_by_section")`, `_expl_on_model(..., "demo_top3_months")`, ...).
+The scan therefore captures quoted strings ONLY inside the bridge
+helpers' call argument lists — a name surviving in a doc string, a
+shim list, or a dict key after its builder is deleted must NOT keep
+the census green (review r9: an anywhere-in-file quoted-name scan had
+exactly that hole). A nested paren inside a call would truncate the
+capture and turn the census red LOUDLY (a missing-name false positive),
+never silently green. Parameterized names may appear with or without
+their `get_` prefix.
 """
 
 from __future__ import annotations
@@ -42,9 +46,20 @@ EXPECTED_SKIPS = {
 }
 
 
+# args may contain ONE level of nested call parens (e.g. the
+# round_progression builder passes round_id=_min_round(spark, ...));
+# deeper nesting truncates the capture and reds the census loudly.
+_BUILDER_CALL = re.compile(
+    r"_(?:bridged|expl_on_model)\(\s*spark,\s*sf_dir,((?:[^()]|\([^()]*\))*)\)"
+)
+
+
 def _census() -> tuple[list[str], set[str]]:
     names = sorted(telemetry.TELEMETRY_QUERIES) + sorted(telemetry.PARAMETERIZED)
-    quoted = set(re.findall(r"[\"']([a-z0-9_]+)[\"']", _BRIDGE_SRC))
+    quoted: set[str] = set()
+    for args in _BUILDER_CALL.findall(_BRIDGE_SRC):
+        quoted.update(re.findall(r"[\"']([a-z0-9_]+)[\"']", args))
+    assert quoted, "no bridge builder calls found — the scan regex is broken"
     skipped = {
         n
         for n in names

@@ -36,6 +36,31 @@ def test_rows_only_queries_run(spark, name):
     assert df.schema.fieldNames()  # stable schema
 
 
+# Queries whose result is EMPTY at the default parity SF (measured by a
+# full sweep, r9): their test_oracle_parity row is a 0=0 match proving
+# nothing, so each is additionally pinned at the smallest SF where it
+# produces rows, with require_rows=True (the review-r9 finding: the
+# round's headline hole_duration fix had only vacuous pytest coverage).
+# A query that later becomes non-empty at sf0.001 stays here harmlessly;
+# one that becomes empty at its listed SF fails loudly.
+SPARSE_QUERIES = {
+    "telemetry_hole_duration": "/root/testdata/sf0.01",  # 1 row
+    "tpch_q7": "/root/testdata/sf0.01",  # 4 rows
+    "tpch_q11": "/root/testdata/sf0.01",  # 58 rows
+    "tpch_q20": "/root/testdata/sf0.01",  # 4 rows
+    "tpch_q21": "/root/testdata/sf0.01",  # 3 rows
+    "join_anti": "/root/testdata/sf0.1",  # 1 row
+    "doc_cross_source_dups": "/root/testdata/sf0.1",  # 7 rows
+}
+
+
+@pytest.mark.parametrize("name", sorted(SPARSE_QUERIES))
+def test_sparse_query_parity_is_nonvacuous(spark, name):
+    sf_dir = SPARSE_QUERIES[name]
+    problems = run_query_pair(spark, _REGISTRY[name], sf_dir, require_rows=True)
+    assert not problems, f"{name} at {sf_dir}: {problems}"
+
+
 def test_load_views_does_not_mutate_caller_conf(spark):
     """load_views must scope NTZ inference to its own reads (parquet
     reader option), never flip the caller session's

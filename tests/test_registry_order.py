@@ -297,6 +297,42 @@ def test_stale_tail_matches_declared_rotation():
     )
 
 
+def test_latest_sim_artifact_covers_the_live_population():
+    """SIM_r{N}.json is the judge-verifiable counterpart of the driver
+    artifact — but unlike CORRECTNESS_r*.json it is builder-produced,
+    so nothing used to stop the registry from growing AFTER the round's
+    artifact was recorded (review r9: SIM_r09.json briefly predated the
+    round's own new entry). The newest SIM artifact must therefore name
+    exactly the current sweepable population: every registry entry,
+    plus every unregistered staged bridge entry when the artifact was
+    recorded with SIM_STAGED. Registering or staging a query reddens
+    this until the sim is re-run — the same freshness discipline the
+    ledger applies to oracle texts."""
+    sims = sorted(
+        _REPO.glob("SIM_r*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p.name).group(1)),
+    )
+    if not sims:
+        return
+    art = json.loads(sims[-1].read_text())
+    recorded = set(art["queries"])
+    population = set(registry())
+    if art["summary"].get("includes_staged"):
+        from tagmarshal_data_lakehouse_spark.queries import telemetry_bridge as tb
+
+        for a in dir(tb):
+            if a.endswith("_STAGED") and a[0] == "R":
+                population.update(
+                    q.name for q in getattr(tb, a) if q.name not in population
+                )
+    assert recorded == population, (
+        f"{sims[-1].name} is stale against the live population: "
+        f"missing {sorted(population - recorded)}, "
+        f"ghost {sorted(recorded - population)} — re-run "
+        "SIM_STAGED=1 SIM_OUT=... tools/driver_sim.py"
+    )
+
+
 def test_registry_complete_and_unique():
     names = list(registry())
     assert len(names) == len(set(names))
