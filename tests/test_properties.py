@@ -355,3 +355,46 @@ def test_minhash_verdicts_match_pure_python(spark, texts):
     }
     expected = _py_minhash_verdicts(dict(rows), num_perm=8, bands=4, n=3, threshold=0.5)
     assert got == expected
+
+
+@given(
+    st.integers(min_value=2, max_value=40),   # cluster rows
+    st.integers(min_value=2, max_value=8),    # dimensions
+    st.integers(min_value=1, max_value=64),   # block budget (elements)
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_chunked_gemm_drops_equal_full_triu(n, d, block_elems, seed):
+    """For ARBITRARY matrices and block budgets (down to 1-element
+    budgets, i.e. one row per block) the chunked scorer must equal the
+    single-allocation full-upper-triangle reference exactly — including
+    zero vectors (norm guard) and NaN rows (IEEE comparisons never
+    drop). This makes the r9 review's ad-hoc 300-fixture fuzz a
+    standing property."""
+    import numpy as np
+
+    from tagmarshal_data_lakehouse_spark.training.similarity import (
+        _chunked_upper_tri_drops,
+    )
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, d))
+    if n >= 4:
+        mat[n - 1] = mat[0]          # one planted exact dup
+        mat[n - 2] = 0.0             # zero vector
+    if n >= 6 and seed % 3 == 0:
+        mat[n - 3, 0] = float("nan")  # NaN row
+    ids = np.arange(n, dtype=np.int64)
+    threshold = 0.9
+
+    # reference: the pre-r9 full-matrix formulation
+    norm = np.sqrt((mat * mat).sum(axis=1))
+    norm[norm == 0.0] = 1.0
+    sims = (mat @ mat.T) / np.outer(norm, norm)
+    ia, ib = np.triu_indices(n, k=1)
+    with np.errstate(invalid="ignore"):
+        hit = np.round(sims[ia, ib], 6) >= threshold
+    expected = sorted(np.unique(ids[ib[hit]]))
+
+    got = sorted(_chunked_upper_tri_drops(ids, mat, threshold, block_elems=block_elems))
+    assert got == expected
