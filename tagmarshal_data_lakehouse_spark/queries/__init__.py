@@ -191,7 +191,7 @@ def _register_tables(
 # test fails loudly if this marker ever falls more than one round
 # behind the artifacts (the round-5 zero-commit failure mode). Bump it
 # when rotating the head.
-HEAD_DESIGNED_FOR_ROUND = 9
+HEAD_DESIGNED_FOR_ROUND = 10
 
 _FLAGSHIP_INTERLEAVE = (
     "events_sessionize",
@@ -208,7 +208,7 @@ _FLAGSHIP_INTERLEAVE = (
     "join_multiway",
 )
 
-# Round-9 sweep priorities (38 entries; slots 13..50 of the head).
+# Round-10 sweep priorities (38 entries; slots 13..50 of the head).
 # Composition is governed by the artifact-driven standing gate in
 # tests/test_registry_order.py: every oracle-backed query that has NEVER
 # had a driver hash row, or whose text was edited after its last green
@@ -217,66 +217,34 @@ _FLAGSHIP_INTERLEAVE = (
 # (oldest driver-green round first); whatever the queue cannot fit this
 # round leads the tail (_STALE_TAIL) and must fit entirely into NEXT
 # round's priority block.
-#   - telemetry_hole_duration: the r08 red (transport-dtype divergence,
-#     values equal) — oracle re-CAST + the library text's NTZ-contract
-#     fix, re-recorded in the ledger, so it re-verifies first;
-#   - the 37 R9+R10+R11+R12 dashboard-library entries promoted this
-#     round (never-green: built and sim-verified in round 8, registered
-#     now — VERDICT r8 items 4 and 7, FOUR blocks: 1 + 37 hard entries
-#     fill the priority block exactly, maximizing first-row coverage
-#     per sweep, and the 13 r03-vintage stale entries lead the tail
-#     within the gate's one-round-lag bound).
+# rotate_head --round 10 --promote R13_STAGED R14_STAGED: 218
+# oracle-backed, horizon 6 (stale = green <= r04); due 30 = 17 hard
+# (the R13+R14 promotions, never-green) + 13 r03-vintage stale —
+# overflow 0. The 8 remaining slots are spent on the FRONT of the
+# r05-vintage cohort (27 entries that cross the horizon at round 11,
+# the same round the R15+R16 promotions land ~18 hard dues):
+# pre-refreshing 8 now keeps round 11's queue at 19+18=37 <= 38.
 _SWEEP_PRIORITY = (
-    "telemetry_hole_duration",
-    # R9_STAGED
-    "telemetry_pace_by_section",
-    "telemetry_bottleneck_summary",
-    "telemetry_global_weekday_heatmap",
-    "telemetry_global_hourly_distribution",
-    "telemetry_global_monthly_trend",
-    "telemetry_global_completion_rates",
-    "telemetry_round_validation_summary",
-    # R10_STAGED
-    "telemetry_overview_stats",
-    "telemetry_pace_by_hole",
-    "telemetry_round_duration_summary",
-    "telemetry_device_stats",
-    "telemetry_round_types",
-    "telemetry_sections_per_hole",
-    "telemetry_rounds_by_weekday",
-    "telemetry_events_by_month",
-    "telemetry_round_length_distribution",
-    "telemetry_events_per_course",
-    # R11_STAGED
-    "telemetry_course_summary",
-    "telemetry_infrastructure_stats",
-    "telemetry_column_completeness",
-    "telemetry_data_quality_score",
-    "telemetry_global_device_fleet",
-    "telemetry_global_pace_comparison",
-    "telemetry_global_round_duration_comparison",
-    "telemetry_global_data_quality_ranking",
-    "telemetry_padding_analysis",
-    # R12_STAGED
-    "telemetry_expl_executive_summary",
-    "telemetry_expl_battery_analysis",
-    "telemetry_expl_column_completeness",
-    "telemetry_expl_data_completeness_summary",
-    "telemetry_expl_dataset_variance",
-    "telemetry_expl_null_analysis",
-    "telemetry_expl_null_pattern_by_hole",
-    "telemetry_expl_pace_gap_coverage",
-    "telemetry_expl_data_quality_overview",
-    "telemetry_expl_course_configuration",
-    "telemetry_expl_critical_gaps",
-)
-
-# The rest of the stale rotation: the 13 r03-vintage entries the
-# full-hard head could not fit lead the tail (the gate's one-round-lag
-# bound; they MUST fill the front of round 10's priority block), then
-# the 27 r05-vintage entries that cross the staleness horizon at round
-# 10, in rotation order — picked up first if the sweep budget grows.
-_STALE_TAIL = (
+    # R13_STAGED promotions (never-green)
+    "telemetry_ex_events_by_course",
+    "telemetry_ex_rounds_by_course",
+    "telemetry_ex_events_by_date",
+    "telemetry_ex_missing_critical_fields",
+    "telemetry_missing_ts_by_course",
+    "telemetry_missing_ts_sample",
+    "telemetry_np_quality_report",
+    # R14_STAGED promotions (never-green)
+    "telemetry_demo_data_volume",
+    "telemetry_demo_topology_rows",
+    "telemetry_topology",
+    "telemetry_sections_per_hole_dim",
+    "telemetry_course_profile",
+    "telemetry_loop_courses",
+    "telemetry_demo_seasonality_months",
+    "telemetry_demo_seasonality_weekdays",
+    "telemetry_demo_top3_months",
+    "telemetry_demo_bottom3_months",
+    # r03-vintage stale (the round-9 tail front, due at horizon 6)
     "doc_hash_sample_k",
     "doc_mixture_weights",
     "doc_decontaminate",
@@ -290,6 +258,7 @@ _STALE_TAIL = (
     "multimodal_frame_sample",
     "doc_span_dedup",
     "doc_cross_source_dups",
+    # r05-vintage pre-refresh (due at round 11; 8 spare slots)
     "scalar_datetime",
     "doc_dedup_clusters",
     "doc_pack_sequences",
@@ -298,6 +267,13 @@ _STALE_TAIL = (
     "doc_incremental_dedup",
     "doc_chunk_windows",
     "doc_epoch_shuffle",
+)
+
+# The rest of the stale rotation: the 19 remaining r05-vintage entries
+# that cross the staleness horizon at round 11, in rotation order —
+# next round's priority front, picked up first if the sweep budget
+# grows (round-10 overflow itself is 0).
+_STALE_TAIL = (
     "doc_curation_pipeline",
     "tpch_q2",
     "tpch_q4",

@@ -3790,6 +3790,10 @@ R13_STAGED = [
     q_telemetry_np_quality_report,
 ]
 
+# Promoted in round 10 (rotate_head --round 10: 17 hard + 13 r03 stale
+# fill 30/38 priority slots, overflow 0 — see queries/__init__.py).
+QUERIES += R13_STAGED
+
 
 # ---------------------------------------------------------------------------
 # R14-STAGED entries: the seventh dashboard-library batch — the demo
@@ -4105,6 +4109,9 @@ R14_STAGED = [
     q_telemetry_demo_top3_months,
     q_telemetry_demo_bottom3_months,
 ]
+
+# Promoted in round 10 together with R13_STAGED (see the note above).
+QUERIES += R14_STAGED
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,37 @@ def test_staged_entries_have_unique_names_and_oracles():
     assert all(q.oracle for q in STAGED)
 
 
+def test_staged_parity_inherits_the_dtype_class_check():
+    """VERDICT r9 item 6, made explicit: "staged green means driver
+    green" holds only because every staged entry above runs through
+    run_query_pair -> compare(), whose transport-dtype-CLASS check
+    (oracle_harness._dtype_class, added r9 after the r08
+    telemetry_hole_duration red) is what the driver's typed value-hash
+    actually distinguishes. Pin BOTH halves: (a) the harness this
+    module calls is the class-checking compare — an int64 column vs a
+    value-equal float64 column must red; (b) run_query_pair routes its
+    frames through that same compare (so a future refactor cannot
+    silently give staged entries a weaker check than promoted ones)."""
+    import inspect
+
+    import pandas as pd
+
+    from . import oracle_harness
+
+    a = pd.DataFrame({"x": pd.Series([1, 2], dtype="int64")})
+    b = pd.DataFrame({"x": pd.Series([1.0, 2.0], dtype="float64")})
+    problems = oracle_harness.compare(a, b)
+    assert any("transport dtype class" in p for p in problems), (
+        "compare() no longer flags int-vs-float class divergence — "
+        "staged green would not imply driver green"
+    )
+    src = inspect.getsource(oracle_harness.run_query_pair)
+    assert "compare(" in src, (
+        "run_query_pair no longer routes through compare() — the staged "
+        "suite's parity check lost the dtype-class guarantee"
+    )
+
+
 # Timestamp-emitting staged entries, pre-verified under the tz gate's
 # nastiest zone BEFORE promotion (the R8_STAGED precedent) — at
 # promotion these names move into test_tz_independence.TS_QUERIES and

@@ -81,6 +81,15 @@ TS_QUERIES = [
     "telemetry_course_summary",
     "telemetry_infrastructure_stats",
     "telemetry_expl_dataset_variance",
+    # r10 promotions (R13/R14 _TS_STAGED names): ex_events_by_date and
+    # missing_ts_sample emit CAST(fix_timestamp AS DATE)-as-timestamp
+    # columns; the seasonality/top-3/bottom-3 demos bucket by
+    # DATE_TRUNC('month', round_start_ts) via the month model.
+    "telemetry_ex_events_by_date",
+    "telemetry_missing_ts_sample",
+    "telemetry_demo_seasonality_months",
+    "telemetry_demo_top3_months",
+    "telemetry_demo_bottom3_months",
 ]
 
 # Three adversarial zones, each catching a different leak class:
