@@ -796,6 +796,45 @@ def cosine_near_duplicates_lsh_gemm(
     return _gemm_pairs_from_banded(banded, threshold, max_bucket, id_col, vec_col)
 
 
+def _bucket_cosine_pairs(
+    ids: "np.ndarray",
+    mat: "np.ndarray",
+    threshold: float,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """All >= threshold upper-triangle cosine pairs of one bucket.
+
+    Peak-allocation discipline (the r10 rewrite; tracemalloc-pinned in
+    test_training_similarity): rows are normalized ONCE so the score is
+    a bare GEMM (the naive `(mat @ mat.T) / np.outer(norm, norm)`
+    quotient spends two extra n x n float64 temporaries), the round is
+    in-place, and survivors are extracted via a boolean upper-triangle
+    mask + nonzero instead of materializing full triu_indices — the
+    index vectors plus fancy-index scratch alone cost ~2 full-matrix
+    equivalents, dominating the old ~3x peak. Post-rewrite the peak is
+    ~1.3x the GEMM output (which is irreducible for an exact all-pairs
+    score), bounded by max_bucket^2 by construction. Unit-row cosines
+    differ from dot/(|a||b|) only in ~1e-16 rounding, inside the
+    half-bin caveat below.
+
+    Rounding-mode caveat (applies to every GEMM thresholder): numpy
+    rounds half-even over a BLAS-blocked sum while Spark's ROUND is
+    HALF_UP over a sequential fold, so a cosine within ~1e-12 of a
+    half-bin edge can flip membership vs the expression path. The
+    pair-identical pytest pins therefore hold for fixtures whose
+    cosines keep clear of half-bin edges (the generated testdata
+    does); this path is rows-only, never oracle-hashed."""
+    norm = np.sqrt((mat * mat).sum(axis=1))
+    norm[norm == 0.0] = 1.0
+    mat = mat / norm[:, None]
+    sims = mat @ mat.T
+    np.round(sims, 6, out=sims)
+    # bool masks are n^2/8 the float64 matrix; nonzero() emits indices
+    # for SURVIVORS only (vs triu_indices' full n(n-1)/2 vectors).
+    keep = np.triu(sims >= threshold, k=1)
+    ia, ib = keep.nonzero()
+    return ids[ia], ids[ib], sims[ia, ib]
+
+
 def _gemm_pairs_from_banded(
     banded: DataFrame,
     threshold: float,
@@ -819,22 +858,8 @@ def _gemm_pairs_from_banded(
         pdf = pdf.sort_values("_id")
         ids = pdf["_id"].to_numpy(dtype=np.int64)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
-        norm = np.sqrt((mat * mat).sum(axis=1))
-        norm[norm == 0.0] = 1.0
-        sims = (mat @ mat.T) / np.outer(norm, norm)
-        ia, ib = np.triu_indices(n, k=1)
-        # Rounding-mode caveat (applies to every GEMM thresholder): numpy
-        # rounds half-even over a BLAS-blocked sum while Spark's ROUND is
-        # HALF_UP over a sequential fold, so a cosine within ~1e-12 of a
-        # half-bin edge can flip membership vs the expression path. The
-        # pair-identical pytest pins therefore hold for fixtures whose
-        # cosines keep clear of half-bin edges (the generated testdata
-        # does); this path is rows-only, never oracle-hashed.
-        cos = np.round(sims[ia, ib], 6)
-        keep = cos >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": cos[keep]}
-        )
+        id_a, id_b, cos = _bucket_cosine_pairs(ids, mat, threshold)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
 
     return (
         banded.groupBy("band_id", "bucket")

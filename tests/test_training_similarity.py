@@ -809,6 +809,50 @@ def test_chunked_gemm_worker_peak_is_block_bounded():
     )
 
 
+def test_bucket_scorer_normalize_once_peak_and_pairs():
+    """The r10 rewrite of the banded bucket scorer: normalize-once
+    (killing the np.outer quotient's two extra n x n temporaries),
+    in-place round, and survivor-only index extraction (killing
+    triu_indices' ~2 full-matrix index/fancy-scratch cost). On a
+    2000-row bucket the sims matrix is 2000^2 doubles = 32 MB; the
+    peak must stay under 1.5 full matrices (GEMM output + bool masks
+    at n^2/8 each + survivor scratch), where the old spelling peaked
+    at ~3.0. Correctness pinned alongside: two planted dup pairs
+    (rows 0/1 copied to the end) and nothing else at 0.9999."""
+    import tracemalloc
+
+    import numpy as np
+
+    from tagmarshal_data_lakehouse_spark.training.similarity import (
+        _bucket_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 2000, 8
+    mat = rng.normal(size=(n, d))
+    mat[-2:] = mat[:2]
+    ids = np.arange(n, dtype=np.int64)
+    full_bytes = n * n * 8
+    tracemalloc.start()
+    try:
+        id_a, id_b, cos = _bucket_cosine_pairs(ids, mat, 0.9999)
+        _, peak = tracemalloc.get_traced_memory()
+    finally:
+        tracemalloc.stop()
+    assert sorted(zip(id_a, id_b)) == [(0, n - 2), (1, n - 1)]
+    assert (cos >= 0.9999).all()
+    # The GEMM output (1.0 full matrix) is irreducible for an exact
+    # all-pairs score; the two bool masks add 0.125 each and survivor
+    # extraction is O(survivors). The bound fails on both old
+    # spellings: the np.outer quotient (~3.0) AND full triu_indices
+    # extraction (~3.0 — two n(n-1)/2 int64 vectors + fancy scratch).
+    assert peak < full_bytes * 1.5, (
+        f"bucket scorer peaked at {peak / 1e6:.0f} MB "
+        f"({peak / full_bytes:.2f} full matrices) — the survivor-only "
+        "extraction rewrite regressed"
+    )
+
+
 def test_semantic_dedup_auto_scorer_routes_by_cluster_density(spark, sf_smoke):
     """scorer='auto' (the default) picks mechanically from the
     cluster-size pair mass — the same statistic and cutover as
