@@ -1723,7 +1723,15 @@ def get_hole_duration_for_course(course_id: str) -> str:
     subtraction (floor(b)-floor(a)) and to DuckDB date_diff('second'),
     but tz-independent by construction. Plain TIMESTAMPDIFF(SECOND,...)
     would instead truncate ELAPSED seconds, which diverges on
-    sub-second timestamps."""
+    sub-second timestamps.
+
+    Spark-vs-TRINO nuance (ADVICE r9): the reference's Trino
+    date_diff('minute', a, b) truncates ELAPSED time, while this
+    spelling counts second-boundary crossings — on sub-second inputs
+    (00:00:30.8 -> 00:01:30.2) Trino reports 0 minutes, this reports 1.
+    The bridge's fix_timestamps are whole-second, so the engines agree
+    on every checked row; the divergence class is documented in
+    OPERATORS.md §"Timestamp semantics"."""
     return f"""
 WITH hole_times AS (
     SELECT

@@ -15,7 +15,9 @@ from tagmarshal_data_lakehouse_spark.queries import registry
 
 from .oracle_harness import run_query_pair
 
-SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+from .conftest import TESTDATA
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", f"{TESTDATA}/sf0.001")
 
 _REGISTRY = registry()
 _ORACLE_QUERIES = [name for name, q in _REGISTRY.items() if q.oracle is not None]
@@ -44,13 +46,13 @@ def test_rows_only_queries_run(spark, name):
 # A query that later becomes non-empty at sf0.001 stays here harmlessly;
 # one that becomes empty at its listed SF fails loudly.
 SPARSE_QUERIES = {
-    "telemetry_hole_duration": "/root/testdata/sf0.01",  # 1 row
-    "tpch_q7": "/root/testdata/sf0.01",  # 4 rows
-    "tpch_q11": "/root/testdata/sf0.01",  # 58 rows
-    "tpch_q20": "/root/testdata/sf0.01",  # 4 rows
-    "tpch_q21": "/root/testdata/sf0.01",  # 3 rows
-    "join_anti": "/root/testdata/sf0.1",  # 1 row
-    "doc_cross_source_dups": "/root/testdata/sf0.1",  # 7 rows
+    "telemetry_hole_duration": f"{TESTDATA}/sf0.01",  # 1 row
+    "tpch_q7": f"{TESTDATA}/sf0.01",  # 4 rows
+    "tpch_q11": f"{TESTDATA}/sf0.01",  # 58 rows
+    "tpch_q20": f"{TESTDATA}/sf0.01",  # 4 rows
+    "tpch_q21": f"{TESTDATA}/sf0.01",  # 3 rows
+    "join_anti": f"{TESTDATA}/sf0.1",  # 1 row
+    "doc_cross_source_dups": f"{TESTDATA}/sf0.1",  # 7 rows
 }
 
 

@@ -36,8 +36,8 @@ else.
 from __future__ import annotations
 
 import json
-import math
 import re
+import sys
 from pathlib import Path
 
 from tagmarshal_data_lakehouse_spark.queries import (
@@ -47,6 +47,16 @@ from tagmarshal_data_lakehouse_spark.queries import (
     _SWEEP_PRIORITY,
     registry,
 )
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+# The due-queue ARITHMETIC (horizon, edited-since-green, hard/soft
+# ordering) is shared with the proposal tool via tools/rotation.py
+# (ADVICE r9: two hand-kept copies could silently drift, producing
+# proposals this gate rejects). This module remains the AUTHORITATIVE
+# verifier — it checks the committed head against that arithmetic.
+from tools import rotation  # noqa: E402
 
 SWEEP_BUDGET = 50
 PRIORITY_SLOTS = SWEEP_BUDGET - len(_FLAGSHIP_INTERLEAVE)
@@ -59,15 +69,6 @@ PRIORITY_SLOTS = SWEEP_BUDGET - len(_FLAGSHIP_INTERLEAVE)
 # (sha of each oracle + the round its current text was recorded for)
 # flags them without hand discipline.
 _EDITED_SINCE_GREEN: frozenset[str] = frozenset()
-
-_REPO = Path(__file__).resolve().parent.parent
-
-
-def _stale_horizon(n_oracle_backed: int) -> int:
-    """ceil((oracle-backed - always-swept flagships) / priority slots):
-    the tightest refresh period the budget arithmetic permits. Derived,
-    not hand-written, so registry growth adjusts it automatically."""
-    return max(1, math.ceil((n_oracle_backed - len(_FLAGSHIP_INTERLEAVE)) / PRIORITY_SLOTS))
 
 
 def _ledger_tool():
@@ -92,6 +93,12 @@ def _ledger() -> dict[str, dict]:
     return json.loads((_REPO / "QUERY_TEXT_HASHES.json").read_text())
 
 
+def _oracle_texts() -> dict[str, str]:
+    """Oracle-backed entries in registry order (the order both the
+    sweep and the due-queue's stable sort ride)."""
+    return {n: q.oracle for n, q in registry().items() if q.oracle is not None}
+
+
 def _latest_green() -> tuple[dict[str, int], int]:
     """(latest driver-green round per query, current round number),
     scanned from the committed CORRECTNESS_r*.json artifacts. The
@@ -99,42 +106,20 @@ def _latest_green() -> tuple[dict[str, int], int]:
     landed driver artifact does not redden the suite before the next
     rotation; `test_head_design_tracks_the_artifacts` separately bounds
     how far the marker may lag."""
-    latest: dict[str, int] = {}
-    for p in _REPO.glob("CORRECTNESS_r*.json"):
-        m = re.search(r"_r(\d+)\.json$", p.name)
-        if not m:
-            continue
-        r = int(m.group(1))
-        for name, row in json.loads(p.read_text()).items():
-            if row.get("hash_match"):
-                latest[name] = max(latest.get(name, 0), r)
-    return latest, HEAD_DESIGNED_FOR_ROUND
+    return rotation.latest_green(_REPO), HEAD_DESIGNED_FOR_ROUND
 
 
 def _edited_since_green(latest: dict[str, int]) -> set[str]:
     """Ledger-derived edited set: oracle text unrecorded/changed, or
     recorded for a round no driver row has confirmed yet — plus the
     hand list for builder-only edits."""
-    ledger = _ledger()
-    edited = set(_EDITED_SINCE_GREEN)
-    for name, q in registry().items():
-        if q.oracle is None:
-            continue
-        rec = ledger.get(name)
-        if rec is None or rec["sha"] != _oracle_sha(q.oracle):
-            edited.add(name)  # un-recorded edit (also fails test_ledger_is_current)
-        elif rec["round"] > latest.get(name, 0):
-            edited.add(name)  # recorded edit awaiting a driver row
-    return edited
+    return rotation.edited_since_green(
+        _oracle_texts(), latest, _ledger(), _oracle_sha, _EDITED_SINCE_GREEN
+    )
 
 
 def _max_artifact_round() -> int:
-    rounds = [0]
-    for p in _REPO.glob("CORRECTNESS_r*.json"):
-        m = re.search(r"_r(\d+)\.json$", p.name)
-        if m:
-            rounds.append(int(m.group(1)))
-    return max(rounds)
+    return rotation.max_artifact_round(_REPO)
 
 
 def test_head_design_tracks_the_artifacts():
@@ -191,25 +176,14 @@ def _family(name: str) -> str:
 
 def _due_queue() -> tuple[list[str], dict[str, int], int]:
     """The ordered must-verify queue: never-green and edited first, then
-    stale entries oldest-green-round first (stable on registry order)."""
+    stale entries oldest-green-round first (stable on registry order) —
+    computed by the SHARED arithmetic in tools/rotation.py."""
     latest, current = _latest_green()
-    reg = registry()
-    oracle_backed = [n for n, q in reg.items() if q.oracle is not None]
-    horizon = _stale_horizon(len(oracle_backed))
-    edited = _edited_since_green(latest)
-    flagships = set(_FLAGSHIP_INTERLEAVE)
-    due = [
-        n
-        for n in oracle_backed
-        if n not in flagships
-        and (
-            latest.get(n, 0) == 0
-            or n in edited
-            or latest[n] <= current - horizon
-        )
-    ]
-    due.sort(key=lambda n: latest.get(n, 0))  # stable: registry order within a vintage
-    return due, latest, current
+    dq = rotation.due_queue(
+        _oracle_texts(), latest, _ledger(), _oracle_sha, current,
+        _FLAGSHIP_INTERLEAVE, PRIORITY_SLOTS, _EDITED_SINCE_GREEN,
+    )
+    return list(dq.due), latest, current
 
 
 def test_first_twelve_interleave_every_family():

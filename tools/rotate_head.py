@@ -27,8 +27,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
-import re
 import sys
 from pathlib import Path
 
@@ -52,6 +50,7 @@ def main() -> None:
         registry,
     )
     from tagmarshal_data_lakehouse_spark.queries import telemetry_bridge as tb
+    from tools import rotation
     from tools.update_query_text_hashes import oracle_sha
 
     reg = dict(registry())
@@ -59,42 +58,20 @@ def main() -> None:
         for q in getattr(tb, block_name):
             reg.setdefault(q.name, q)
 
-    latest: dict[str, int] = {}
-    for p in _REPO.glob("CORRECTNESS_r*.json"):
-        m = re.search(r"_r(\d+)\.json$", p.name)
-        if not m:
-            continue
-        r = int(m.group(1))
-        for name, row in json.loads(p.read_text()).items():
-            if row.get("hash_match"):
-                latest[name] = max(latest.get(name, 0), r)
-
+    # The SAME arithmetic the gate runs (tools/rotation.py — ADVICE r9:
+    # two copies could drift); only the presentation lives here.
+    oracle_texts = {n: q.oracle for n, q in reg.items() if q.oracle is not None}
+    latest = rotation.latest_green(_REPO)
     ledger = json.loads((_REPO / "QUERY_TEXT_HASHES.json").read_text())
-    oracle_backed = [n for n, q in reg.items() if q.oracle is not None]
     slots = 50 - len(_FLAGSHIP_INTERLEAVE)
-    horizon = max(1, math.ceil((len(oracle_backed) - len(_FLAGSHIP_INTERLEAVE)) / slots))
+    dq = rotation.due_queue(
+        oracle_texts, latest, ledger, oracle_sha, args.round_,
+        _FLAGSHIP_INTERLEAVE, slots,
+    )
+    hard, soft, due = list(dq.hard), list(dq.soft), list(dq.due)
 
-    edited = set()
-    for n in oracle_backed:
-        rec = ledger.get(n)
-        if rec is None or rec["sha"] != oracle_sha(reg[n].oracle):
-            edited.add(n)
-        elif rec["round"] > latest.get(n, 0):
-            edited.add(n)
-
-    flag = set(_FLAGSHIP_INTERLEAVE)
-    due = [
-        n
-        for n in oracle_backed
-        if n not in flag
-        and (latest.get(n, 0) == 0 or n in edited or latest[n] <= args.round_ - horizon)
-    ]
-    due.sort(key=lambda n: latest.get(n, 0))
-    hard = [n for n in due if latest.get(n, 0) == 0 or n in edited]
-    soft = [n for n in due if n not in hard]
-
-    print(f"# round {args.round_}: {len(oracle_backed)} oracle-backed, "
-          f"horizon {horizon} (stale = green <= r{args.round_ - horizon:02d})")
+    print(f"# round {args.round_}: {len(oracle_texts)} oracle-backed, "
+          f"horizon {dq.horizon} (stale = green <= r{args.round_ - dq.horizon:02d})")
     print(f"# due {len(due)} = {len(hard)} hard (never-green/edited) + {len(soft)} stale")
     if len(hard) > slots:
         print(f"# WARNING: hard dues ({len(hard)}) exceed the {slots} priority "
