@@ -217,13 +217,13 @@ _FLAGSHIP_INTERLEAVE = (
 # (oldest driver-green round first); whatever the queue cannot fit this
 # round leads the tail (_STALE_TAIL) and must fit entirely into NEXT
 # round's priority block.
-# rotate_head --round 10 --promote R13_STAGED R14_STAGED: 218
-# oracle-backed, horizon 6 (stale = green <= r04); due 30 = 17 hard
-# (the R13+R14 promotions, never-green) + 13 r03-vintage stale —
-# overflow 0. The 8 remaining slots are spent on the FRONT of the
-# r05-vintage cohort (27 entries that cross the horizon at round 11,
-# the same round the R15+R16 promotions land ~18 hard dues):
-# pre-refreshing 8 now keeps round 11's queue at 19+18=37 <= 38.
+# rotate_head --round 10 --promote R13_STAGED R14_STAGED R15_STAGED
+# R16_STAGED (the second wave, the round-9 precedent): 236
+# oracle-backed, horizon 6 (stale = green <= r04); due 48 = 35 hard
+# (all four promoted blocks, never-green) + 13 r03-vintage stale —
+# 38/38 slots, overflow 10.  The 10 displaced r03 entries lead
+# _STALE_TAIL (the gate's one-round-lag bound) and round 11's queue is
+# 10 + the 27 r05-vintage entries crossing the horizon = 37 <= 38.
 _SWEEP_PRIORITY = (
     # R13_STAGED promotions (never-green)
     "telemetry_ex_events_by_course",
@@ -244,10 +244,41 @@ _SWEEP_PRIORITY = (
     "telemetry_demo_seasonality_weekdays",
     "telemetry_demo_top3_months",
     "telemetry_demo_bottom3_months",
-    # r03-vintage stale (the round-9 tail front, due at horizon 6)
+    # R15_STAGED promotions (never-green, second wave)
+    "telemetry_pace_by_hole_course",
+    "telemetry_pace_by_section_course",
+    "telemetry_round_sample",
+    "telemetry_round_validation_course",
+    "telemetry_demo_hole_max_outlier",
+    "telemetry_demo_unit_summary",
+    "telemetry_demo_loop_fatigue",
+    "telemetry_demo_boundary_support",
+    "telemetry_nine_loop_pace_comparison",
+    "telemetry_course_topology_map_points",
+    "telemetry_course_centroids",
+    "telemetry_course_summary_with_profile",
+    "telemetry_column_completeness_extended",
+    # R16_STAGED promotions (never-green, second wave)
+    "telemetry_round_duration_details",
+    "telemetry_round_nine_combinations",
+    "telemetry_round_validation",
+    "telemetry_rounds_by_month",
+    "telemetry_check_loop_fatigue",
+    # r03-vintage stale front (the 3 that still fit; the other 10 lead
+    # _STALE_TAIL as this round's overflow)
     "doc_hash_sample_k",
     "doc_mixture_weights",
     "doc_decontaminate",
+)
+
+# The rest of the stale rotation.  FRONT: this round's due-queue
+# overflow — the 10 r03-vintage entries displaced by the R15+R16
+# second wave; the gate (test_due_queue_overflow_fits_next_round...)
+# requires exactly these at the tail front.  Then the 27 r05-vintage
+# entries that cross the staleness horizon at round 11, in rotation
+# order — round 11's queue is 10 + 27 = 37 <= 38.
+_STALE_TAIL = (
+    # round-10 overflow (r03-vintage, MUST lead the tail)
     "doc_repetition",
     "doc_pii_scan",
     "doc_dup_rate_by_source",
@@ -258,7 +289,7 @@ _SWEEP_PRIORITY = (
     "multimodal_frame_sample",
     "doc_span_dedup",
     "doc_cross_source_dups",
-    # r05-vintage pre-refresh (due at round 11; 8 spare slots)
+    # r05-vintage cohort (due at round 11)
     "scalar_datetime",
     "doc_dedup_clusters",
     "doc_pack_sequences",
@@ -267,13 +298,6 @@ _SWEEP_PRIORITY = (
     "doc_incremental_dedup",
     "doc_chunk_windows",
     "doc_epoch_shuffle",
-)
-
-# The rest of the stale rotation: the 19 remaining r05-vintage entries
-# that cross the staleness horizon at round 11, in rotation order —
-# next round's priority front, picked up first if the sweep budget
-# grows (round-10 overflow itself is 0).
-_STALE_TAIL = (
     "doc_curation_pipeline",
     "tpch_q2",
     "tpch_q4",

@@ -4677,6 +4677,13 @@ R15_STAGED = [
     q_telemetry_course_summary_with_profile,
     q_telemetry_column_completeness_extended,
 ]
+# Promoted in round 10's second wave together with R16_STAGED (the
+# round-9 two-wave precedent): all 18 entries sim-PASS under the
+# class-checking harness, and rotate_head --round 10 --promote
+# R15_STAGED R16_STAGED fills 38/38 head slots with overflow 10 —
+# the 10 displaced r03-vintage stale entries lead _STALE_TAIL and fit
+# round 11's queue (10 + 27 r05-vintage = 37 <= 38).
+QUERIES += R15_STAGED
 
 
 # ---------------------------------------------------------------------------
@@ -4849,3 +4856,7 @@ q_telemetry_check_loop_fatigue = Query(
 )
 
 R16_STAGED = R16_STAGED + [q_telemetry_check_loop_fatigue]
+# Promoted in round 10's second wave (see the R15_STAGED note above) —
+# with this append every bridgeable reference library text (87/94) is
+# REGISTERED; the 7 skips remain the measured census in OPERATORS.md.
+QUERIES += R16_STAGED
