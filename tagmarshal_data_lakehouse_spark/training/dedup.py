@@ -412,6 +412,19 @@ def minhash_dedup_verdicts(
     produces one candidate per member, which is exactly why this is
     the 100 TB default over the pair-materializing path.
 
+    Verify payload: the exact-Jaccard confirmation runs over
+    xxhash64(gram) int64 arrays projected off the cache at the join
+    boundary (set sizes and hence Jaccard are identical to the
+    string-gram computation barring an in-pair collision,
+    ~|union|²/2⁶⁴) — both verify-join shuffles carry ~4-5x fewer bytes
+    per doc than gram strings would, at measured wall parity (SCALE.md
+    r10 sixth octave). The octave probes there also pin the memory
+    story: linear through 4M docs given proportional heap (exponent
+    1.07 at 100g), with a fixed 48g heap GC-binding at ~4M docs on the
+    gram cache + aggregation state — on a real cluster executors scale
+    with data, so per-executor docs (not total docs) are what the
+    measured docs-per-heap-GB constant bounds.
+
     Portability: signatures are LEXICOGRAPHIC minima of md5 hex digests
     (seeded per permutation as md5('p:' || gram)) and band keys are
     md5 over the '|'-joined minima — pure ANSI string operations with
@@ -429,16 +442,28 @@ def minhash_dedup_verdicts(
         # documented banded curve)
         raise ValueError(f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})")
     rows_per_band = num_perm // bands
-    # persist_shingles caches the gram frame (it feeds the signature
-    # pass and both verify-join sides). The cache is NOT unpersisted
-    # here — it must be live when the returned lazy plan finally runs.
-    # Long-lived sessions composing many verdict calls (curate_corpus
-    # loops, notebooks) have two ways to avoid accumulating
-    # MEMORY_AND_DISK blocks: pass persist_shingles=False and pay the
-    # ~3x shingling recompute, or pass a `cache_handles` list — the
-    # persisted frame is appended to it so the CALLER can
-    # `h.unpersist()` once the returned plan has been consumed
-    # (round-7 ADVICE: don't make callers discover the cache exists).
+    # persist_shingles caches the gram frame — and the cache is
+    # LOAD-BEARING beyond avoiding recompute (r10 finding, measured in
+    # SCALE.md): InMemoryRelation is a projection-collapse barrier.
+    # Without it Catalyst's CollapseProject inlines the whole shingle
+    # expression into md5_minhash_sig's 16-permutation lambda, and the
+    # interpreted higher-order-function evaluator then re-derives the
+    # gram array per permutation — a measured ~4x slowdown on the
+    # signature pass (and the gram arrays read back from the columnar
+    # cache are UnsafeArrayData, cheaper per element inside the lambda
+    # than freshly-built generic arrays). Do NOT "optimize" the cache
+    # away or chain the sig projection onto an uncached shingle
+    # projection without re-measuring the octave probe.
+    #
+    # The cache is NOT unpersisted here — it must be live when the
+    # returned lazy plan finally runs. Long-lived sessions composing
+    # many verdict calls (curate_corpus loops, notebooks) have two ways
+    # to avoid accumulating MEMORY_AND_DISK blocks: pass
+    # persist_shingles=False and pay the ~3x shingling recompute, or
+    # pass a `cache_handles` list — the persisted frame is appended to
+    # it so the CALLER can `h.unpersist()` once the returned plan has
+    # been consumed (round-7 ADVICE: don't make callers discover the
+    # cache exists).
     shingled = with_token_grams(
         ensure_parallelism(df), text_col=text_col, n=ngram, out="grams"
     ).select(F.col(id_col), "grams")
@@ -466,17 +491,33 @@ def minhash_dedup_verdicts(
         .select(id_col, "rep_id")
         .distinct()
     )
+    # Verify payload: the exact-Jaccard confirmation needs only
+    # |A∩B| / |A∪B| over each doc's gram SET, never the gram strings —
+    # so both verify-join sides project xxhash64(gram) int64 arrays off
+    # the cache at the shuffle boundary, and the join shuffles carry
+    # ~4-5x fewer bytes per doc than the string arrays would (grams are
+    # distinct per doc, so hashed set sizes equal string set sizes and
+    # Jaccard is IDENTICAL barring an in-pair xxhash64 collision,
+    # ~|union|²/2⁶⁴ — negligible, and the DuckDB oracle re-checks the
+    # end-to-end verdicts every sweep). The xxhash transform runs at
+    # cache-read time (measured ~free next to shingling, wall parity at
+    # the 4096x octave), so the verify stages' shuffle and execution
+    # memory shrink for free. Note the reduction does NOT move the
+    # fixed-48g-heap bind at 8M-doc scale — that is the gram cache +
+    # aggregation state (SCALE.md r10) — it lowers shuffle pressure,
+    # which on a real cluster is the cross-executor cost.
+    grams_h = F.transform("grams", lambda g: F.xxhash64(g))
     verified = (
         cand.join(
-            shingled.select(F.col(id_col).alias("rep_id"), F.col("grams").alias("rep_grams")),
+            shingled.select(F.col(id_col).alias("rep_id"), grams_h.alias("rep_grams_h")),
             "rep_id",
         )
-        .join(shingled, id_col)
+        .join(shingled.select(F.col(id_col), grams_h.alias("grams_h")), id_col)
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("grams", "rep_grams"))
-                / F.size(F.array_union("grams", "rep_grams")).cast("double"),
+                F.size(F.array_intersect("grams_h", "rep_grams_h"))
+                / F.size(F.array_union("grams_h", "rep_grams_h")).cast("double"),
                 6,
             ),
         )

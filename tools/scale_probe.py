@@ -122,10 +122,18 @@ def main() -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    import os
+
+    # Diagnostic knobs (r10, the sixth-octave heap investigation): the
+    # probe's session shape is part of what an octave measures, so the
+    # DEFAULTS never change — but attributing a super-linear reading to
+    # "heap pressure" vs "algorithm" needs one-knob reruns.
+    driver_mem = os.environ.get("SCALE_PROBE_DRIVER_MEM", "48g")
+    shuffle_parts = os.environ.get("SCALE_PROBE_SHUFFLE_PARTS", "32")
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "48g")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.driver.memory", driver_mem)
         # match the production session's runtime re-planning (session.py):
         # skew splitting and partition coalescing are part of the scale
         # story being measured, not noise to exclude
