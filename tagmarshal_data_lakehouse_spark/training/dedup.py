@@ -429,7 +429,11 @@ def minhash_dedup_verdicts(
     (seeded per permutation as md5('p:' || gram)) and band keys are
     md5 over the '|'-joined minima — pure ANSI string operations with
     bit-identical twins in DuckDB, so unlike the xxhash64 pair path the
-    whole pipeline is oracle-checkable end-to-end. md5-as-minhash is
+    banding + election pipeline is oracle-checkable stage by stage.
+    The verify stage's Jaccard runs over xxhash64 arrays with no
+    literal DuckDB twin (the oracle computes the same Jaccard over the
+    gram strings) — value-equivalent rather than expression-identical,
+    the one collision-probability caveat above. md5-as-minhash is
     uniform over the gram set; the string min is taken over fixed-width
     lowercase hex, so lexicographic order == numeric order.
     """
@@ -503,7 +507,7 @@ def minhash_dedup_verdicts(
     # cache-read time (measured ~free next to shingling, wall parity at
     # the 4096x octave), so the verify stages' shuffle and execution
     # memory shrink for free. Note the reduction does NOT move the
-    # fixed-48g-heap bind at 8M-doc scale — that is the gram cache +
+    # fixed-48g-heap bind at ~4M docs (the 8192x octave) — that is the gram cache +
     # aggregation state (SCALE.md r10) — it lowers shuffle pressure,
     # which on a real cluster is the cross-executor cost.
     grams_h = F.transform("grams", lambda g: F.xxhash64(g))

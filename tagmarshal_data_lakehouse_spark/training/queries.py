@@ -379,8 +379,12 @@ q_doc_minhash_dedup_verdict = Query(
     # Unlike the xxhash64 pair path (doc_minhash_near_dups, rows-only),
     # the verdict path is portable by design: md5-string minhash minima
     # and '|'-joined md5 band keys have bit-identical DuckDB twins, so
-    # the WHOLE banding + election + verify pipeline is oracle-checked
-    # — not just the exact-Jaccard scores.
+    # banding + election are oracle-checked expression for expression.
+    # The verify stage is value-equivalent rather than twin-identical:
+    # Spark computes the Jaccard over xxhash64(gram) arrays (r10), the
+    # oracle over the gram strings — equal counts barring an in-pair
+    # hash collision (~|union|²/2⁶⁴), and the end-to-end verdicts are
+    # hash-compared every sweep.
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, {_TOKENS} AS tokens FROM documents

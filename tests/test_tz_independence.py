@@ -90,10 +90,11 @@ TS_QUERIES = [
     "telemetry_demo_seasonality_months",
     "telemetry_demo_top3_months",
     "telemetry_demo_bottom3_months",
-    # r10 second wave (R15/R16 _TS_STAGED names): round_sample emits raw
-    # NTZ fix bounds per sampled round; course_summary_with_profile and
-    # round_duration_details emit date-as-timestamp activity bounds and
-    # NTZ round start/end stamps respectively.
+    # r10 second wave (R15/R16 _TS_STAGED names): round_sample emits
+    # raw per-event NTZ fix_timestamp rows; course_summary_with_profile
+    # emits date-as-timestamp activity bounds; round_duration_details
+    # emits a date-as-timestamp round_date (CAST(MIN(event_date) AS
+    # TIMESTAMP)).
     "telemetry_round_sample",
     "telemetry_course_summary_with_profile",
     "telemetry_round_duration_details",

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
@@ -41,8 +42,6 @@ def amplify_docs(spark, sf_dir: str, reps: int):
     get near-copy replicas; the rest get replicas diluted with enough
     unique filler tokens to land below dedup thresholds (unique
     content growth, not duplication)."""
-    import os
-
     from pyspark.sql import functions as F
 
     dup_frac = float(os.environ.get("SCALE_PROBE_DUP_FRAC", "1.0"))
@@ -121,8 +120,6 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
-
-    import os
 
     # Diagnostic knobs (r10, the sixth-octave heap investigation): the
     # probe's session shape is part of what an octave measures, so the
@@ -329,8 +326,6 @@ def main() -> int:
     # Optional operator filter for targeted re-measurement after an
     # optimization: SCALE_PROBE_OPS="tf_cosine,minhash_lsh" runs only
     # those rows (full sweep otherwise).
-    import os
-
     only = os.environ.get("SCALE_PROBE_OPS")
     if only:
         wanted = {s.strip() for s in only.split(",") if s.strip()}
