@@ -224,6 +224,14 @@ def minhash_signatures(
             F.transform(F.col("gram_hashes"), lambda h: F.xxhash64(h, sd))
         ),
     ).alias("sig")
+    # keep_gram_hashes=False leaves gram_hashes single-use, which lets
+    # CollapseProject inline the whole shingle+hash expression into the
+    # seeds lambda — re-derived once per permutation by the interpreted
+    # HOF evaluator (the r10 verdict-path finding, measured ~4x on the
+    # sig pass; see minhash_dedup_verdicts). The production pair path
+    # passes True (two references block the collapse); a future
+    # False-path caller at scale should persist the shingled frame
+    # first or re-measure.
     cols = [F.col(id_col)] + ([F.col("gram_hashes")] if keep_gram_hashes else []) + [sig]
     return hashed.select(*cols)
 
