@@ -58,6 +58,56 @@ q_events_tumbling_window = Query(
     "session-timezone independent.",
 )
 
+# Hopping (sliding) window: 1-hour windows advancing every 30 minutes,
+# so every event belongs to exactly size/hop = 2 windows. The expansion
+# is done IN-PLAN (a 2-row constant relation cross join — no shuffle,
+# no UDF), then one hash aggregate at (window_start, event_type) grain
+# with map-side partials; at 100 TB the cost model is "input × (size/
+# hop)" rows into a combiner whose output grain is windows × types,
+# exactly the batch shape of streaming groupBy(window(ts, '1 hour',
+# '30 minutes')). Window starts are derived tz-free from NTZ field
+# arithmetic (never via LTZ DATE_TRUNC) per the module-head note.
+_HOPPING_SQL = f"""
+WITH hopped AS (
+    SELECT {{win_start}} AS window_start, event_type, user_id, value
+    FROM events
+    CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) hops
+)
+SELECT window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT)                AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {dsum('value')}                         AS total_value
+FROM hopped
+GROUP BY window_start, event_type
+"""
+
+# 30-minute floor of ts, NTZ end-to-end, minus k hops of 30 minutes.
+_SPARK_HOP_START = (
+    "TIMESTAMPADD(MINUTE, -30 * k, MAKE_TIMESTAMP_NTZ(YEAR(ts), MONTH(ts),"
+    " DAY(ts), HOUR(ts), 30 * (MINUTE(ts) DIV 30), 0))"
+)
+_DUCK_HOP_START = (
+    "DATE_TRUNC('hour', ts) + (minute(ts) // 30) * INTERVAL '30 minutes'"
+    " - k * INTERVAL '30 minutes'"
+)
+
+q_events_hopping_window = Query(
+    name="events_hopping_window",
+    build=lambda spark, sf_dir: (
+        load_views(spark, sf_dir),
+        spark.sql(_HOPPING_SQL.format(win_start=_SPARK_HOP_START)),
+    )[1],
+    oracle=_HOPPING_SQL.format(win_start=_DUCK_HOP_START),
+    doc="Hopping event-time window aggregate (batch form of streaming "
+    "groupBy(window(ts, '1 hour', '30 minutes'))): each event lands in "
+    "exactly 2 overlapping windows via an in-plan 2-row cross join — "
+    "no shuffle before the single (window, type)-grain hash aggregate. "
+    "Extends events_tumbling_window (the hop == size special case) the "
+    "way Spark's own window() generalizes; window_start stays "
+    "TIMESTAMP_NTZ under any session timezone.",
+)
+
 q_events_sessionize = Query(
     name="events_sessionize",
     build=lambda spark, sf_dir: (

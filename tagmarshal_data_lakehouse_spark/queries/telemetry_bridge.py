@@ -4860,3 +4860,27 @@ R16_STAGED = R16_STAGED + [q_telemetry_check_loop_fatigue]
 # with this append every bridgeable reference library text (87/94) is
 # REGISTERED; the 7 skips remain the measured census in OPERATORS.md.
 QUERIES += R16_STAGED
+
+
+# --- R17_STAGED: round-11 promotion queue (NOT telemetry texts) -------
+#
+# The library surface is complete (R16 note above), so staging moves to
+# engine-extension entries. These two live in their home modules
+# (events_ops.py / training/queries.py) and are only QUEUED here because
+# the staged-pipeline machinery — driver_sim SIM_STAGED discovery, the
+# staged pytest gate (tests/test_telemetry_bridge_staged.py), and the
+# rotation gate's promotion arithmetic — scans R{N}_STAGED blocks in
+# THIS module. The round-10 sweep head is full (38/38, overflow 10), so
+# a never-green registration must wait for the round-11 rotation; until
+# then both entries are held to the driver's exact oracle standard by
+# the staged suite. Promotion checklist: the module-head playbook
+# (QUERIES append + sweep-head slots + ledger run); move
+# events_hopping_window from _TS_STAGED into
+# test_tz_independence.TS_QUERIES (it emits NTZ window_start stamps).
+from .events_ops import q_events_hopping_window
+from ..training.queries import q_doc_source_token_diversity
+
+R17_STAGED = [
+    q_events_hopping_window,
+    q_doc_source_token_diversity,
+]

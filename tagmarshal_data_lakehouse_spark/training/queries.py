@@ -839,6 +839,49 @@ q_doc_token_rarity = Query(
 )
 
 
+q_doc_source_token_diversity = Query(
+    name="doc_source_token_diversity",
+    build=lambda spark, sf_dir: text.source_token_diversity(_docs(spark, sf_dir)),
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, unnest({_TOKENS}) AS t FROM documents
+        ), toks2 AS (
+            SELECT source, t FROM toks WHERE length(t) > 0
+        ), counts AS (
+            SELECT source, t, CAST(COUNT(*) AS BIGINT) AS f
+            FROM toks2 GROUP BY source, t
+        ), per_source AS (
+            SELECT source,
+                   CAST(SUM(f) AS BIGINT)   AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                   CAST(MAX(f) AS BIGINT)   AS top_token_freq,
+                   CAST(SUM(f * f) AS BIGINT) AS sumsq
+            FROM counts GROUP BY source
+        ), docs_per AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        )
+        SELECT d.source,
+               d.n_docs,
+               p.n_tokens,
+               p.vocab_size,
+               p.top_token_freq,
+               ROUND(CAST(p.vocab_size AS DOUBLE) / CAST(p.n_tokens AS DOUBLE), 6)
+                   AS type_token_ratio,
+               ROUND(CAST(p.top_token_freq AS DOUBLE) / CAST(p.n_tokens AS DOUBLE), 6)
+                   AS top_token_share,
+               ROUND(CAST(p.sumsq AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+                     / CAST(p.n_tokens AS DOUBLE), 9) AS hhi
+        FROM docs_per d LEFT JOIN per_source p USING (source)
+    """,
+    doc="Per-source vocabulary-concentration profile (type-token ratio, "
+    "top-token share, Herfindahl index) — flags repetitive/templated "
+    "sources before mixture weighting; exact integer aggregates with "
+    "one final IEEE division per metric, bit-reproducible on every "
+    "engine and partitioning (text.py:source_token_diversity).",
+)
+
+
 q_doc_bpe_merges = Query(
     name="doc_bpe_merges",
     build=lambda spark, sf_dir: bpe.bpe_train_merges(_docs(spark, sf_dir), n_merges=12),

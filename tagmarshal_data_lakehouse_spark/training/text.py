@@ -173,6 +173,62 @@ def token_rarity(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def source_token_diversity(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source vocabulary-concentration profile — the curation signal
+    that flags repetitive/templated/spammy sources before they dominate
+    a training mixture: low type-token ratio and high HHI mean a few
+    tokens carry most of the mass.
+
+    Same inverted-index shape as token_rarity: one tokenization pass to
+    (source, token) counts, then a per-source re-aggregate — the shuffle
+    key is the token grain, never the corpus. All metrics are exact
+    integer aggregates divided once at the end (BIGINT casts are
+    correctly rounded into double, so one IEEE division per metric is
+    bit-identical on any engine/partitioning — no float sums anywhere).
+    HHI = Σ f² / N² via two successive divisions so N² never overflows;
+    Σ f² itself is BIGINT-safe while every per-source token frequency
+    stays below ~3e9 — widen the sum to DECIMAL(38,0) on both engines
+    before running a corpus where one source repeats a single token
+    more often than that.
+
+    Output per source (sources whose docs are all blank keep a row with
+    NULL token metrics): n_docs, n_tokens, vocab_size, top_token_freq,
+    type_token_ratio, top_token_share, hhi.
+    """
+    from .dedup import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(F.col(source_col).alias("source"), F.explode(tokens(F.col(text_col))).alias("t"))
+        .filter(F.length("t") > 0)
+    )
+    counts = toks.groupBy("source", "t").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    per_source = counts.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.max("f").cast("bigint").alias("top_token_freq"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("_sumsq"),
+    )
+    n_tok = F.col("n_tokens").cast("double")
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .join(per_source, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            "top_token_freq",
+            F.round(F.col("vocab_size").cast("double") / n_tok, 6).alias("type_token_ratio"),
+            F.round(F.col("top_token_freq").cast("double") / n_tok, 6).alias("top_token_share"),
+            F.round(F.col("_sumsq").cast("double") / n_tok / n_tok, 9).alias("hhi"),
+        )
+    )
+
+
 def fingerprint(col: Column, prefix_len: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of normalized text
     (hex prefix). Cross-engine stable (md5 is md5 everywhere), unlike

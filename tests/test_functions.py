@@ -110,3 +110,58 @@ def test_token_rarity_crafted_frequencies(spark):
     assert rows[1]["rarest_token_freq"] == 1
     # blank doc keeps its row with zeroed/NULL profile
     assert rows[3]["n_tokens"] == 0 and rows[3]["mean_token_freq"] is None
+
+
+def test_source_token_diversity_crafted_concentration(spark):
+    """Known corpus: source 'spam' repeats one token (high concentration),
+    source 'web' is all-unique (TTR 1), source 'blank' keeps a row with
+    NULL token metrics."""
+    from tagmarshal_data_lakehouse_spark.training.text import source_token_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam", "buy buy buy buy now"),
+            (2, "web", "alpha beta gamma"),
+            (3, "web", "delta"),
+            (4, "blank", "   "),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r for r in source_token_diversity(df).collect()}
+    # spam: tokens buy(4), now(1) -> N=5, vocab=2, top=4, sumsq=17
+    assert rows["spam"]["n_docs"] == 1
+    assert rows["spam"]["n_tokens"] == 5
+    assert rows["spam"]["vocab_size"] == 2
+    assert rows["spam"]["top_token_freq"] == 4
+    assert rows["spam"]["type_token_ratio"] == round(2 / 5, 6)
+    assert rows["spam"]["top_token_share"] == round(4 / 5, 6)
+    assert rows["spam"]["hhi"] == round(17 / 5 / 5, 9)
+    # web: 4 unique tokens across 2 docs -> TTR 1, HHI 1/N
+    assert rows["web"]["n_docs"] == 2
+    assert rows["web"]["n_tokens"] == 4
+    assert rows["web"]["type_token_ratio"] == 1.0
+    assert rows["web"]["hhi"] == round(4 / 4 / 4, 9)
+    # blank-only source keeps its row, token metrics NULL
+    assert rows["blank"]["n_docs"] == 1 and rows["blank"]["n_tokens"] is None
+
+
+def test_hopping_window_covers_each_event_twice(spark, sf_smoke):
+    """Hopping 1h/30min windows: every event lands in exactly size/hop=2
+    windows, so Σ n_events over the hopping output is exactly 2x the
+    tumbling (1h/1h) total; window starts align to :00/:30."""
+    from pyspark.sql import functions as F
+
+    from tagmarshal_data_lakehouse_spark.queries.events_ops import (
+        q_events_hopping_window,
+        q_events_tumbling_window,
+    )
+
+    hop = q_events_hopping_window.build(spark, sf_smoke)
+    tumble = q_events_tumbling_window.build(spark, sf_smoke)
+    n_hop = hop.agg(F.sum("n_events")).collect()[0][0]
+    n_tumble = tumble.agg(F.sum("n_events")).collect()[0][0]
+    assert n_hop == 2 * n_tumble
+    misaligned = hop.filter(~F.minute("window_start").isin(0, 30)).count()
+    assert misaligned == 0
+    # the bucket type must stay NTZ (tz-independence depends on it)
+    assert hop.schema["window_start"].dataType.typeName() == "timestamp_ntz"

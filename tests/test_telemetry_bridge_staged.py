@@ -131,6 +131,10 @@ _TS_STAGED = [
     "telemetry_round_sample",
     "telemetry_course_summary_with_profile",
     "telemetry_round_duration_details",
+    # R17 (engine extension, not a telemetry text): emits NTZ
+    # window_start stamps derived by field arithmetic — the surface the
+    # tz gate exists for.
+    "events_hopping_window",
 ]
 
 
