@@ -104,7 +104,8 @@ q_events_hopping_window = Query(
     "exactly 2 overlapping windows via an in-plan 2-row cross join — "
     "no shuffle before the single (window, type)-grain hash aggregate. "
     "Extends events_tumbling_window (the hop == size special case) the "
-    "way Spark's own window() generalizes; window_start stays "
+    "way Spark's own window() generalizes; Structured Streaming variant "
+    "stream_hopping_counts in streaming/events.py. window_start stays "
     "TIMESTAMP_NTZ under any session timezone.",
 )
 

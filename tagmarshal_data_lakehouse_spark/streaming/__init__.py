@@ -13,6 +13,7 @@ from .events import (  # noqa: F401
     stream_dedup_against_corpus,
     stream_funnel_progress,
     stream_dedup_within_watermark,
+    stream_hopping_counts,
     stream_interval_enrich,
     stream_interval_join,
     stream_semantic_dedup,

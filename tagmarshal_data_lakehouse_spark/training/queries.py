@@ -882,6 +882,26 @@ q_doc_source_token_diversity = Query(
 )
 
 
+q_doc_bigram_lm_score = Query(
+    name="doc_bigram_lm_score",
+    build=lambda spark, sf_dir: text.bigram_lm_scores(_docs(spark, sf_dir)),
+    # No oracle: the score is a mean of -log2 P terms and log2 is the
+    # engine's libm (not guaranteed identically rounded across engines),
+    # so a cross-engine value hash would be flaky by construction. The
+    # semantics are pinned in pytest instead: exact closed-form equality
+    # on a dyadic-probability corpus (every P a power of 1/2, so log2 is
+    # exact), partitioning-independence of the decimal-summed mean, and
+    # the junk-scores-worse ordering (tests/test_functions.py).
+    oracle=None,
+    doc="CCNet-style LM quality filter (Wenzek 2019): add-one-smoothed "
+    "bigram LM trained on the corpus itself, per-doc mean -log2 P in "
+    "bits (perplexity = 2^score) — high = unusual-for-the-corpus text "
+    "(boilerplate/OCR noise/wrong language). In-plan bigram formation, "
+    "token-grain aggregates, one model join; exact DECIMAL mean "
+    "(text.py:bigram_lm_scores).",
+)
+
+
 q_doc_bpe_merges = Query(
     name="doc_bpe_merges",
     build=lambda spark, sf_dir: bpe.bpe_train_merges(_docs(spark, sf_dir), n_merges=12),
@@ -2027,6 +2047,7 @@ QUERIES = [
     q_doc_token_histogram,
     q_doc_bigram_freqs,
     q_doc_token_rarity,
+    q_doc_bigram_lm_score,
     q_doc_bpe_merges,
     q_doc_bpe_encode,
     q_doc_dedup_eval,

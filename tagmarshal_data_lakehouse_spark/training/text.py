@@ -229,6 +229,90 @@ def source_token_diversity(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", alpha: int = 1
+) -> DataFrame:
+    """Per-document language-model quality score — the CCNet-style
+    (Wenzek et al. 2019) perplexity filter, with the reference n-gram LM
+    trained on the corpus itself: a document whose bigrams are unusual
+    for the corpus (boilerplate, OCR noise, wrong language) scores a
+    high cross-entropy and gets filtered or down-weighted.
+
+    Model: add-alpha-smoothed bigram LM,
+    P(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha*V), V = vocabulary
+    size. Score: avg_nll_bits = mean of -log2 P over the document's
+    bigrams (perplexity = 2^avg_nll_bits, derivable by the caller).
+
+    Plan shape at 100 TB: bigram pairs are formed IN-PLAN from the token
+    array (arrays_zip of two slices — no window, no shuffle), then three
+    token/bigram-grain aggregates (bigram counts, context counts, one
+    scalar vocab count) and one equi-join of doc-bigrams back to the
+    model — the inverted-index shape again; nothing ever widens past the
+    bigram vocabulary. The per-doc mean goes through an exact DECIMAL
+    sum of ROUND(-log2 p, 9) terms, so the score is independent of
+    partitioning/aggregation order (log2 itself is this engine's libm —
+    which is why the registry entry is rows-only, not DuckDB-hashed).
+
+    Output per input doc: n_bigrams (NULL for docs with < 2 tokens,
+    which have no bigram evidence), avg_nll_bits.
+    """
+    from .dedup import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("arr")
+    )
+    n = F.size(F.col("arr"))
+    bigrams = (
+        # normalize_text collapses whitespace, so every token in a
+        # >=2-token array is non-empty; n >= 2 alone gates the blanks.
+        toks.filter(n >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice("arr", 1, n - 1).alias("w1"),
+                    F.slice("arr", 2, n - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    doc_bg = bigrams.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    model_bi = doc_bg.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c_bi"))
+    model_uni = model_bi.groupBy("w1").agg(F.sum("c_bi").cast("bigint").alias("c_uni"))
+    # one-row scalar: |{w1} ∪ {w2}| — bounded collect, a single long
+    vocab = (
+        bigrams.select(F.col("w1").alias("t"))
+        .union(bigrams.select(F.col("w2").alias("t")))
+        .agg(F.countDistinct("t").cast("bigint").alias("v"))
+        .collect()[0]["v"]
+    )
+    p = (F.col("c_bi") + F.lit(alpha)) / (F.col("c_uni") + F.lit(alpha) * F.lit(vocab))
+    nll = F.round(-F.log2(p), 9)
+    per_doc = (
+        doc_bg.join(model_bi, ["w1", "w2"])
+        .join(model_uni, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.sum((F.col("k") * nll).cast("decimal(28,9)")).alias("_nll_sum"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.round(
+                F.col("_nll_sum").cast("double") / F.col("n_bigrams").cast("double"), 6
+            ).alias("avg_nll_bits"),
+        )
+    )
+
+
 def fingerprint(col: Column, prefix_len: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of normalized text
     (hex prefix). Cross-engine stable (md5 is md5 everywhere), unlike

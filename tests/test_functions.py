@@ -165,3 +165,47 @@ def test_hopping_window_covers_each_event_twice(spark, sf_smoke):
     assert misaligned == 0
     # the bucket type must stay NTZ (tz-independence depends on it)
     assert hop.schema["window_start"].dataType.typeName() == "timestamp_ntz"
+
+
+def test_bigram_lm_scores_dyadic_exact(spark):
+    """MLE (alpha=0) corpus where every conditional probability is a
+    power of 1/2, so -log2 P is exact and the decimal-summed mean has a
+    closed form: model c(a,a)=2, c(a,b)=1, c(a,c)=1 over context count
+    c(a)=4 -> nll 1, 2, 2 bits."""
+    from tagmarshal_data_lakehouse_spark.training.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a c"), (3, "x"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(df, alpha=0).collect()}
+    # doc 1 bigrams (a,a)x2 @1 bit + (a,b)x1 @2 bits -> mean 4/3
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["avg_nll_bits"] == round(4 / 3, 6)
+    assert rows[2]["avg_nll_bits"] == 2.0
+    # <2-token docs keep their row with NULL score (no bigram evidence)
+    assert rows[3]["n_bigrams"] is None and rows[4]["n_bigrams"] is None
+
+    # partitioning-independence: the decimal-summed mean is exactly
+    # equal under a different physical layout
+    re_rows = {
+        r["doc_id"]: r["avg_nll_bits"]
+        for r in bigram_lm_scores(df.repartition(7), alpha=0).collect()
+    }
+    assert re_rows == {i: rows[i]["avg_nll_bits"] for i in (1, 2, 3, 4)}
+
+
+def test_bigram_lm_scores_junk_scores_worse(spark):
+    """With the default smoothing, a document whose bigrams are unusual
+    for the corpus scores a strictly higher cross-entropy than one that
+    repeats the corpus-dominant pattern."""
+    from tagmarshal_data_lakehouse_spark.training.text import bigram_lm_scores
+
+    typical = "the cat sat on the mat and the cat sat again"
+    df = spark.createDataFrame(
+        [(i, typical) for i in range(1, 9)]
+        + [(9, "the cat sat on the mat"), (10, "zq xv qqj kpl zq wm")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["avg_nll_bits"] for r in bigram_lm_scores(df).collect()}
+    assert rows[10] > rows[9]

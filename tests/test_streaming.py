@@ -182,6 +182,33 @@ def test_stream_tumbling_counts(spark, tmp_path):
     assert rows == {10: 3, 11: 1, 13: 1}
 
 
+def test_stream_hopping_counts(spark, tmp_path):
+    """1h windows hopping every 30min over the same fixture: each event
+    lands in exactly 2 windows (Σ n_events = 2x the event count), and
+    the per-window-start counts match the hand-expansion."""
+    stream = _event_stream_fixture(spark, tmp_path)
+    agg = streaming.stream_hopping_counts(
+        stream, window_size="1 hour", hop="30 minutes", watermark="2 hours"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hopping_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_h"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.table("hopping_out").collect()
+    finally:
+        q.stop()
+    rows = {(r["window_start"].hour, r["window_start"].minute): r["n_events"] for r in out}
+    # events 10:05, 10:20, 11:10 (u1), 10:40, 13:00 (u2) -> starts
+    # floor30(t) and floor30(t)-30min each
+    assert rows == {(9, 30): 2, (10, 0): 3, (10, 30): 2, (11, 0): 1, (12, 30): 1, (13, 0): 1}
+    assert sum(rows.values()) == 2 * 5
+
+
 def test_stream_funnel_progress_completion_and_timeout(spark, tmp_path):
     src = tmp_path / "funnel_src"
     os.makedirs(src)
