@@ -585,3 +585,39 @@ def test_interval_join_never_goes_quadratic(spark, sf_smoke, reg):
     assert "BroadcastNestedLoopJoin" not in plan
     strategies = plans.join_strategies(df)
     assert strategies and all("NestedLoop" not in s for s in strategies)
+
+
+def test_hopping_window_expands_in_plan(spark, sf_smoke):
+    """The 2x window expansion must be a broadcast of the tiny constant
+    relation (never a shuffled join), the events scan must read only
+    the 4 projected columns, and the aggregate must have a map-side
+    partial before any exchange."""
+    from tagmarshal_data_lakehouse_spark.queries.events_ops import (
+        q_events_hopping_window,
+    )
+
+    df = q_events_hopping_window.build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    strategies = plans.join_strategies(df)
+    assert strategies and all("Broadcast" in s for s in strategies)
+    assert plan.count("Scan parquet") == 1
+    assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string,value:double>" in plan
+    # partial + distinct-expand + final: >= 3 HashAggregates, and only
+    # the COUNT DISTINCT's two aggregate-grain exchanges — the 2x
+    # expansion itself must not add a shuffle
+    assert plan.count("HashAggregate") >= 3
+    assert plans.count_exchanges(df) <= 2
+
+
+def test_bigram_lm_score_stays_token_grain(spark, sf_smoke):
+    """The LM score must never widen past the bigram vocabulary: bigram
+    formation is a row-local Generate (no self-join on positions), the
+    model joins are equi-joins, and no cartesian/BNLJ appears anywhere."""
+    from tagmarshal_data_lakehouse_spark.queries import registry
+
+    df = registry()["doc_bigram_lm_score"].build(spark, sf_smoke)
+    plan = plans.physical_plan(df)
+    strategies = plans.join_strategies(df)
+    assert "Generate" in plan  # explode of arrays_zip, not a join
+    assert "CartesianProduct" not in plan
+    assert all("NestedLoop" not in s for s in strategies)
