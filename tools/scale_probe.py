@@ -255,6 +255,13 @@ def main() -> int:
             docs, max_doc_freq=50, max_doc_frac=0.08, prefix_filter=True
         ),
         "token_quality": lambda docs, ev: text.quality_features(docs),
+        # bigram LM (r10): three token/bigram-grain aggregates + one
+        # model equi-join — under near-copy amplification the bigram
+        # vocabulary grows ~linearly (each replica's rv-marker token
+        # mints two new bigram types), so both the model size and the
+        # doc-bigram stream scale with N and the probe watches the
+        # join staying linear
+        "bigram_lm": lambda docs, ev: text.bigram_lm_scores(docs),
         "epoch_shuffle": lambda docs, ev: sampling.epoch_shuffle(docs),
         "sessionize": lambda docs, ev: sessionize(ev),
         "hourly_agg": lambda docs, ev: ev.groupBy(
