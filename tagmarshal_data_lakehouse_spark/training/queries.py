@@ -765,6 +765,26 @@ q_emb_ivfpq_topk = Query(
     "probing is the only recall knob (pq.py:ivfpq_topk).",
 )
 
+q_emb_ann_recall = Query(
+    name="emb_ann_recall",
+    build=lambda spark, sf_dir: similarity.ann_recall_report(
+        _embs(spark, sf_dir), n_queries=20, k=3, n_cells=8, n_probe=3
+    ),
+    # No oracle: four of the five measured paths are approximate by
+    # design (LSH banding, IVF probing, PQ quantization). Semantics
+    # pinned in pytest: the exact-GEMM row is the self-check (recall
+    # 1.0), IVF at full probe recalls 1.0, IVF-PQ at full probe equals
+    # the PQ row, and every recall is a valid fraction of n_exact.
+    oracle=None,
+    doc="ANN-parameter evaluation: recall@k of every approximate top-k "
+    "path (LSH / IVF / PQ / IVF-PQ) against the exact brute-force "
+    "baseline on one query set, with the exact-GEMM row as self-check "
+    "— dedup_eval's role for the similarity family; qualifies index "
+    "parameters on a sample before a full-corpus run "
+    "(similarity.py:ann_recall_report).",
+)
+
+
 q_doc_dedup_eval = Query(
     name="doc_dedup_eval",
     build=lambda spark, sf_dir: dedup.dedup_eval_report(
@@ -2050,6 +2070,7 @@ QUERIES = [
     q_doc_bigram_lm_score,
     q_doc_bpe_merges,
     q_doc_bpe_encode,
+    q_emb_ann_recall,
     q_doc_dedup_eval,
     q_doc_dedup_verdict_eval,
     q_emb_quantize_int8,

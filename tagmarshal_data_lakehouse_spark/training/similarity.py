@@ -1818,3 +1818,68 @@ def hard_negatives_lsh(
             F.col("neg_rank").cast("int").alias("neg_rank"),
         )
     )
+
+
+def ann_recall_report(
+    embs: DataFrame,
+    n_queries: int = 20,
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 3,
+) -> DataFrame:
+    """ANN-parameter evaluation: recall@k of every approximate top-k
+    path against the exact brute-force baseline on the same query set —
+    the measurement that qualifies index parameters (bands, cells,
+    probes, code size) on a sample BEFORE a full-corpus run, exactly
+    dedup_eval_report's role for the dedup family.
+
+    One row per method. `gemm` is exact-by-construction, so its row is
+    the report's self-check (recall 1.0 whenever ties don't straddle
+    the k boundary); the approximate rows (lsh / ivf / pq / ivfpq) are
+    the recall/cost trade being measured.
+
+    Scale shape: each method's top-k plan is its registry query's plan
+    (bounded query set, broadcast codebooks/centroids); the report adds
+    one (query_id, candidate_id)-grain semi-join + a 1-row aggregate
+    per method and a k-method union of one-row frames — evaluation
+    never materializes more than the top-k outputs themselves.
+    """
+    from . import pq as _pq
+
+    exact = cosine_topk_exact(embs, n_queries=n_queries, k=k).select(
+        "query_id", "candidate_id"
+    )
+    methods = {
+        "gemm": cosine_topk_gemm(embs, n_queries=n_queries, k=k),
+        "lsh": cosine_topk_lsh(embs, n_queries=n_queries, k=k),
+        "ivf": ivf_topk(embs, n_queries=n_queries, k=k, n_cells=n_cells, n_probe=n_probe),
+        "pq": _pq.pq_topk(embs, n_queries=n_queries, k=k),
+        "ivfpq": _pq.ivfpq_topk(
+            embs, n_queries=n_queries, k=k, n_cells=n_cells, n_probe=n_probe
+        ),
+    }
+    reports = []
+    for name, topk in methods.items():
+        hits = exact.join(
+            topk.select("query_id", "candidate_id"), ["query_id", "candidate_id"]
+        )
+        reports.append(
+            hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")).select(
+                F.lit(name).alias("method"),
+                "n_hits",
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    n_exact = exact.count()  # bounded: n_queries * k
+    return out.select(
+        "method",
+        "n_hits",
+        F.lit(n_exact).cast("bigint").alias("n_exact"),
+        F.round(F.col("n_hits").cast("double") / F.lit(float(n_exact)), 6).alias(
+            "recall_at_k"
+        ),
+        F.lit(n_queries).cast("int").alias("n_queries"),
+        F.lit(k).cast("int").alias("k"),
+    )

@@ -927,3 +927,27 @@ def test_gemm_prune_keeps_low_id_boundary_ties(spark):
     h_gemm = sorted(map(tuple, similarity.hard_negatives_gemm(embs, n_queries=1, k=3).collect()))
     assert h_exact == h_gemm
     assert sorted(r[2] for r in h_gemm) == [10, 11, 12]
+
+
+def test_ann_recall_report_pins(spark, sf_smoke):
+    """The eval report's internal consistency: the exact-GEMM row is the
+    self-check (recall 1.0), IVF at FULL probe re-scores exact cosine
+    over every cell so its recall is 1.0, IVF-PQ at full probe degrades
+    exactly to the PQ row (same ADC ranking over all candidates), and
+    every row is a valid fraction with the same denominator."""
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    rep = {
+        r["method"]: r
+        for r in similarity.ann_recall_report(
+            embs, n_queries=10, k=3, n_cells=4, n_probe=4
+        ).collect()
+    }
+    assert set(rep) == {"gemm", "lsh", "ivf", "pq", "ivfpq"}
+    n_exact = rep["gemm"]["n_exact"]
+    assert n_exact == 10 * 3
+    assert rep["gemm"]["recall_at_k"] == 1.0
+    assert rep["ivf"]["recall_at_k"] == 1.0  # n_probe == n_cells
+    assert rep["ivfpq"]["n_hits"] == rep["pq"]["n_hits"]  # full probe == PQ
+    for r in rep.values():
+        assert 0 <= r["n_hits"] <= n_exact
+        assert r["recall_at_k"] == round(r["n_hits"] / n_exact, 6)
