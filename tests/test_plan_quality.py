@@ -516,6 +516,10 @@ _LINT_ALLOWLIST = {
     "emb_cosine_topk": {"nested_loop_join"},
     "emb_pq_topk": {"nested_loop_join"},
     "emb_ivfpq_topk": {"nested_loop_join"},
+    # composes the topk plans above, so it inherits their documented
+    # bounded broadcast-query-set BNLJ — nothing new in the union of
+    # one-row recall aggregates itself
+    "emb_ann_recall": {"nested_loop_join"},
 }
 
 
