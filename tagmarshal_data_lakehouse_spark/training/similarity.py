@@ -1839,16 +1839,31 @@ def ann_recall_report(
     the recall/cost trade being measured.
 
     Scale shape: each method's top-k plan is its registry query's plan
-    (bounded query set, broadcast codebooks/centroids); the report adds
-    one (query_id, candidate_id)-grain semi-join + a 1-row aggregate
-    per method and a k-method union of one-row frames — evaluation
-    never materializes more than the top-k outputs themselves.
+    (bounded query set, broadcast codebooks/centroids); the exact
+    baseline runs ONCE and is collected into a bounded n_queries*k-row
+    frame broadcast into one equi-join + 1-row aggregate per method,
+    then a k-method union of one-row frames — evaluation never
+    materializes more than the top-k outputs themselves.
     """
     from . import pq as _pq
 
-    exact = cosine_topk_exact(embs, n_queries=n_queries, k=k).select(
-        "query_id", "candidate_id"
+    # The exact baseline is the report's most expensive plan and its
+    # output is bounded at n_queries*k rows — collect it ONCE into a
+    # small broadcastable frame so the five per-method joins (and the
+    # denominator) reuse the result instead of re-running the
+    # brute-force scan per branch.
+    spark = embs.sparkSession
+    exact_rows = (
+        cosine_topk_exact(embs, n_queries=n_queries, k=k)
+        .select("query_id", "candidate_id")
+        .collect()
     )
+    if not exact_rows:
+        raise ValueError(
+            "ann_recall_report: exact baseline is empty — no vec_id < "
+            f"{n_queries} in the input; recall would be 0/0"
+        )
+    exact = spark.createDataFrame(exact_rows, "query_id long, candidate_id long")
     methods = {
         "gemm": cosine_topk_gemm(embs, n_queries=n_queries, k=k),
         "lsh": cosine_topk_lsh(embs, n_queries=n_queries, k=k),
@@ -1860,8 +1875,8 @@ def ann_recall_report(
     }
     reports = []
     for name, topk in methods.items():
-        hits = exact.join(
-            topk.select("query_id", "candidate_id"), ["query_id", "candidate_id"]
+        hits = topk.select("query_id", "candidate_id").join(
+            F.broadcast(exact), ["query_id", "candidate_id"]
         )
         reports.append(
             hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")).select(
@@ -1872,7 +1887,7 @@ def ann_recall_report(
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
-    n_exact = exact.count()  # bounded: n_queries * k
+    n_exact = len(exact_rows)
     return out.select(
         "method",
         "n_hits",

@@ -282,10 +282,14 @@ def bigram_lm_scores(
     )
     model_bi = doc_bg.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c_bi"))
     model_uni = model_bi.groupBy("w1").agg(F.sum("c_bi").cast("bigint").alias("c_uni"))
-    # one-row scalar: |{w1} ∪ {w2}| — bounded collect, a single long
+    # one-row scalar: |{w1} ∪ {w2}| — derived from the bigram-TYPE frame
+    # (one row per distinct pair), not the doc-grain occurrence stream,
+    # so the extra job scales with the vocabulary instead of the corpus;
+    # set-identical because every token in any bigram occurrence appears
+    # in some bigram type. Bounded collect, a single long.
     vocab = (
-        bigrams.select(F.col("w1").alias("t"))
-        .union(bigrams.select(F.col("w2").alias("t")))
+        model_bi.select(F.col("w1").alias("t"))
+        .union(model_bi.select(F.col("w2").alias("t")))
         .agg(F.countDistinct("t").cast("bigint").alias("v"))
         .collect()[0]["v"]
     )

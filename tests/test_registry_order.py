@@ -61,14 +61,14 @@ from tools import rotation  # noqa: E402
 SWEEP_BUDGET = 50
 PRIORITY_SLOTS = SWEEP_BUDGET - len(_FLAGSHIP_INTERLEAVE)
 
-# Builder-side-only edits after a green row (Spark code paths whose
-# ORACLE text is unchanged — the ledger below cannot see those, and a
-# result-changing builder edit is caught red by the driver hash anyway).
-# Shared-SQL and oracle edits are detected mechanically instead: every
-# oracle f-string-inlines its shared texts, so QUERY_TEXT_HASHES.json
-# (sha of each oracle + the round its current text was recorded for)
-# flags them without hand discipline.
-_EDITED_SINCE_GREEN: frozenset[str] = frozenset()
+# Builder-side-only edits after a green row: the hand list is OWNED by
+# tools/rotation.py (rotation.EDITED_SINCE_GREEN) so the gate and the
+# rotate_head proposal tool can never disagree about it — record new
+# names THERE. Shared-SQL and oracle edits are detected mechanically
+# instead: every oracle f-string-inlines its shared texts, so
+# QUERY_TEXT_HASHES.json (sha of each oracle + the round its current
+# text was recorded for) flags them without hand discipline.
+_EDITED_SINCE_GREEN: frozenset[str] = rotation.EDITED_SINCE_GREEN
 
 
 def _ledger_tool():

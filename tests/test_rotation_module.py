@@ -79,3 +79,23 @@ def test_due_queue_is_stable_on_input_order_within_a_vintage():
     ledger = {n: {"sha": _sha(t), "round": 1} for n, t in texts.items()}
     dq = due_queue(texts, latest, ledger, _sha, 10, (), 3)
     assert dq.due == tuple(texts)  # insertion order preserved
+
+
+def test_hand_edited_list_is_shared_by_gate_and_tool():
+    """The builder-edit hand list must have exactly one home
+    (rotation.EDITED_SINCE_GREEN): the gate binds it by reference and
+    the rotate_head proposal tool passes it into due_queue — a name
+    recorded on only one side would let the tool print a head the gate
+    rejects (review r10)."""
+    import inspect
+
+    from tools import rotation, rotate_head
+
+    from . import test_registry_order as gate
+
+    assert gate._EDITED_SINCE_GREEN is rotation.EDITED_SINCE_GREEN
+    src = inspect.getsource(rotate_head.main)
+    assert "extra_edited=rotation.EDITED_SINCE_GREEN" in src, (
+        "rotate_head no longer passes the shared hand list into "
+        "due_queue — the gate and the tool can drift again"
+    )

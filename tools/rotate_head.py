@@ -67,6 +67,7 @@ def main() -> None:
     dq = rotation.due_queue(
         oracle_texts, latest, ledger, oracle_sha, args.round_,
         _FLAGSHIP_INTERLEAVE, slots,
+        extra_edited=rotation.EDITED_SINCE_GREEN,
     )
     hard, soft, due = list(dq.hard), list(dq.soft), list(dq.due)
 

@@ -85,6 +85,16 @@ def edited_since_green(
     return edited
 
 
+# Builder-side-only edits after a green row (Spark code paths whose
+# ORACLE text is unchanged — the text ledger cannot see those, and a
+# result-changing builder edit is caught red by the driver hash anyway).
+# Lives HERE, not in the gate, so the gate (tests/test_registry_order)
+# and the proposal tool (tools/rotate_head) read the SAME hand list —
+# a name recorded only on one side would let the tool print a head the
+# gate rejects (review r10).
+EDITED_SINCE_GREEN: frozenset[str] = frozenset()
+
+
 def due_queue(
     oracle_texts: dict[str, str],
     latest: dict[str, int],
