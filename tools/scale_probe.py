@@ -255,6 +255,10 @@ def main() -> int:
             docs, max_doc_freq=50, max_doc_frac=0.08, prefix_filter=True
         ),
         "token_quality": lambda docs, ev: text.quality_features(docs),
+        # per-source concentration profile (R17-staged): the token-grain
+        # (source, token) count is the cost; output stays one row per
+        # source at any corpus size
+        "source_diversity": lambda docs, ev: text.source_token_diversity(docs),
         # bigram LM (r10): three token/bigram-grain aggregates + one
         # model equi-join — under near-copy amplification the bigram
         # vocabulary grows ~linearly (each replica's rv-marker token
