@@ -68,6 +68,42 @@ HEADLINE = [
 ]
 
 
+def _calibration(spark) -> dict:
+    """Environment fingerprint recorded in every BENCH artifact.
+
+    Two consecutive rounds (r9 cold outlier, r10 whole-boot x1.35
+    uniform shift) needed multi-sweep SCALE.md forensics to prove "not
+    a regression"; these three readings make that a one-line check and
+    let cross-round numbers be normalized: a fixed-size numpy GEMM
+    (CPU/memory-bandwidth proxy, no Spark), a trivial Spark action
+    (JVM/scheduler proxy), and load/uptime at run start (boot placement
+    and contention).  Both timings are min-of-3 so a single scheduler
+    hiccup cannot skew the fingerprint itself.
+    """
+    import numpy as np
+
+    a = np.full((2048, 2048), 1.0 / 2048.0)
+    gemm = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a @ a
+        gemm.append(time.perf_counter() - t0)
+    noop = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(10_000_000).selectExpr("sum(id)").collect()
+        noop.append(time.perf_counter() - t0)
+    with open("/proc/uptime") as fh:
+        uptime = float(fh.read().split()[0])
+    return {
+        "numpy_gemm_2048_sec": round(min(gemm), 4),
+        "spark_range_sum_sec": round(min(noop), 4),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "uptime_sec": round(uptime, 1),
+        "cpu_count": os.cpu_count(),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -79,6 +115,8 @@ def main() -> None:
     from tagmarshal_data_lakehouse_spark.queries import load_views
 
     spark.range(1).count()
+    calibration = _calibration(spark)
+    print(f"# calibration: {calibration}", file=sys.stderr)
     load_views(spark, sf_dir)
 
     # Each query runs three times in the same session: the first (cold)
@@ -126,6 +164,7 @@ def main() -> None:
                 "mode": "warm (min of runs 2-3 in-session; rounds <=3 were cold/1-run)",
                 "value_cold": round(sum(cold.values()), 3),
                 "queries_cold": cold,
+                "calibration": calibration,
             }
         )
     )

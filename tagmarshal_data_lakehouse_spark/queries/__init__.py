@@ -191,7 +191,7 @@ def _register_tables(
 # test fails loudly if this marker ever falls more than one round
 # behind the artifacts (the round-5 zero-commit failure mode). Bump it
 # when rotating the head.
-HEAD_DESIGNED_FOR_ROUND = 10
+HEAD_DESIGNED_FOR_ROUND = 11
 
 _FLAGSHIP_INTERLEAVE = (
     "events_sessionize",
@@ -208,7 +208,7 @@ _FLAGSHIP_INTERLEAVE = (
     "join_multiway",
 )
 
-# Round-10 sweep priorities (38 entries; slots 13..50 of the head).
+# Round-11 sweep priorities (38 entries; slots 13..50 of the head).
 # Composition is governed by the artifact-driven standing gate in
 # tests/test_registry_order.py: every oracle-backed query that has NEVER
 # had a driver hash row, or whose text was edited after its last green
@@ -217,68 +217,19 @@ _FLAGSHIP_INTERLEAVE = (
 # (oldest driver-green round first); whatever the queue cannot fit this
 # round leads the tail (_STALE_TAIL) and must fit entirely into NEXT
 # round's priority block.
-# rotate_head --round 10 --promote R13_STAGED R14_STAGED R15_STAGED
-# R16_STAGED (the second wave, the round-9 precedent): 236
-# oracle-backed, horizon 6 (stale = green <= r04); due 48 = 35 hard
-# (all four promoted blocks, never-green) + 13 r03-vintage stale —
-# 38/38 slots, overflow 10.  The 10 displaced r03 entries lead
-# _STALE_TAIL (the gate's one-round-lag bound) and round 11's queue is
-# 10 + the 27 r05-vintage entries crossing the horizon = 37 <= 38.
+# rotate_head --round 11 --promote R17_STAGED: 238 oracle-backed,
+# horizon 6 (stale = green <= r05); due 39 = 2 hard (the promoted R17
+# block, never-green) + 37 stale (the 10 r03-vintage round-10 overflow
+# + the 27 r05-vintage cohort) — 38/38 slots, overflow 1 (tpch_q22
+# leads _STALE_TAIL, within the gate's one-round-lag bound; round 12's
+# queue is 1 + the 36 r06-vintage entries = 37 <= 38).
 _SWEEP_PRIORITY = (
-    # R13_STAGED promotions (never-green)
-    "telemetry_ex_events_by_course",
-    "telemetry_ex_rounds_by_course",
-    "telemetry_ex_events_by_date",
-    "telemetry_ex_missing_critical_fields",
-    "telemetry_missing_ts_by_course",
-    "telemetry_missing_ts_sample",
-    "telemetry_np_quality_report",
-    # R14_STAGED promotions (never-green)
-    "telemetry_demo_data_volume",
-    "telemetry_demo_topology_rows",
-    "telemetry_topology",
-    "telemetry_sections_per_hole_dim",
-    "telemetry_course_profile",
-    "telemetry_loop_courses",
-    "telemetry_demo_seasonality_months",
-    "telemetry_demo_seasonality_weekdays",
-    "telemetry_demo_top3_months",
-    "telemetry_demo_bottom3_months",
-    # R15_STAGED promotions (never-green, second wave)
-    "telemetry_pace_by_hole_course",
-    "telemetry_pace_by_section_course",
-    "telemetry_round_sample",
-    "telemetry_round_validation_course",
-    "telemetry_demo_hole_max_outlier",
-    "telemetry_demo_unit_summary",
-    "telemetry_demo_loop_fatigue",
-    "telemetry_demo_boundary_support",
-    "telemetry_nine_loop_pace_comparison",
-    "telemetry_course_topology_map_points",
-    "telemetry_course_centroids",
-    "telemetry_course_summary_with_profile",
-    "telemetry_column_completeness_extended",
-    # R16_STAGED promotions (never-green, second wave)
-    "telemetry_round_duration_details",
-    "telemetry_round_nine_combinations",
-    "telemetry_round_validation",
-    "telemetry_rounds_by_month",
-    "telemetry_check_loop_fatigue",
-    # r03-vintage stale front (the 3 that still fit; the other 10 lead
-    # _STALE_TAIL as this round's overflow)
-    "doc_hash_sample_k",
-    "doc_mixture_weights",
-    "doc_decontaminate",
-)
-
-# The rest of the stale rotation.  FRONT: this round's due-queue
-# overflow — the 10 r03-vintage entries displaced by the R15+R16
-# second wave; the gate (test_due_queue_overflow_fits_next_round...)
-# requires exactly these at the tail front.  Then the 27 r05-vintage
-# entries that cross the staleness horizon at round 11, in rotation
-# order — round 11's queue is 10 + 27 = 37 <= 38.
-_STALE_TAIL = (
-    # round-10 overflow (r03-vintage, MUST lead the tail)
+    # R17_STAGED promotions (never-green): the engine-extension pair —
+    # the hopping event-time window and the per-source vocabulary
+    # concentration profile (VERDICT r10 item 1).
+    "events_hopping_window",
+    "doc_source_token_diversity",
+    # r03-vintage stale (round-10 overflow, due first)
     "doc_repetition",
     "doc_pii_scan",
     "doc_dup_rate_by_source",
@@ -289,7 +240,7 @@ _STALE_TAIL = (
     "multimodal_frame_sample",
     "doc_span_dedup",
     "doc_cross_source_dups",
-    # r05-vintage cohort (due at round 11)
+    # r05-vintage cohort (crossed the horizon at round 11)
     "scalar_datetime",
     "doc_dedup_clusters",
     "doc_pack_sequences",
@@ -316,7 +267,54 @@ _STALE_TAIL = (
     "tpch_q19",
     "tpch_q20",
     "tpch_q21",
+)
+
+# The rest of the stale rotation.  FRONT: this round's due-queue
+# overflow — the single r05-vintage entry displaced by the R17
+# promotions; the gate (test_due_queue_overflow_fits_next_round...)
+# requires exactly it at the tail front.  Then the 36 r06-vintage
+# entries that cross the staleness horizon at round 12, in rotation
+# order — round 12's queue is 1 + 36 = 37 <= 38.
+_STALE_TAIL = (
+    # round-11 overflow (r05-vintage, MUST lead the tail)
     "tpch_q22",
+    # r06-vintage cohort (due at round 12)
+    "agg_conditional",
+    "agg_filter_clause",
+    "agg_minmax_duration",
+    "agg_percentile",
+    "agg_stddev",
+    "agg_bool_array",
+    "agg_mode_deterministic",
+    "agg_having",
+    "agg_global",
+    "scalar_variant",
+    "events_gapfill",
+    "events_activity_islands",
+    "events_interval_join",
+    "events_value_histogram",
+    "events_point_in_interval",
+    "doc_semantic_domain_profile",
+    "doc_tf_cosine_pairs",
+    "doc_corpus_keywords",
+    "emb_label_centroids",
+    "emb_cosine_topk_gemm",
+    "emb_hard_negatives",
+    "emb_hard_negatives_gemm",
+    "doc_weighted_sample",
+    "doc_length_matched_sample",
+    "doc_temperature_mixture",
+    "doc_source_drift",
+    "doc_pii_redact",
+    "doc_token_rarity",
+    "telemetry_missing_ts_by_ingest",
+    "telemetry_missing_ts_by_location",
+    "telemetry_missing_ts_trend",
+    "gold_fact_rounds",
+    "gold_data_quality_overview",
+    "gold_completeness_summary",
+    "gold_rounds_by_weekday",
+    "gold_start_hole_distribution",
 )
 
 

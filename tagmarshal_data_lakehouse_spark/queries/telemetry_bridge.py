@@ -4884,3 +4884,8 @@ R17_STAGED = [
     q_events_hopping_window,
     q_doc_source_token_diversity,
 ]
+# Promoted in round 11 per the mechanical checklist above (VERDICT r10
+# item 1): both entries lead the round-11 sweep head as never-green
+# hard dues; events_hopping_window moved from the staged tz gate
+# (_TS_STAGED) into test_tz_independence.TS_QUERIES.
+QUERIES += R17_STAGED

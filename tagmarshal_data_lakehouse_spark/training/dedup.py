@@ -48,6 +48,78 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         return df.repartition(target)
     return df
 
+# Measured constants behind suggest_dedup_shuffle_partitions (SCALE.md,
+# round-10 sixth octave, 8192x @ 4.096M docs):
+# - a 48 GiB single-JVM heap GC-bound at 4.096M docs (exponent 2.54;
+#   the 100g one-knob rerun returned it to 1.07) — the binding ratio is
+#   ~4.096M/48 ≈ 85k docs per heap-GiB.  Below that ratio the default
+#   width is fine; the working set itself is ~135k docs/GiB, the gap is
+#   execution-state headroom.
+# - at the bound, partition width is the first-order remedy: 32
+#   partitions 259.8s, 128 partitions 146.0s, 256 partitions 200.2s —
+#   the measured optimum is ~32k docs per task, and over-partitioning
+#   past that turns the curve back up (scheduling + shuffle segments).
+_DEDUP_HEAP_DOCS_PER_GIB = 85_000
+_DEDUP_DOCS_PER_TASK = 32_000
+_DEDUP_MAX_PARTITIONS = 4_096  # runaway-estimate backstop, not a tuning
+
+
+def suggest_dedup_shuffle_partitions(
+    n_docs: int,
+    heap_gib: float,
+    default_partitions: int,
+) -> int:
+    """Shuffle-partition width for the minhash verdict path, derived
+    from the round-10 heap-bind measurements (constants above).
+
+    Returns ``default_partitions`` while the per-JVM document count sits
+    below the measured GC-bind ratio (~85k docs/heap-GiB); past it,
+    widens to the next power of two that lands ~32k docs per task — the
+    measured optimum at the 8192x/48g bind (the helper picks 128 there,
+    the 146.0s band winner).  On a real cluster ``heap_gib`` is the
+    per-EXECUTOR heap and ``n_docs`` the per-executor document share —
+    executors scale with data, so the suggestion stays bounded; the
+    power-of-two snap keeps AQE coalescing friendly and the choice
+    stable under small estimate drift.
+    """
+    if n_docs <= 0 or heap_gib <= 0 or default_partitions <= 0:
+        raise ValueError("n_docs, heap_gib and default_partitions must be positive")
+    if n_docs <= _DEDUP_HEAP_DOCS_PER_GIB * heap_gib:
+        return default_partitions
+    want = max(default_partitions, -(-n_docs // _DEDUP_DOCS_PER_TASK))
+    width = 1 << (want - 1).bit_length()
+    return min(width, _DEDUP_MAX_PARTITIONS)
+
+
+def jvm_heap_gib(spark) -> float:
+    """Best-effort JVM heap for the sizing helper: the driver memory in
+    local mode (one JVM holds everything there), else executor memory.
+    Defaults to Spark's own 1g when neither conf is set."""
+    master = spark.conf.get("spark.master", "")
+    key = "spark.driver.memory" if master.startswith("local") else "spark.executor.memory"
+    raw = spark.conf.get(key, "1g").strip().lower()
+    units = {"k": 1 / (1024 * 1024), "m": 1 / 1024, "g": 1.0, "t": 1024.0}
+    if raw[-1] in units:
+        return float(raw[:-1]) * units[raw[-1]]
+    return float(raw) / (1024**3)  # bare bytes
+
+
+def size_session_for_dedup(spark, n_docs: int) -> int:
+    """Apply the measured remedy: set ``spark.sql.shuffle.partitions``
+    for a verdict-dedup run from the estimated per-JVM document count.
+
+    Session-level by design — the same knob the round-10 probe turned
+    (`SCALE_PROBE_SHUFFLE_PARTS`), and shuffle width is a session conf
+    in Spark, not a per-plan hint.  Callers interleaving other work
+    should save/restore the conf around the dedup run.  Returns the
+    width it set (the current default when the heap is comfortable, so
+    calling it is always safe)."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = suggest_dedup_shuffle_partitions(n_docs, jvm_heap_gib(spark), default)
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    return width
+
+
 # Deterministic salts for minhash permutations, derived from a fixed seed
 # and masked into the signed-64 range Spark literals require — public
 # technique (Broder 1997 min-wise permutations).

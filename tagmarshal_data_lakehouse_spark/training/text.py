@@ -188,10 +188,11 @@ def source_token_diversity(
     correctly rounded into double, so one IEEE division per metric is
     bit-identical on any engine/partitioning — no float sums anywhere).
     HHI = Σ f² / N² via two successive divisions so N² never overflows;
-    Σ f² itself is BIGINT-safe while every per-source token frequency
-    stays below ~3e9 — widen the sum to DECIMAL(38,0) on both engines
-    before running a corpus where one source repeats a single token
-    more often than that.
+    Σ f² accumulates in DECIMAL(38,0) (the per-term product is cast
+    before the sum), so a source repeating a single token past ~3e9
+    occurrences — where a BIGINT sum would silently wrap in Spark (ANSI
+    off) while DuckDB errors — stays exact on both engines up to 38
+    digits.
 
     Output per source (sources whose docs are all blank keep a row with
     NULL token metrics): n_docs, n_tokens, vocab_size, top_token_freq,
@@ -209,7 +210,10 @@ def source_token_diversity(
         F.sum("f").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
         F.max("f").cast("bigint").alias("top_token_freq"),
-        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("_sumsq"),
+        # the OPERAND is cast, not the product: f*f in BIGINT wraps
+        # silently in Spark (ANSI off) past ~3e9 per-token frequency,
+        # and casting the already-wrapped product would widen garbage
+        F.sum(F.col("f").cast("decimal(19,0)") * F.col("f")).alias("_sumsq"),
     )
     n_tok = F.col("n_tokens").cast("double")
     return (
@@ -229,33 +233,10 @@ def source_token_diversity(
     )
 
 
-def bigram_lm_scores(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", alpha: int = 1
-) -> DataFrame:
-    """Per-document language-model quality score — the CCNet-style
-    (Wenzek et al. 2019) perplexity filter, with the reference n-gram LM
-    trained on the corpus itself: a document whose bigrams are unusual
-    for the corpus (boilerplate, OCR noise, wrong language) scores a
-    high cross-entropy and gets filtered or down-weighted.
-
-    Model: add-alpha-smoothed bigram LM,
-    P(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha*V), V = vocabulary
-    size. Score: avg_nll_bits = mean of -log2 P over the document's
-    bigrams (perplexity = 2^avg_nll_bits, derivable by the caller).
-
-    Plan shape at 100 TB: bigram pairs are formed IN-PLAN from the token
-    array (arrays_zip of two slices — no window, no shuffle), then three
-    token/bigram-grain aggregates (bigram counts, context counts, one
-    scalar vocab count) and one equi-join of doc-bigrams back to the
-    model — the inverted-index shape again; nothing ever widens past the
-    bigram vocabulary. The per-doc mean goes through an exact DECIMAL
-    sum of ROUND(-log2 p, 9) terms, so the score is independent of
-    partitioning/aggregation order (log2 itself is this engine's libm —
-    which is why the registry entry is rows-only, not DuckDB-hashed).
-
-    Output per input doc: n_bigrams (NULL for docs with < 2 tokens,
-    which have no bigram evidence), avg_nll_bits.
-    """
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document bigram counts, formed IN-PLAN from the token array
+    (arrays_zip of two slices — no window, no shuffle before the
+    (doc, w1, w2) hash aggregate)."""
     from .dedup import ensure_parallelism
 
     toks = ensure_parallelism(df).select(
@@ -277,27 +258,87 @@ def bigram_lm_scores(
         )
         .select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    doc_bg = bigrams.groupBy(id_col, "w1", "w2").agg(
+    return bigrams.groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("k")
     )
-    model_bi = doc_bg.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c_bi"))
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: int = 1,
+    model_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document language-model quality score — the CCNet-style
+    (Wenzek et al. 2019) perplexity filter. By default the reference
+    n-gram LM trains on the scored corpus itself; pass ``model_df`` (a
+    frame with the same id/text columns) to train it on a CLEAN
+    reference corpus instead — the deployment shape the cited paper
+    uses, where a crawl is scored against e.g. Wikipedia and documents
+    whose bigrams are unusual for the REFERENCE (boilerplate, OCR
+    noise, wrong language) score a high cross-entropy and get filtered
+    or down-weighted.
+
+    Model: add-alpha-smoothed bigram LM,
+    P(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha*V), with counts and
+    V taken from the model corpus. V is the model corpus's full unigram
+    vocabulary — ALL non-empty tokens, including tokens that only occur
+    in single-token documents and so participate in no bigram (the
+    corpus-vocabulary definition the smoothing denominator implies).
+    Bigrams absent from the model back off to the alpha mass:
+    c(w1,w2)=0 and, for an unseen context, c(w1)=0 — so an
+    entirely-OOV bigram scores -log2(1/V). Score: avg_nll_bits = mean
+    of -log2 P over the document's bigrams (perplexity =
+    2^avg_nll_bits, derivable by the caller). alpha=0 (pure MLE) is
+    only meaningful self-trained, where every scored bigram exists in
+    the model.
+
+    Plan shape at 100 TB: bigram pairs are formed IN-PLAN from the token
+    array (arrays_zip of two slices — no window, no shuffle), then three
+    token/bigram-grain aggregates (bigram counts, context counts, one
+    scalar vocab count) and one equi-join of doc-bigrams back to the
+    model — the inverted-index shape again; nothing ever widens past the
+    bigram vocabulary. The per-doc mean goes through an exact DECIMAL
+    sum of ROUND(-log2 p, 9) terms, so the score is independent of
+    partitioning/aggregation order (log2 itself is this engine's libm —
+    which is why the registry entry is rows-only, not DuckDB-hashed).
+
+    Output per input doc: n_bigrams (NULL for docs with < 2 tokens,
+    which have no bigram evidence), avg_nll_bits.
+    """
+    from .dedup import ensure_parallelism
+
+    doc_bg = _doc_bigrams(df, id_col, text_col)
+    if model_df is None:
+        model_bg = doc_bg
+        model_src = df
+    else:
+        model_bg = _doc_bigrams(model_df, id_col, text_col)
+        model_src = model_df
+    model_bi = model_bg.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c_bi"))
     model_uni = model_bi.groupBy("w1").agg(F.sum("c_bi").cast("bigint").alias("c_uni"))
-    # one-row scalar: |{w1} ∪ {w2}| — derived from the bigram-TYPE frame
-    # (one row per distinct pair), not the doc-grain occurrence stream,
-    # so the extra job scales with the vocabulary instead of the corpus;
-    # set-identical because every token in any bigram occurrence appears
-    # in some bigram type. Bounded collect, a single long.
+    # one-row scalar: the model corpus's full unigram vocabulary — a
+    # countDistinct over the exploded token stream (token-grain shuffle,
+    # the same shape as every other token aggregate here). Counting all
+    # non-empty tokens — not just bigram participants — keeps V the
+    # corpus vocabulary the smoothing denominator implies even when
+    # some tokens only ever appear in single-token documents.
+    # Bounded collect, a single long.
     vocab = (
-        model_bi.select(F.col("w1").alias("t"))
-        .union(model_bi.select(F.col("w2").alias("t")))
+        ensure_parallelism(model_src)
+        .select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .filter(F.length("t") > 0)
         .agg(F.countDistinct("t").cast("bigint").alias("v"))
         .collect()[0]["v"]
     )
-    p = (F.col("c_bi") + F.lit(alpha)) / (F.col("c_uni") + F.lit(alpha) * F.lit(vocab))
+    p = (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("c_uni"), F.lit(0)) + F.lit(alpha) * F.lit(vocab)
+    )
     nll = F.round(-F.log2(p), 9)
     per_doc = (
-        doc_bg.join(model_bi, ["w1", "w2"])
-        .join(model_uni, "w1")
+        doc_bg.join(model_bi, ["w1", "w2"], "left")
+        .join(model_uni, "w1", "left")
         .groupBy(id_col)
         .agg(
             F.sum("k").cast("bigint").alias("n_bigrams"),

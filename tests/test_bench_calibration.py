@@ -1,0 +1,45 @@
+"""BENCH artifacts must carry an environment fingerprint (VERDICT r10
+item 2): two consecutive rounds needed multi-sweep forensics to separate
+boot-level environment shifts from plan regressions, and the calibration
+block makes that adjudication a one-line read. This pins the contract —
+the fields exist, are positive, and the JSON payload embeds them — so a
+bench.py refactor cannot silently drop the fingerprint."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+REQUIRED_FIELDS = {
+    "numpy_gemm_2048_sec",
+    "spark_range_sum_sec",
+    "loadavg_1m",
+    "uptime_sec",
+    "cpu_count",
+}
+
+
+def test_calibration_fields_present_and_sane(spark):
+    cal = bench._calibration(spark)
+    assert set(cal) == REQUIRED_FIELDS
+    assert cal["numpy_gemm_2048_sec"] > 0
+    assert cal["spark_range_sum_sec"] > 0
+    assert cal["uptime_sec"] > 0
+    assert cal["cpu_count"] >= 1
+    assert cal["loadavg_1m"] >= 0
+    json.dumps(cal)  # must be JSON-serializable as emitted
+
+
+def test_bench_emits_calibration_key():
+    """The main() payload wires the calibration dict into the one-line
+    JSON artifact (source-level pin; running main() at sf0.1 is the
+    driver's job, not the suite's)."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert '"calibration": calibration' in src
+    assert "calibration = _calibration(spark)" in src

@@ -209,3 +209,58 @@ def test_bigram_lm_scores_junk_scores_worse(spark):
     )
     rows = {r["doc_id"]: r["avg_nll_bits"] for r in bigram_lm_scores(df).collect()}
     assert rows[10] > rows[9]
+
+
+def test_bigram_lm_scores_reference_model_mode(spark):
+    """CCNet deployment shape (VERDICT r10 item 6): the LM trains on a
+    CLEAN reference corpus and scores a separate crawl — planted noise
+    docs must rank above (higher avg_nll_bits than) clean docs, and the
+    crawl must not influence the model (a noise-heavy crawl scored
+    self-trained would normalize its own noise)."""
+    from tagmarshal_data_lakehouse_spark.training.text import bigram_lm_scores
+
+    clean_text = "the cat sat on the mat and the dog sat on the rug"
+    model = spark.createDataFrame(
+        [(i, clean_text) for i in range(1, 7)], "doc_id long, text string"
+    )
+    # crawl: mostly noise — self-training would make noise the norm
+    crawl = spark.createDataFrame(
+        [(101, "the cat sat on the mat")]
+        + [(200 + i, "zq xv qqj kpl wm oqr znb") for i in range(6)],
+        "doc_id long, text string",
+    )
+    ref = {
+        r["doc_id"]: r["avg_nll_bits"]
+        for r in bigram_lm_scores(crawl, model_df=model).collect()
+    }
+    assert all(ref[d] > ref[101] for d in ref if d != 101), ref
+    # self-trained on the same crawl, the dominant noise pattern scores
+    # BETTER than the clean doc — the failure mode reference mode fixes
+    self_trained = {
+        r["doc_id"]: r["avg_nll_bits"] for r in bigram_lm_scores(crawl).collect()
+    }
+    assert self_trained[201] < self_trained[101]
+
+
+def test_bigram_lm_scores_oov_backoff_exact(spark):
+    """Bigrams absent from the model back off to the alpha mass: with
+    alpha=1 an entirely-OOV bigram (unseen context) scores exactly
+    log2(V) bits, and V counts the model's FULL unigram vocabulary —
+    including tokens that appear only in single-token model docs
+    (ADVICE r10: corpus vocabulary, not bigram-participating
+    vocabulary)."""
+    import math
+
+    from tagmarshal_data_lakehouse_spark.training.text import bigram_lm_scores
+
+    # model vocab: a b c d — d occurs only in a single-token doc, so it
+    # participates in no bigram but still belongs in V
+    model = spark.createDataFrame(
+        [(1, "a b c"), (2, "d")], "doc_id long, text string"
+    )
+    crawl = spark.createDataFrame([(10, "zz qq")], "doc_id long, text string")
+    row = bigram_lm_scores(crawl, model_df=model).collect()[0]
+    # P(qq|zz) = 1 / (0 + 1*4) -> 2 bits exactly (V=4; V=3 under the
+    # old bigram-participant definition would give log2(3) ~ 1.585)
+    assert row["n_bigrams"] == 1
+    assert abs(row["avg_nll_bits"] - math.log2(4)) < 1e-6

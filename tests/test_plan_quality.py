@@ -9,6 +9,8 @@ and whole-stage codegen coverage of the hot expressions.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -520,6 +522,11 @@ _LINT_ALLOWLIST = {
     # bounded broadcast-query-set BNLJ — nothing new in the union of
     # one-row recall aggregates itself
     "emb_ann_recall": {"nested_loop_join"},
+    # the in-plan 2x window expansion is a BROADCAST nested loop over a
+    # 2-row constant relation (size/hop = 2 offsets) — bounded by
+    # construction; test_hopping_window_expands_in_plan pins that every
+    # join strategy in this plan is a broadcast
+    "events_hopping_window": {"nested_loop_join"},
 }
 
 
@@ -605,7 +612,18 @@ def test_hopping_window_expands_in_plan(spark, sf_smoke):
     strategies = plans.join_strategies(df)
     assert strategies and all("Broadcast" in s for s in strategies)
     assert plan.count("Scan parquet") == 1
-    assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string,value:double>" in plan
+    # column pruning: exactly the four projected column:type pairs reach
+    # the scan (asserted individually — the exact struct string ordering
+    # is a Spark-version/parquet-layout detail, not the contract)
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert sorted(read_schema.split(",")) == sorted(
+        [
+            "ts:timestamp_ntz",
+            "user_id:bigint",
+            "event_type:string",
+            "value:double",
+        ]
+    )
     # partial + distinct-expand + final: >= 3 HashAggregates, and only
     # the COUNT DISTINCT's two aggregate-grain exchanges — the 2x
     # expansion itself must not add a shuffle

@@ -526,3 +526,60 @@ def test_tf_cosine_prefix_filter_lossless_vs_unfiltered(spark, sf_smoke):
         ).collect()
     }
     assert got == {(1, 2): 0.5}
+
+
+def test_suggest_dedup_shuffle_partitions_pins_measured_band():
+    """The helper encodes the round-10 sixth-octave measurements
+    (SCALE.md): below the ~85k docs/heap-GiB bind ratio the session
+    default stands; at the measured 8192x/48g bind it must pick 128 —
+    the 146.0s winner of the 32/128/256 one-knob sweep."""
+    s = dedup.suggest_dedup_shuffle_partitions
+    # comfortable heap: default width stands (4.096M docs @ 100g was
+    # measured linear, exponent 1.07)
+    assert s(4_096_000, 100, 32) == 32
+    assert s(500_000, 48, 32) == 32
+    # the measured bind: 4.096M docs @ 48g -> 128 partitions
+    assert s(4_096_000, 48, 32) == 128
+    # one more doubling at fixed heap widens one power of two
+    assert s(8_192_000, 48, 32) == 256
+    # never narrows below the session default; snaps to powers of two
+    assert s(10_000_000, 1, 300) == 512
+    # backstop: a runaway estimate cannot explode the shuffle
+    assert s(10**12, 1, 32) == 4_096
+    import pytest as _pytest
+
+    for bad in [(0, 48, 32), (100, 0, 32), (100, 48, 0)]:
+        with _pytest.raises(ValueError):
+            s(*bad)
+
+
+def test_size_session_for_dedup_sets_and_restores(spark):
+    """size_session_for_dedup turns the measurement into behavior: it
+    sets the session shuffle width to the suggestion and returns it;
+    a comfortable estimate is a no-op."""
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        heap = dedup.jvm_heap_gib(spark)
+        assert heap > 0
+        # small corpus: no-op (returns the current default unchanged)
+        got = dedup.size_session_for_dedup(spark, 1_000)
+        assert got == int(original)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == original
+        # past the bind ratio for this session's heap: widens
+        n_bound = int(dedup._DEDUP_HEAP_DOCS_PER_GIB * heap * 4)
+        got = dedup.size_session_for_dedup(spark, n_bound)
+        expect = dedup.suggest_dedup_shuffle_partitions(n_bound, heap, int(original))
+        assert got == expect
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == expect
+        assert got >= int(original)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+
+
+def test_jvm_heap_gib_parses_units(spark):
+    """Unit parsing: the helper reads g/m/t suffixes and bare bytes."""
+    heap = dedup.jvm_heap_gib(spark)
+    # test sessions run with an explicit driver memory; any positive
+    # finite reading is structurally fine here — exact values are
+    # covered by suggest_* pins above
+    assert 0 < heap < 4_096

@@ -98,6 +98,10 @@ TS_QUERIES = [
     "telemetry_round_sample",
     "telemetry_course_summary_with_profile",
     "telemetry_round_duration_details",
+    # r11 promotion (R17's _TS_STAGED name, engine extension): the
+    # hopping window emits NTZ window_start stamps derived by field
+    # arithmetic — the exact surface this gate exists for.
+    "events_hopping_window",
 ]
 
 # Three adversarial zones, each catching a different leak class:
