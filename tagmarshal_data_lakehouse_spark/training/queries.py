@@ -922,6 +922,35 @@ q_doc_bigram_lm_score = Query(
 )
 
 
+def _bigram_lm_ref_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference-model deployment shape (Wenzek 2019): train the LM on a
+    # CLEAN corpus, score a different one. The fixture split is
+    # deterministic: sources src0-src9 are the reference corpus, the
+    # rest are the scored "crawl" — so the crawl's own noise cannot
+    # normalize itself into the model.
+    docs = _docs(spark, sf_dir)
+    ref_sources = [f"src{i}" for i in range(10)]
+    model = docs.filter(F.col("source").isin(ref_sources))
+    crawl = docs.filter(~F.col("source").isin(ref_sources))
+    return text.bigram_lm_scores(crawl, model_df=model)
+
+
+q_doc_bigram_lm_score_ref = Query(
+    name="doc_bigram_lm_score_ref",
+    build=_bigram_lm_ref_build,
+    # No oracle, same libm-log2 rationale as doc_bigram_lm_score; the
+    # reference-mode semantics are pinned in pytest instead (clean-
+    # trained model ranks planted noise above clean docs; exact
+    # log2(V) OOV backoff with the full-corpus vocabulary).
+    oracle=None,
+    doc="CCNet LM filter in its deployment shape: bigram LM trained on "
+    "a clean reference corpus (sources src0-src9), scoring the "
+    "remaining sources as the crawl — unseen bigrams back off to the "
+    "alpha mass, entirely-OOV contexts score -log2(1/V) "
+    "(text.py:bigram_lm_scores, model_df mode).",
+)
+
+
 q_doc_bpe_merges = Query(
     name="doc_bpe_merges",
     build=lambda spark, sf_dir: bpe.bpe_train_merges(_docs(spark, sf_dir), n_merges=12),
@@ -2068,6 +2097,7 @@ QUERIES = [
     q_doc_bigram_freqs,
     q_doc_token_rarity,
     q_doc_bigram_lm_score,
+    q_doc_bigram_lm_score_ref,
     q_doc_bpe_merges,
     q_doc_bpe_encode,
     q_emb_ann_recall,
