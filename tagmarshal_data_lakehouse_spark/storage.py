@@ -37,7 +37,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
@@ -226,22 +226,62 @@ class Lakehouse:
                 cols.append(F.lit(None).cast(field.dataType).alias(field.name))
         return df.select(*cols)
 
+    @staticmethod
+    def _cluster_for_write(
+        df: DataFrame, partition_by: list[str], files_per_partition: int
+    ) -> DataFrame:
+        """Co-locate each output partition's rows into files_per_partition
+        tasks before a partitionBy write.
+
+        Without this, every upstream task holds rows for ~every leaf
+        partition and writes a sliver into each dir — the silver/gold
+        256x probe (SCALE.md r11) measured 63,488 files averaging ~20 KB
+        across 1,984 leaf dirs (exactly shuffle_width files per dir),
+        and every downstream model paid ~20 s of file-open tax per scan.
+        One hash shuffle on the partition keys collapses that to one
+        file per dir.  files_per_partition > 1 adds a deterministic
+        row-hash salt so one giant partition (a hot course-day at
+        100 TB) spreads over UP TO that many tasks instead of
+        serializing in one — the writer-side mirror of join salting
+        (up to, not exactly: distinct salt values can still collide in
+        the shuffle partitioner, and AQE coalescing re-merges buckets
+        that fall below the advisory partition size — both of which are
+        the right call for file sizing, so neither is defeated here)."""
+        if not partition_by:
+            return df
+        keys: list[Column] = [F.col(c) for c in partition_by]
+        if files_per_partition > 1:
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(files_per_partition),
+            )
+            keys.append(salt)
+        return df.repartition(*keys)
+
     def write_partitioned(
         self,
         table: str,
         df: DataFrame,
         partition_by: list[str],
         mode: str = "append",
+        files_per_partition: int = 1,
     ) -> None:
         self._snapshot(table, f"write_partitioned({mode})")
         (
-            df.write.mode(mode)
+            self._cluster_for_write(df, partition_by, files_per_partition)
+            .write.mode(mode)
             .partitionBy(*partition_by)
             .parquet(self.path(table))
         )
         self._save_schema(table, df, reset=(mode == "overwrite"))
 
-    def replace_partitions(self, table: str, df: DataFrame, partition_by: list[str]) -> None:
+    def replace_partitions(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str],
+        files_per_partition: int = 1,
+    ) -> None:
         """Idempotent partition rewrite: overwrite ONLY the partitions
         present in df.  Re-running an ingest for the same
         (course_id, ingest_date) yields the same table state — the
@@ -254,7 +294,8 @@ class Lakehouse:
             return
         self._snapshot(table, "replace_partitions")
         (
-            df.write.mode("overwrite")
+            self._cluster_for_write(df, partition_by, files_per_partition)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_by)
             .parquet(self.path(table))
