@@ -345,13 +345,43 @@ def main() -> int:
             raise SystemExit(f"SCALE_PROBE_OPS unknown operators: {sorted(unknown)}")
         operators = {k: v for k, v in operators.items() if k in wanted}
 
+    # Which amplified input each operator actually reads. A targeted
+    # SCALE_PROBE_OPS run must not pay for the others: materializing all
+    # three at high reps is most of the wall (819M events / 82M vectors
+    # at 8192x persist for MINUTES in a single-partition task while the
+    # selected op needed only docs).
+    needs_map = {
+        "interval_join": {"ev"},
+        "sessionize": {"ev"},
+        "hourly_agg": {"ev"},
+    }
+    for name, op in operators.items():
+        if name not in needs_map:
+            needs_map[name] = {"embs"} if op.__code__.co_argcount == 3 else {"docs"}
+    needed = set().union(*(needs_map[n] for n in operators))
+
     results: dict[str, list[tuple[int, float]]] = {k: [] for k in operators}
     for reps in reps_list:
-        docs = amplify_docs(spark, sf_dir, reps).persist()
-        ev = amplify_events(spark, sf_dir, reps).persist()
-        embs = amplify_embeddings(spark, sf_dir, reps).persist()
-        # materialize the amplified inputs
-        n_docs, n_ev, n_embs = docs.count(), ev.count(), embs.count()
+        docs = ev = embs = None
+        n_docs = n_ev = n_embs = None
+        # materialize ONLY the inputs the selected operators read
+        if "docs" in needed:
+            docs = amplify_docs(spark, sf_dir, reps).persist()
+            n_docs = docs.count()
+        if "ev" in needed:
+            ev = amplify_events(spark, sf_dir, reps).persist()
+            n_ev = ev.count()
+        if "embs" in needed:
+            embs = amplify_embeddings(spark, sf_dir, reps).persist()
+            n_embs = embs.count()
+        # SCALE_PROBE_AUTO_PARTS=1: let the measured heap-bind helper
+        # (dedup.size_session_for_dedup, r10 sixth-octave arithmetic)
+        # pick the shuffle width from the actual doc count — the
+        # behavior a dedup-verdict deployment gets, instead of the
+        # probe's fixed SCALE_PROBE_SHUFFLE_PARTS knob.
+        if os.environ.get("SCALE_PROBE_AUTO_PARTS"):
+            width = dedup.size_session_for_dedup(spark, n_docs)
+            print(json.dumps({"auto_parts": width, "reps": reps}), flush=True)
         for name, op in operators.items():
             t0 = time.monotonic()
             if op.__code__.co_argcount == 3:
@@ -374,9 +404,9 @@ def main() -> int:
                 ),
                 flush=True,
             )
-        docs.unpersist()
-        ev.unpersist()
-        embs.unpersist()
+        for frame in (docs, ev, embs):
+            if frame is not None:
+                frame.unpersist()
 
     summary = {}
     for name, pts in results.items():
