@@ -49,19 +49,27 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 # Measured constants behind suggest_dedup_shuffle_partitions (SCALE.md,
-# round-10 sixth octave, 8192x @ 4.096M docs):
-# - a 48 GiB single-JVM heap GC-bound at 4.096M docs (exponent 2.54;
-#   the 100g one-knob rerun returned it to 1.07) — the binding ratio is
-#   ~4.096M/48 ≈ 85k docs per heap-GiB.  Below that ratio the default
-#   width is fine; the working set itself is ~135k docs/GiB, the gap is
-#   execution-state headroom.
-# - at the bound, partition width is the first-order remedy: 32
-#   partitions 259.8s, 128 partitions 146.0s, 256 partitions 200.2s —
-#   the measured optimum is ~32k docs per task, and over-partitioning
-#   past that turns the curve back up (scheduling + shuffle segments).
-_DEDUP_HEAP_DOCS_PER_GIB = 85_000
+# r10 sixth octave + r11 seventh octave, six attributed points):
+# - Bind onset: clean sessions at ~41-43k docs/heap-GiB (2.048M @ 48g,
+#   4.096M @ 100g, both exponent ~1.07/in-band); GC-bound sessions at
+#   ~82-85k/GiB (4.096M @ 48g exponent 2.54, 8.192M @ 100g exponent
+#   1.54 — the r11 seventh octave, which caught this constant's first
+#   value of 85k as too generous). 48k/GiB classifies all measured
+#   points correctly with margin on the clean side.
+# - The width remedy is BIND-POINT-LOCAL (r11's key negative result).
+#   At the 48g bind, widening fixed it: 32 parts 259.8s, 128 parts
+#   146.0s, 256 parts 200.2s (optimum ~32k docs/task). At the 100g
+#   bind the SAME sweep is monotonically worse: 32 parts 386.5s, 128
+#   parts 468.0s, 256 parts 567.4s — there the ~60 GiB gram cache
+#   itself outgrows the storage-safe fraction and extra partitions only
+#   add churn; no shuffle width avoids that cliff. Widening is
+#   therefore applied only in the measured-validated regime
+#   (executor-class heaps <= 64 GiB, cap 128); past it the honest
+#   remedy is more executors (smaller per-JVM doc share), not width.
+_DEDUP_HEAP_DOCS_PER_GIB = 48_000
 _DEDUP_DOCS_PER_TASK = 32_000
-_DEDUP_MAX_PARTITIONS = 4_096  # runaway-estimate backstop, not a tuning
+_DEDUP_WIDEN_MAX_HEAP_GIB = 64  # widening validated at 48g; harmful at 100g
+_DEDUP_MAX_WIDTH = 128  # widest reading that ever beat the default
 
 
 def suggest_dedup_shuffle_partitions(
@@ -70,25 +78,32 @@ def suggest_dedup_shuffle_partitions(
     default_partitions: int,
 ) -> int:
     """Shuffle-partition width for the minhash verdict path, derived
-    from the round-10 heap-bind measurements (constants above).
+    from the r10/r11 heap-bind measurements (constants above).
 
-    Returns ``default_partitions`` while the per-JVM document count sits
-    below the measured GC-bind ratio (~85k docs/heap-GiB); past it,
-    widens to the next power of two that lands ~32k docs per task — the
-    measured optimum at the 8192x/48g bind (the helper picks 128 there,
-    the 146.0s band winner).  On a real cluster ``heap_gib`` is the
-    per-EXECUTOR heap and ``n_docs`` the per-executor document share —
-    executors scale with data, so the suggestion stays bounded; the
-    power-of-two snap keeps AQE coalescing friendly and the choice
-    stable under small estimate drift.
+    Returns ``default_partitions`` while the per-JVM document count
+    sits below the measured GC-bind ratio (48k docs/heap-GiB). Past it,
+    on executor-class heaps (<= 64 GiB) it widens to the next power of
+    two landing ~32k docs per task, capped at 128 — the 146.0s winner
+    of the 8192x/48g one-knob sweep. On larger single-JVM heaps past
+    the ratio it deliberately returns the default: the r11 seventh
+    octave measured every wider setting as strictly worse there
+    (386.5 / 468.0 / 567.4 s at 32/128/256), because the bind is the
+    cache outgrowing the heap, which width cannot fix — the remedy is
+    more executors. On a real cluster ``heap_gib`` is the per-EXECUTOR
+    heap and ``n_docs`` the per-executor document share — executors
+    scale with data, so the suggestion stays bounded; the power-of-two
+    snap keeps AQE coalescing friendly and the choice stable under
+    small estimate drift.
     """
     if n_docs <= 0 or heap_gib <= 0 or default_partitions <= 0:
         raise ValueError("n_docs, heap_gib and default_partitions must be positive")
     if n_docs <= _DEDUP_HEAP_DOCS_PER_GIB * heap_gib:
         return default_partitions
-    want = max(default_partitions, -(-n_docs // _DEDUP_DOCS_PER_TASK))
+    if heap_gib > _DEDUP_WIDEN_MAX_HEAP_GIB:
+        return default_partitions  # measured: width only hurts here
+    want = -(-n_docs // _DEDUP_DOCS_PER_TASK)
     width = 1 << (want - 1).bit_length()
-    return min(width, _DEDUP_MAX_PARTITIONS)
+    return max(default_partitions, min(width, _DEDUP_MAX_WIDTH))
 
 
 def jvm_heap_gib(spark) -> float:

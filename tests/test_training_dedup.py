@@ -529,23 +529,32 @@ def test_tf_cosine_prefix_filter_lossless_vs_unfiltered(spark, sf_smoke):
 
 
 def test_suggest_dedup_shuffle_partitions_pins_measured_band():
-    """The helper encodes the round-10 sixth-octave measurements
-    (SCALE.md): below the ~85k docs/heap-GiB bind ratio the session
-    default stands; at the measured 8192x/48g bind it must pick 128 —
-    the 146.0s winner of the 32/128/256 one-knob sweep."""
+    """The helper encodes the r10 sixth-octave + r11 seventh-octave
+    measurements (SCALE.md): below the 48k docs/heap-GiB bind ratio the
+    session default stands; at the measured 8192x/48g bind it must pick
+    128 — the 146.0s winner of the 32/128/256 one-knob sweep; and at
+    the r11-discovered 16384x/100g bind it must STAY at the default,
+    because the same sweep there was monotonically worse with width
+    (386.5/468.0/567.4 s at 32/128/256) — widening is validated only on
+    executor-class heaps."""
     s = dedup.suggest_dedup_shuffle_partitions
     # comfortable heap: default width stands (4.096M docs @ 100g was
-    # measured linear, exponent 1.07)
+    # measured linear, exponent 1.07; 2.048M @ 48g in-band)
     assert s(4_096_000, 100, 32) == 32
+    assert s(2_048_000, 48, 32) == 32
     assert s(500_000, 48, 32) == 32
-    # the measured bind: 4.096M docs @ 48g -> 128 partitions
+    # the 48g bind: widen to 128 (the measured winner)
     assert s(4_096_000, 48, 32) == 128
-    # one more doubling at fixed heap widens one power of two
-    assert s(8_192_000, 48, 32) == 256
-    # never narrows below the session default; snaps to powers of two
-    assert s(10_000_000, 1, 300) == 512
-    # backstop: a runaway estimate cannot explode the shuffle
-    assert s(10**12, 1, 32) == 4_096
+    # the 100g bind: hold the default — width only hurt there; the
+    # remedy is more executors, which the helper cannot conjure
+    assert s(8_192_000, 100, 32) == 32
+    # deeper past the 48g bind: cap at 128, the widest reading that
+    # ever beat a default anywhere
+    assert s(8_192_000, 48, 32) == 128
+    # never narrows below the session default
+    assert s(10_000_000, 1, 300) == 300
+    # the cap also bounds runaway estimates
+    assert s(10**12, 1, 32) == 128
     import pytest as _pytest
 
     for bad in [(0, 48, 32), (100, 0, 32), (100, 48, 0)]:
