@@ -986,25 +986,44 @@ def incremental_update(
     full `build_all` + overwrite (asserted in tests) — incrementality is
     an optimization, never a semantics change.
     """
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     fact_full = lake.read(fact_table)
     fact_inc = fact_full.filter(F.col("course_id").isin(course_ids))
+
+    # Row counts ride the write action itself via an Observation (the
+    # run_silver pattern) — a post-write df.count() would recompute the
+    # whole model chain a second time, doubling the refresh cost (the
+    # r11 silver/gold probe measured exactly that before this change).
+    def _write_observed(df, write) -> int:
+        obs = Observation()
+        write(df.observe(obs, F.count(F.lit(1)).alias("n")))
+        try:
+            return int(obs.get["n"])
+        except Exception:  # noqa: BLE001
+            # An EMPTY result never materializes the metrics row (AQE
+            # propagates the empty relation through the write, so the
+            # CollectMetrics node never runs) and obs.get raises from
+            # the JVM row conversion. The write above has already
+            # succeeded by this point, so absent metrics == zero rows.
+            return 0
 
     written: dict[str, int] = {}
     partitioned = GoldBuilder(spark).build(fact_inc, dim_facility_topology)
     global_models = [n for n, df in partitioned.items() if "course_id" not in df.columns]
     for name, df in partitioned.items():
         if "course_id" in df.columns:
-            lake.replace_partitions(f"gold.{name}", df, ["course_id"])
-            written[name] = df.count()
+            written[name] = _write_observed(
+                df, lambda d, n=name: lake.replace_partitions(f"gold.{n}", d, ["course_id"])
+            )
 
     if global_models:
         rebuilt = GoldBuilder(spark).build(
             fact_full, dim_facility_topology, only=global_models
         )
         for name in global_models:
-            df = rebuilt[name]
-            lake.overwrite(f"gold.{name}", df)
-            written[name] = df.count()
+            written[name] = _write_observed(
+                rebuilt[name], lambda d, n=name: lake.overwrite(f"gold.{n}", d)
+            )
     return written

@@ -150,6 +150,27 @@ def generate_input(workdir: str, reps: int) -> tuple[str, int]:
     return path, n_courses * n_rounds
 
 
+def generate_incremental_input(workdir: str) -> str:
+    """One course-day of NEW rounds (course0000, ingest 2024-02-02) —
+    the incremental-refresh unit. Same size at every corpus scale, so
+    phase 3 measures whether incremental cost tracks the NEW data or
+    the corpus."""
+    path = os.path.join(workdir, "bronze_inc")
+    if os.path.isdir(path):
+        return path
+    docs = []
+    for r in range(BASE_ROUNDS):
+        d = _round_doc(0, 1_000_000 + r)  # ids disjoint from every scale
+        docs.append(d)
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part00000.json"), "w") as f:
+        json.dump(docs, f)
+    os.rename(tmp, path)
+    return path
+
+
 def main() -> int:
     reps_list = [int(a) for a in sys.argv[1:]] or [1, 16, 64, 256]
     workdir = os.environ.get("SILVER_PROBE_WORKDIR", "/tmp/silver_gold_probe")
@@ -158,7 +179,10 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from tagmarshal_data_lakehouse_spark import silver
-    from tagmarshal_data_lakehouse_spark.gold.models import GoldBuilder
+    from tagmarshal_data_lakehouse_spark.gold.models import (
+        GoldBuilder,
+        incremental_update,
+    )
     from tagmarshal_data_lakehouse_spark.session import get_spark
     from tagmarshal_data_lakehouse_spark.sources.bronze import read_rounds
     from tagmarshal_data_lakehouse_spark.storage import Lakehouse
@@ -230,6 +254,41 @@ def main() -> int:
             flush=True,
         )
         spark.catalog.clearCache()  # drop the fact_rounds cache between scales
+
+        # ---- phase 3: one-course-day incremental refresh --------------
+        # Same-sized new ingest at every corpus scale: if the measured
+        # cost stays ~flat while the corpus grows 256x, the partition-
+        # scoped rebuild really is O(new data) + the global-model tail
+        # (which scans the full fact with pruned columns).
+        inc_src = generate_incremental_input(workdir)
+        t0 = time.perf_counter()
+        raw, fmt = read_rounds(spark, inc_src)
+        transformed = silver.transform_rounds(
+            raw, fmt, F.col("course"), F.lit("2024-02-02"), None
+        )
+        valid, invalid = silver.split_coordinates(transformed)
+        valid = lake.align_to_schema(valid, silver.FACT_TELEMETRY_EVENT)
+        lake.replace_partitions(
+            "silver.fact_telemetry_event",
+            valid,
+            ["course_id", "ingest_date", "event_date"],
+        )
+        written = incremental_update(spark, lake, ["course0000"], None)
+        inc_sec = round(time.perf_counter() - t0, 3)
+        results.setdefault("incremental", {})[reps] = inc_sec
+        print(
+            json.dumps(
+                {
+                    "phase": "incremental",
+                    "reps": reps,
+                    "models_written": len(written),
+                    "fact_rounds_rows": written.get("fact_rounds"),
+                    "sec": inc_sec,
+                }
+            ),
+            flush=True,
+        )
+        spark.catalog.clearCache()
 
     for phase, series in results.items():
         pts = sorted(series.items())
