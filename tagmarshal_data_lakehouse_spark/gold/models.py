@@ -1001,13 +1001,18 @@ def incremental_update(
         write(df.observe(obs, F.count(F.lit(1)).alias("n")))
         try:
             return int(obs.get["n"])
-        except Exception:  # noqa: BLE001
+        except Exception:
             # An EMPTY result never materializes the metrics row (AQE
-            # propagates the empty relation through the write, so the
-            # CollectMetrics node never runs) and obs.get raises from
-            # the JVM row conversion. The write above has already
-            # succeeded by this point, so absent metrics == zero rows.
-            return 0
+            # propagates the empty relation through the dynamic
+            # overwrite, so the CollectMetrics node never runs) and
+            # obs.get raises from the JVM row conversion. CONFIRM the
+            # frame really is empty (a limit-1 probe, cheap) before
+            # decoding absent metrics as zero — a transient JVM error
+            # after a successful multi-row write must propagate, not
+            # silently record 0 rows.
+            if df.isEmpty():
+                return 0
+            raise
 
     written: dict[str, int] = {}
     partitioned = GoldBuilder(spark).build(fact_inc, dim_facility_topology)

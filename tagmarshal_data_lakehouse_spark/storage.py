@@ -302,9 +302,21 @@ class Lakehouse:
         )
         self._save_schema(table, df)
 
-    def overwrite(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
-        """Drop-and-recreate (reference S15, generate_sections_per_hole.py:112-118)."""
+    def overwrite(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        files_per_partition: int = 1,
+    ) -> None:
+        """Drop-and-recreate (reference S15, generate_sections_per_hole.py:112-118).
+        Partitioned overwrites get the same key clustering as
+        write_partitioned — the full gold build and merge_upsert's
+        shadow write land through here, and an un-clustered layout pays
+        the measured small-files tax on every downstream scan."""
         self._snapshot(table, "overwrite")
+        if partition_by:
+            df = self._cluster_for_write(df, partition_by, files_per_partition)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)

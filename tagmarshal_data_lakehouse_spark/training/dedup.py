@@ -109,14 +109,34 @@ def suggest_dedup_shuffle_partitions(
 def jvm_heap_gib(spark) -> float:
     """Best-effort JVM heap for the sizing helper: the driver memory in
     local mode (one JVM holds everything there), else executor memory.
-    Defaults to Spark's own 1g when neither conf is set."""
+    Defaults to Spark's own 1g when neither conf is set.
+
+    Parses the full Spark byte-string grammar (JavaUtils.byteStringAs):
+    optional one-letter prefix with optional trailing 'b' ('48g' ==
+    '48gb'), bare 'b' for bytes, and a BARE NUMBER meaning MiB — the
+    default unit Spark itself applies to memory confs."""
+    import re
+
     master = spark.conf.get("spark.master", "")
     key = "spark.driver.memory" if master.startswith("local") else "spark.executor.memory"
     raw = spark.conf.get(key, "1g").strip().lower()
-    units = {"k": 1 / (1024 * 1024), "m": 1 / 1024, "g": 1.0, "t": 1024.0}
-    if raw[-1] in units:
-        return float(raw[:-1]) * units[raw[-1]]
-    return float(raw) / (1024**3)  # bare bytes
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?b?)", raw)
+    if not m:
+        raise ValueError(f"unparseable Spark memory string {raw!r} for {key}")
+    num, suffix = int(m.group(1)), m.group(2)
+    gib_per_unit = {
+        "": 1 / 1024,  # bare number: MiB (Spark's memory-conf default unit)
+        "b": 1 / (1024**3),
+        "k": 1 / (1024**2),
+        "kb": 1 / (1024**2),
+        "m": 1 / 1024,
+        "mb": 1 / 1024,
+        "g": 1.0,
+        "gb": 1.0,
+        "t": 1024.0,
+        "tb": 1024.0,
+    }
+    return num * gib_per_unit[suffix]
 
 
 def size_session_for_dedup(spark, n_docs: int) -> int:

@@ -875,7 +875,11 @@ q_doc_source_token_diversity = Query(
                    CAST(SUM(f) AS BIGINT)   AS n_tokens,
                    CAST(COUNT(*) AS BIGINT) AS vocab_size,
                    CAST(MAX(f) AS BIGINT)   AS top_token_freq,
-                   CAST(SUM(f * f) AS BIGINT) AS sumsq
+                   -- widened operand, matching the Spark side's
+                   -- DECIMAL(38,0) sum: a BIGINT f*f product would
+                   -- error in DuckDB past ~3e9 per-token frequency
+                   -- while Spark (ANSI off) wraps silently
+                   SUM(CAST(f AS HUGEINT) * f) AS sumsq
             FROM counts GROUP BY source
         ), docs_per AS (
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs

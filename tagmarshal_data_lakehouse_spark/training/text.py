@@ -332,6 +332,15 @@ def bigram_lm_scores(
         .agg(F.countDistinct("t").cast("bigint").alias("v"))
         .collect()[0]["v"]
     )
+    if vocab == 0:
+        # an empty/all-blank model corpus would make every smoothed
+        # probability a 0/0 -> NULL (ANSI off) and every score silently
+        # NULL — a filtering pipeline keyed on avg_nll_bits would then
+        # pass or drop EVERYTHING; surface the misconfiguration instead
+        raise ValueError(
+            "bigram_lm_scores: model corpus has no non-empty tokens "
+            "(empty or all-blank model_df) — cannot train a reference LM"
+        )
     p = (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(alpha)) / (
         F.coalesce(F.col("c_uni"), F.lit(0)) + F.lit(alpha) * F.lit(vocab)
     )

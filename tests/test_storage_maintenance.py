@@ -135,8 +135,19 @@ def test_compact_preserves_hive_partition_layout(spark, tmp_path):
         (F.col("id") % 3).cast("string").alias("course_id"),
         (F.col("id") * 2.0).alias("v"),
     )
-    lake.overwrite("silver.part_tbl", df.repartition(8), partition_by=["course_id"])
+    # partitioned writes cluster to one file per leaf since r11, so a
+    # FRAGMENTED partitioned table (compact's raison d'etre) now takes
+    # the salt knob with AQE coalescing off, as in the salt-spread test
+    original = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        lake.overwrite(
+            "silver.part_tbl", df, partition_by=["course_id"], files_per_partition=8
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", original)
     n_before = len(lake.table_data_files("silver.part_tbl"))
+    assert n_before > 3  # genuinely fragmented (salted multi-file leaves)
     before = sorted(map(tuple, lake.read("silver.part_tbl").collect()))
 
     # no partition_by passed: compact must detect and keep the layout
@@ -214,3 +225,27 @@ def test_partitioned_write_salt_spreads_hot_partition(spark, tmp_path):
     n_files = next(iter(counts.values()))
     assert 2 <= n_files <= 4, counts
     assert lake.read("t.salted").count() == 9_000
+
+
+def test_partitioned_overwrite_is_clustered_too(spark, tmp_path):
+    """The full gold build and merge_upsert's shadow write land through
+    Lakehouse.overwrite(partition_by=...) — it must apply the same key
+    clustering as write_partitioned, or those paths keep paying the
+    measured small-files tax the r11 fix removed elsewhere."""
+    lake = Lakehouse(spark, str(tmp_path / "wh3"))
+    df = spark.range(4_000).select(
+        (F.col("id") % 6).alias("p"), F.col("id").alias("v")
+    )
+    lake.overwrite("t.ow", df.repartition(16), partition_by=["p"])
+    counts = _leaf_file_counts(lake, "t.ow")
+    assert len(counts) == 6
+    assert set(counts.values()) == {1}, counts
+    # un-partitioned overwrite keeps the caller's layout (the compact
+    # fixtures rely on being able to create fragmented tables)
+    lake.overwrite("t.flat", df.repartition(16))
+    import os as _os
+
+    n_flat = sum(
+        f.endswith(".parquet") for f in _os.listdir(lake.path("t.flat"))
+    )
+    assert n_flat == 16

@@ -586,9 +586,55 @@ def test_size_session_for_dedup_sets_and_restores(spark):
 
 
 def test_jvm_heap_gib_parses_units(spark):
-    """Unit parsing: the helper reads g/m/t suffixes and bare bytes."""
+    """The helper must parse the FULL Spark byte-string grammar
+    (JavaUtils.byteStringAs): one-letter prefixes with or without a
+    trailing 'b' ('48g' == '48gb'), bare 'b' bytes, and — the trap — a
+    bare number meaning MiB (Spark's memory-conf default unit), NOT
+    bytes: decoding '4096' as bytes would classify a comfortable 4 GiB
+    heap as microscopically small and widen every dedup run."""
     heap = dedup.jvm_heap_gib(spark)
-    # test sessions run with an explicit driver memory; any positive
-    # finite reading is structurally fine here — exact values are
-    # covered by suggest_* pins above
-    assert 0 < heap < 4_096
+    assert 0 < heap < 4_096  # the live session reads sanely
+
+    class _Conf:
+        def __init__(self, mem):
+            self.mem = mem
+
+        def get(self, k, d=None):
+            return {"spark.master": "local[4]", "spark.driver.memory": self.mem}.get(
+                k, d
+            )
+
+    class _Spark:
+        def __init__(self, mem):
+            self.conf = _Conf(mem)
+
+    import pytest as _pytest
+
+    cases = [
+        ("48g", 48.0),
+        ("48gb", 48.0),
+        ("4096m", 4.0),
+        ("4096mb", 4.0),
+        ("4096", 4.0),  # bare number: MiB, Spark's default unit
+        ("2t", 2048.0),
+        ("1073741824b", 1.0),
+        ("4096k", 4096 / 1024**2),
+    ]
+    for raw, want in cases:
+        assert abs(dedup.jvm_heap_gib(_Spark(raw)) - want) < 1e-9, raw
+    with _pytest.raises(ValueError):
+        dedup.jvm_heap_gib(_Spark("lots"))
+
+
+def test_bigram_lm_scores_empty_model_corpus_raises(spark):
+    """An empty/all-blank reference corpus must raise, not hand back
+    silently-NULL scores (0/0 smoothing under ANSI-off) that a
+    filtering pipeline would act on."""
+    import pytest as _pytest
+
+    from tagmarshal_data_lakehouse_spark.training.text import bigram_lm_scores
+
+    crawl = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    empty = spark.createDataFrame([(9, "   ")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no non-empty tokens"):
+        bigram_lm_scores(crawl, model_df=empty).collect()

@@ -379,7 +379,7 @@ def main() -> int:
         # pick the shuffle width from the actual doc count — the
         # behavior a dedup-verdict deployment gets, instead of the
         # probe's fixed SCALE_PROBE_SHUFFLE_PARTS knob.
-        if os.environ.get("SCALE_PROBE_AUTO_PARTS"):
+        if os.environ.get("SCALE_PROBE_AUTO_PARTS") and n_docs is not None:
             width = dedup.size_session_for_dedup(spark, n_docs)
             print(json.dumps({"auto_parts": width, "reps": reps}), flush=True)
         for name, op in operators.items():

@@ -294,7 +294,9 @@ def main() -> int:
         pts = sorted(series.items())
         if len(pts) >= 2:
             (x0, t0_), (x1, t1_) = pts[0], pts[-1]
-            p = math.log(t1_ / t0_) / math.log(x1 / x0)
+            # clamp like scale_probe.py: a sub-millisecond phase
+            # rounding to 0.0 must not ZeroDivisionError the summary
+            p = math.log(max(t1_, 1e-3) / max(t0_, 1e-3)) / math.log(x1 / x0)
             print(
                 json.dumps(
                     {"phase": phase, "exponent": round(p, 2), "points": pts}
