@@ -191,7 +191,7 @@ def _register_tables(
 # test fails loudly if this marker ever falls more than one round
 # behind the artifacts (the round-5 zero-commit failure mode). Bump it
 # when rotating the head.
-HEAD_DESIGNED_FOR_ROUND = 11
+HEAD_DESIGNED_FOR_ROUND = 12
 
 _FLAGSHIP_INTERLEAVE = (
     "events_sessionize",
@@ -208,7 +208,7 @@ _FLAGSHIP_INTERLEAVE = (
     "join_multiway",
 )
 
-# Round-11 sweep priorities (38 entries; slots 13..50 of the head).
+# Round-12 sweep priorities (37 entries; slots 13..49 of the head).
 # Composition is governed by the artifact-driven standing gate in
 # tests/test_registry_order.py: every oracle-backed query that has NEVER
 # had a driver hash row, or whose text was edited after its last green
@@ -217,68 +217,14 @@ _FLAGSHIP_INTERLEAVE = (
 # (oldest driver-green round first); whatever the queue cannot fit this
 # round leads the tail (_STALE_TAIL) and must fit entirely into NEXT
 # round's priority block.
-# rotate_head --round 11 --promote R17_STAGED: 238 oracle-backed,
-# horizon 6 (stale = green <= r05); due 39 = 2 hard (the promoted R17
-# block, never-green) + 37 stale (the 10 r03-vintage round-10 overflow
-# + the 27 r05-vintage cohort) — 38/38 slots, overflow 1 (tpch_q22
-# leads _STALE_TAIL, within the gate's one-round-lag bound; round 12's
-# queue is 1 + the 36 r06-vintage entries = 37 <= 38).
+# rotate_head --round 12: 238 oracle-backed, horizon 6 (stale = green
+# <= r06); due 37 = 0 hard + 37 stale (tpch_q22, the round-11 overflow,
+# due FIRST, then the 36 r06-vintage cohort) — 37/38 slots, overflow 0;
+# round 13's queue is the 38 r07-vintage entries = 38 <= 38.
 _SWEEP_PRIORITY = (
-    # R17_STAGED promotions (never-green): the engine-extension pair —
-    # the hopping event-time window and the per-source vocabulary
-    # concentration profile (VERDICT r10 item 1).
-    "events_hopping_window",
-    "doc_source_token_diversity",
-    # r03-vintage stale (round-10 overflow, due first)
-    "doc_repetition",
-    "doc_pii_scan",
-    "doc_dup_rate_by_source",
-    "doc_token_histogram",
-    "doc_bigram_freqs",
-    "doc_clean_corpus_stats",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "doc_span_dedup",
-    "doc_cross_source_dups",
-    # r05-vintage cohort (crossed the horizon at round 11)
-    "scalar_datetime",
-    "doc_dedup_clusters",
-    "doc_pack_sequences",
-    "emb_quantize_int8",
-    "multimodal_resize",
-    "doc_incremental_dedup",
-    "doc_chunk_windows",
-    "doc_epoch_shuffle",
-    "doc_curation_pipeline",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-)
-
-# The rest of the stale rotation.  FRONT: this round's due-queue
-# overflow — the single r05-vintage entry displaced by the R17
-# promotions; the gate (test_due_queue_overflow_fits_next_round...)
-# requires exactly it at the tail front.  Then the 36 r06-vintage
-# entries that cross the staleness horizon at round 12, in rotation
-# order — round 12's queue is 1 + 36 = 37 <= 38.
-_STALE_TAIL = (
-    # round-11 overflow (r05-vintage, MUST lead the tail)
+    # round-11 due-queue overflow (r05-vintage), due first
     "tpch_q22",
-    # r06-vintage cohort (due at round 12)
+    # r06-vintage cohort (crossed the horizon at round 12)
     "agg_conditional",
     "agg_filter_clause",
     "agg_minmax_duration",
@@ -315,6 +261,55 @@ _STALE_TAIL = (
     "gold_completeness_summary",
     "gold_rounds_by_weekday",
     "gold_start_hole_distribution",
+    # Queue underflow (37 dues, 38 slots): the spare slot pulls the
+    # first r07-vintage entry forward, trimming round 13's cohort to
+    # 37 <= 38.
+    "agg_weighted_score",
+)
+
+# The rest of the stale rotation.  FRONT: this round's due-queue
+# overflow — empty at round 12 (37 dues fit 38 slots).  Then the
+# remaining 37 r07-vintage entries that cross the staleness horizon at
+# round 13, in rotation order — round 13's queue is 37 <= 38 slots.
+_STALE_TAIL = (
+    # r07-vintage cohort (due at round 13)
+    "distinct_projection",
+    "join_broadcast",
+    "join_range_broadcast",
+    "join_salted_skew",
+    "join_semi",
+    "join_anti",
+    "join_coverage_audit",
+    "join_share_of_total",
+    "join_outlier_vs_max",
+    "window_topn",
+    "window_lag_transitions",
+    "window_rank_dense",
+    "window_running_total",
+    "sort_limit_nulls_last",
+    "sort_case_key",
+    "union_by_name",
+    "scalar_string_math",
+    "scalar_json",
+    "scalar_coordinates",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "doc_minhash_dedup_verdict",
+    "telemetry_start_hole_distribution",
+    "telemetry_avg_pace_by_hole",
+    "telemetry_pace_comparison_hole",
+    "telemetry_round_duration",
+    "telemetry_global_overview",
+    "telemetry_events_by_hour",
+    "telemetry_null_correlation",
+    "telemetry_missing_ts_overview",
+    "gold_rounds_by_month",
+    "gold_coverage_audit",
+    "gold_device_health_errors",
+    "gold_pace_summary_by_round",
+    "gold_hole_performance",
+    "gold_dim_course",
 )
 
 
