@@ -47,15 +47,45 @@ def lake_with_gold(spark, tmp_path_factory):
     return lake, sorted(models)
 
 
+# Float averages the rollup-combined global models derive from exact
+# DECIMAL sums; the full build's AVG() sums doubles in partition order,
+# so the two can differ in the last ~1e-12 relative (gold/rollups.py
+# docstring).  Every other column — counts, distincts, timestamps,
+# ROUND()ed percentages, the exact-regime median — must match exactly.
+_FLOAT_TOL_COLS = {
+    "global_overview": {"avg_pace_gap_sec"},
+    "dim_device": {"avg_battery_pct"},
+}
+
+
 def _snapshot(spark, lake, names):
     out = {}
     for name in names:
         df = lake.read(f"gold.{name}")
-        out[name] = sorted(
-            (tuple(r) for r in df.collect()),
-            key=lambda t: tuple((v is None, str(v)) for v in t),
+        out[name] = (
+            df.columns,
+            sorted(
+                (tuple(r) for r in df.collect()),
+                key=lambda t: tuple((v is None, str(v)) for v in t),
+            ),
         )
     return out
+
+
+def _assert_snapshots_match(a, b):
+    assert set(a) == set(b)
+    for name in a:
+        cols_a, rows_a = a[name]
+        cols_b, rows_b = b[name]
+        assert cols_a == cols_b, name
+        assert len(rows_a) == len(rows_b), name
+        tol_cols = _FLOAT_TOL_COLS.get(name, set())
+        for ra, rb in zip(rows_a, rows_b):
+            for col, va, vb in zip(cols_a, ra, rb):
+                if col in tol_cols and va is not None and vb is not None:
+                    assert va == pytest.approx(vb, rel=1e-9), (name, col)
+                else:
+                    assert va == vb, (name, col, va, vb)
 
 
 def test_incremental_noop_refresh_matches_full(spark, lake_with_gold):
@@ -64,7 +94,7 @@ def test_incremental_noop_refresh_matches_full(spark, lake_with_gold):
     written = incremental_update(spark, lake, ["course_b"])
     assert set(written) == set(names)
     after = _snapshot(spark, lake, names)
-    assert after == before  # same silver -> refresh must be a no-op
+    _assert_snapshots_match(after, before)  # same silver -> no-op refresh
 
 
 def test_incremental_absorbs_new_partition(spark, lake_with_gold, tmp_path):
@@ -86,7 +116,7 @@ def test_incremental_absorbs_new_partition(spark, lake_with_gold, tmp_path):
         part = ["course_id"] if "course_id" in df.columns else None
         lake.overwrite(f"gold.{name}", df, partition_by=part)
     full = _snapshot(spark, lake, names)
-    assert inc == full
+    _assert_snapshots_match(inc, full)
 
 
 def test_incremental_leaves_untouched_courses_alone(spark, lake_with_gold):
@@ -98,3 +128,77 @@ def test_incremental_leaves_untouched_courses_alone(spark, lake_with_gold):
         lake.read("gold.fact_rounds").filter(F.col("course_id") == "course_a").count()
     )
     assert a_before == a_after and a_before > 0
+
+
+def test_global_combine_reads_rollup_state_not_the_fact(spark, tmp_path):
+    """The O(new data) guarantee, behaviorally: after the rollups are
+    seeded, a by-course refresh must derive the global models from the
+    stored rollup partitions — so removing another course's silver data
+    WITHOUT refreshing it must leave that course's contribution in the
+    global row.  A path that rescanned the fact would lose it."""
+    lake = Lakehouse(spark, str(tmp_path / "warehouse"))
+    fact = _silver_fact(spark, tmp_path, ["course_a", "course_b"])
+    lake.replace_partitions(
+        "silver.fact_telemetry_event", fact, ["course_id", "ingest_date", "event_date"]
+    )
+    models = GoldBuilder(spark).build(lake.read("silver.fact_telemetry_event"))
+    for name, df in models.items():
+        part = ["course_id"] if "course_id" in df.columns else None
+        lake.overwrite(f"gold.{name}", df, partition_by=part)
+    incremental_update(spark, lake, ["course_a"])  # seeds the rollups
+    assert lake.read("gold.global_overview").first()["courses"] == 2
+
+    # silver loses course_a entirely; only course_b is refreshed
+    only_b = fact.filter(F.col("course_id") == "course_b")
+    lake.overwrite(
+        "silver.fact_telemetry_event",
+        only_b,
+        partition_by=["course_id", "ingest_date", "event_date"],
+    )
+    incremental_update(spark, lake, ["course_b"])
+    row = lake.read("gold.global_overview").first()
+    assert row["courses"] == 2  # course_a still present: no fact rescan
+    assert row["total_rows"] == fact.count()
+
+
+def test_combined_median_matches_percentile_approx_in_exact_regime(spark, tmp_path):
+    """gold/rollups.py derives the global median as the exact
+    nearest-rank value (1-based rank CEIL(0.5*N)) from the pace value
+    histogram; PERCENTILE_APPROX returns the same value whenever its
+    sketch retains every sample (row count <= accuracy) — pin that
+    equality across odd/even counts and heavy duplication."""
+    from tagmarshal_data_lakehouse_spark.gold import rollups
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    cases = [
+        [0.5, 0.7, 0.7, 1.1],                      # even, duplicated
+        [2.0],                                      # singleton
+        [3.0, 1.0, 2.0, 2.0, 9.0],                  # odd
+        [0.1] * 7 + [0.2] * 3 + [5.0] * 6,          # heavy duplication
+        [float(v % 13) / 4 for v in range(257)],    # larger, cyclic
+    ]
+    for i, vals in enumerate(cases):
+        df = spark.createDataFrame(
+            [("c", v, False) for v in vals],
+            "course_id string, pace_gap double, is_location_padding boolean",
+        )
+        hist = (
+            df.filter(~F.col("is_location_padding"))
+            .groupBy("course_id", "pace_gap")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        lake.overwrite("gold._rollup_overview_pace", hist)
+        lake.read("gold._rollup_overview_pace").createOrReplaceTempView(
+            "rt__rollup_overview_pace"
+        )
+        combined = spark.sql(
+            """
+            WITH hist AS (SELECT pace_gap, SUM(n) AS n
+                          FROM rt__rollup_overview_pace GROUP BY pace_gap),
+            ranked AS (SELECT pace_gap, SUM(n) OVER (ORDER BY pace_gap) AS cum,
+                              SUM(n) OVER () AS total FROM hist)
+            SELECT MIN(pace_gap) AS m FROM ranked WHERE cum >= CEIL(0.5 * total)
+            """
+        ).first()["m"]
+        reference = df.agg(F.expr("percentile_approx(pace_gap, 0.5)")).first()[0]
+        assert combined == reference, (i, combined, reference)
