@@ -139,20 +139,48 @@ def jvm_heap_gib(spark) -> float:
     return num * gib_per_unit[suffix]
 
 
+# Remembers the session's shuffle width from BEFORE the first sizing
+# call.  Without it repeated calls ratchet: once a large-corpus run
+# widens to 128, a later small-corpus call would read 128 back as the
+# "default" and never narrow again (the SCALE_PROBE_AUTO_PARTS loop in
+# tools/scale_probe.py hits exactly that across reps).
+_DEDUP_BASELINE_KEY = "spark.tagmarshal.dedup.baselineShufflePartitions"
+
+
 def size_session_for_dedup(spark, n_docs: int) -> int:
     """Apply the measured remedy: set ``spark.sql.shuffle.partitions``
     for a verdict-dedup run from the estimated per-JVM document count.
 
     Session-level by design — the same knob the round-10 probe turned
     (`SCALE_PROBE_SHUFFLE_PARTS`), and shuffle width is a session conf
-    in Spark, not a per-plan hint.  Callers interleaving other work
-    should save/restore the conf around the dedup run.  Returns the
-    width it set (the current default when the heap is comfortable, so
-    calling it is always safe)."""
-    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    width = suggest_dedup_shuffle_partitions(n_docs, jvm_heap_gib(spark), default)
+    in Spark, not a per-plan hint.  The pre-sizing width is captured
+    once (first call) under ``spark.tagmarshal.dedup.baseline...`` and
+    every later call sizes from THAT baseline, so a small-corpus call
+    after a widened run narrows back instead of ratcheting; callers
+    interleaving other work can restore with
+    :func:`restore_session_width`.  Returns the width it set (the
+    baseline when the heap is comfortable, so calling it is always
+    safe)."""
+    baseline = spark.conf.get(_DEDUP_BASELINE_KEY, None)
+    if baseline is None:
+        baseline = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(_DEDUP_BASELINE_KEY, baseline)
+    width = suggest_dedup_shuffle_partitions(n_docs, jvm_heap_gib(spark), int(baseline))
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     return width
+
+
+def restore_session_width(spark) -> int | None:
+    """Put ``spark.sql.shuffle.partitions`` back to its pre-sizing
+    baseline (no-op if sizing never ran).  Only call this AFTER the
+    dedup plan has actually executed — the returned frames are lazy,
+    and the width in force at action time is what the measurements
+    validated.  Returns the restored width, or None if untouched."""
+    baseline = spark.conf.get(_DEDUP_BASELINE_KEY, None)
+    if baseline is None:
+        return None
+    spark.conf.set("spark.sql.shuffle.partitions", baseline)
+    return int(baseline)
 
 
 # Deterministic salts for minhash permutations, derived from a fixed seed
@@ -499,9 +527,21 @@ def minhash_dedup_verdicts(
     threshold: float = 0.5,
     persist_shingles: bool = True,
     cache_handles: "list | None" = None,
+    auto_size_session: bool = False,
+    n_docs_estimate: int | None = None,
 ) -> DataFrame:
     """Verdict-only MinHash dedup: ONE row per document (keep / dup_of),
     never a pair-grain frame.
+
+    ``auto_size_session=True`` applies the measured heap-bind remedy
+    (:func:`size_session_for_dedup` — 48k docs/heap-GiB onset, widen
+    cap 128 on <= 64 GiB heaps, SCALE.md r10/r11 octaves) before
+    building the plan, sized from ``n_docs_estimate`` (or one
+    ``df.count()`` when not given — a single columnar scan, cheap next
+    to the dedup itself).  The width is a SESSION conf and must stay in
+    force until the returned lazy frame executes; the pre-sizing value
+    is recorded so callers can put it back afterwards with
+    :func:`restore_session_width`.
 
     The 64x scale probe (SCALE.md) proved the honest 100 TB limit of
     `minhash_near_duplicates` is not the LSH join — it is the pair
@@ -560,6 +600,9 @@ def minhash_dedup_verdicts(
         # silently ignores trailing permutations (recall drifts off the
         # documented banded curve)
         raise ValueError(f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})")
+    if auto_size_session:
+        n = n_docs_estimate if n_docs_estimate is not None else df.count()
+        size_session_for_dedup(df.sparkSession, n)
     rows_per_band = num_perm // bands
     # persist_shingles caches the gram frame — and the cache is
     # LOAD-BEARING beyond avoiding recompute (r10 finding, measured in

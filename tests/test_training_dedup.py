@@ -581,8 +581,53 @@ def test_size_session_for_dedup_sets_and_restores(spark):
         assert got == expect
         assert int(spark.conf.get("spark.sql.shuffle.partitions")) == expect
         assert got >= int(original)
+        # no ratchet: a later small-corpus call sizes from the PRE-sizing
+        # baseline, narrowing back instead of reading the widened value
+        # as the new default
+        got = dedup.size_session_for_dedup(spark, 1_000)
+        assert got == int(original)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == original
+        # and the explicit restore is a no-op-safe way back
+        dedup.size_session_for_dedup(spark, n_bound)
+        assert dedup.restore_session_width(spark) == int(original)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == original
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
+        spark.conf.unset(dedup._DEDUP_BASELINE_KEY)
+
+
+def test_minhash_dedup_verdict_auto_size_applies_measured_width(spark, monkeypatch):
+    """VERDICT r11: the sizing helper must be reachable from the
+    operator it sizes.  At a (mocked-heap, estimated-docs) point inside
+    the measured 48g bind band, auto_size_session=True must set the
+    session width to the helper's 128 before the plan builds, without
+    an 8M-doc run; verdicts stay correct and restore_session_width puts
+    the session back."""
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    monkeypatch.setattr(dedup, "jvm_heap_gib", lambda _s: 48.0)
+    handles: list = []
+    try:
+        out = dedup.minhash_dedup_verdicts(
+            spark.createDataFrame(
+                [(1, "the quick brown fox jumps over the lazy dog"),
+                 (2, "the quick brown fox jumps over the lazy dog"),
+                 (3, "entirely different text about spark partitions")],
+                "doc_id long, text string",
+            ),
+            auto_size_session=True,
+            n_docs_estimate=4_096_000,  # the measured 8192x/48g bind
+            cache_handles=handles,
+        )
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == 128
+        rows = {r["doc_id"]: (r["keep"], r["dup_of"]) for r in out.collect()}
+        assert rows == {1: (True, None), 2: (False, 1), 3: (True, None)}
+        assert dedup.restore_session_width(spark) == int(original)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == original
+    finally:
+        for h in handles:
+            h.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+        spark.conf.unset(dedup._DEDUP_BASELINE_KEY)
 
 
 def test_jvm_heap_gib_parses_units(spark):
