@@ -68,16 +68,52 @@ HEADLINE = [
 ]
 
 
-def _calibration(spark) -> dict:
+def _disk_read_mbps(sf_dir: str) -> float | None:
+    """Cold sequential-read throughput off the bench inputs' own disk.
+
+    The silver/gold probe's cross-run envelope (SCALE.md: gold@256x at
+    23.7 / 25.7 / 146.5 s on identical code) is disk/page-cache
+    contention the CPU/JVM fingerprint fields cannot see; this reading
+    makes an IO-shaped outlier a one-line attribution the way the GEMM
+    field already does for CPU.  Reads the largest testdata parquet
+    with its page cache dropped first (posix_fadvise DONTNEED), best of
+    3 — the best-case semantics of the other fingerprint fields.
+    """
+    import glob
+
+    files = sorted(
+        glob.glob(os.path.join(sf_dir, "*.parquet")), key=os.path.getsize
+    )
+    if not files or not hasattr(os, "posix_fadvise"):
+        return None
+    path = files[-1]
+    size = os.path.getsize(path)
+    rates = []
+    for _ in range(3):
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            t0 = time.perf_counter()
+            while os.read(fd, 1 << 22):
+                pass
+            dt = time.perf_counter() - t0
+        finally:
+            os.close(fd)
+        rates.append(size / max(dt, 1e-9) / (1 << 20))
+    return round(max(rates), 1)
+
+
+def _calibration(spark, sf_dir: str) -> dict:
     """Environment fingerprint recorded in every BENCH artifact.
 
     Two consecutive rounds (r9 cold outlier, r10 whole-boot x1.35
     uniform shift) needed multi-sweep SCALE.md forensics to prove "not
-    a regression"; these three readings make that a one-line check and
+    a regression"; these readings make that a one-line check and
     let cross-round numbers be normalized: a fixed-size numpy GEMM
     (CPU/memory-bandwidth proxy, no Spark), a trivial Spark action
-    (JVM/scheduler proxy), and load/uptime at run start (boot placement
-    and contention).  Both timings are min-of-3 so a single scheduler
+    (JVM/scheduler proxy), a cold disk read off the input volume
+    (IO-contention proxy), and load/uptime at run start (boot placement
+    and contention).  Timings are best-of-3 so a single scheduler
     hiccup cannot skew the fingerprint itself.
     """
     import numpy as np
@@ -98,6 +134,7 @@ def _calibration(spark) -> dict:
     return {
         "numpy_gemm_2048_sec": round(min(gemm), 4),
         "spark_range_sum_sec": round(min(noop), 4),
+        "disk_read_mbps": _disk_read_mbps(sf_dir),
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "uptime_sec": round(uptime, 1),
         "cpu_count": os.cpu_count(),
@@ -115,7 +152,7 @@ def main() -> None:
     from tagmarshal_data_lakehouse_spark.queries import load_views
 
     spark.range(1).count()
-    calibration = _calibration(spark)
+    calibration = _calibration(spark, sf_dir)
     print(f"# calibration: {calibration}", file=sys.stderr)
     load_views(spark, sf_dir)
 

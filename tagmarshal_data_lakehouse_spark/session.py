@@ -163,6 +163,15 @@ def get_spark(
         # Below the bind RocksDB costs ~15% (24.3 vs 20.7 s at 6.4M
         # events); at deployment state sizes it is the only stable
         # choice, so it is the default rather than a tuning note.
+        # UPGRADE CAVEAT: the provider is part of the checkpoint's
+        # state format — a streaming checkpoint written under the old
+        # heap-backed default CANNOT be resumed under RocksDB (Spark
+        # does not support switching providers across restarts of the
+        # same query). Existing deployments must either restart their
+        # streams from fresh checkpoints after upgrading, or pin the
+        # old provider via extra_conf={"spark.sql.streaming.stateStore
+        # .providerClass": "...HDFSBackedStateStoreProvider"} until
+        # they can.
         .config(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",

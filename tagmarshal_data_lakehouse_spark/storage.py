@@ -249,13 +249,34 @@ class Lakehouse:
         the right call for file sizing, so neither is defeated here)."""
         if not partition_by:
             return df
+
+        def _hashable(dt: T.DataType) -> bool:
+            # xxhash64 rejects MapType at analysis time (no canonical
+            # element order), at any nesting depth
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _hashable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_hashable(f.dataType) for f in dt.fields)
+            return True
+
         keys: list[Column] = [F.col(c) for c in partition_by]
         if files_per_partition > 1:
-            salt = F.pmod(
-                F.xxhash64(*[F.col(c) for c in df.columns]),
-                F.lit(files_per_partition),
-            )
-            keys.append(salt)
+            # Deterministic row-content salt (task retries must re-land
+            # rows in the same bucket), over the hashable columns only.
+            # Constraint accepted with eyes open: byte-identical
+            # duplicate rows always share a bucket, so a hot partition
+            # made ENTIRELY of duplicates does not spread — content
+            # hashing cannot separate identical content, and a
+            # nondeterministic salt would break retry idempotency.
+            salt_cols = [
+                F.col(f.name) for f in df.schema.fields if _hashable(f.dataType)
+            ]
+            if salt_cols:
+                keys.append(
+                    F.pmod(F.xxhash64(*salt_cols), F.lit(files_per_partition))
+                )
         return df.repartition(*keys)
 
     def write_partitioned(

@@ -227,6 +227,27 @@ def test_partitioned_write_salt_spreads_hot_partition(spark, tmp_path):
     assert lake.read("t.salted").count() == 9_000
 
 
+def test_partitioned_write_salt_tolerates_unhashable_columns(spark, tmp_path):
+    """The salt hashes row content — but xxhash64 rejects MapType at
+    analysis time, so the salt must restrict itself to hashable columns
+    instead of failing the whole write (ADVICE r11). A frame that is
+    ALL map columns beyond the key simply skips the salt (one file)."""
+    lake = Lakehouse(spark, str(tmp_path / "whm"))
+    df = spark.range(200).select(
+        F.lit(0).alias("p"),
+        F.col("id").alias("v"),
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+    )
+    lake.write_partitioned("t.mapsalt", df, ["p"], files_per_partition=4)
+    assert lake.read("t.mapsalt").count() == 200
+
+    only_map = spark.range(50).select(
+        F.lit(1).alias("p"), F.create_map(F.lit("k"), F.col("id")).alias("m")
+    )
+    lake.write_partitioned("t.maponly", only_map, ["p"], files_per_partition=4)
+    assert lake.read("t.maponly").count() == 50
+
+
 def test_partitioned_overwrite_is_clustered_too(spark, tmp_path):
     """The full gold build and merge_upsert's shadow write land through
     Lakehouse.overwrite(partition_by=...) — it must apply the same key
