@@ -105,7 +105,109 @@ def drain(spark, out_df, checkpoint: str, output_mode: str = "update") -> dict:
     return {"sec": wall, "batches": batches, "peak_state_rows": peak_state, "dropped_late": dropped}
 
 
+def probe_silver_ingest(spark, workdir: str, reps: int) -> dict:
+    """Octave the STREAMING silver ingest (streaming/ingest.py
+    stream_silver): landing-zone JSON -> foreachBatch batch transform ->
+    replace_partitions, the path that writes the production table under
+    streaming.  It inherits the r11 key-clustered writes, so beyond
+    wall time this asserts the LAYOUT invariant per micro-batch: every
+    (course_id, ingest_date, event_date) leaf the drain produced must
+    hold exactly ONE data file — each micro-batch's rewrite lands
+    clustered, and distinct batches touch distinct course partitions
+    (one landing file per course here), so sliver accumulation across
+    batches would be a regression against the measured 63k-file cliff.
+    """
+    import glob
+
+    from tools.silver_gold_probe import BASE_COURSES, BASE_ROUNDS, _round_doc
+
+    from tagmarshal_data_lakehouse_spark.storage import Lakehouse
+    from tagmarshal_data_lakehouse_spark.streaming.ingest import (
+        infer_bronze_schema,
+        stream_silver,
+    )
+
+    scale = int(math.isqrt(reps))
+    assert scale * scale == reps, f"reps must be a perfect square, got {reps}"
+    n_courses, n_rounds = BASE_COURSES * scale, BASE_ROUNDS * scale
+    landing = os.path.join(workdir, f"landing_{reps}x")
+    if not os.path.isdir(landing):
+        tmp = landing + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for c in range(n_courses):
+            d = os.path.join(tmp, f"course_id=course{c:04d}", "ingest_date=2024-02-01")
+            os.makedirs(d)
+            docs = [_round_doc(c, r) for r in range(n_rounds)]
+            with open(os.path.join(d, "part00000.json"), "w") as f:
+                json.dump(docs, f)
+        os.rename(tmp, landing)
+
+    lake_root = os.path.join(workdir, f"silver_lake_{reps}x")
+    shutil.rmtree(lake_root, ignore_errors=True)
+    lake = Lakehouse(spark, lake_root)
+    schema = infer_bronze_schema(
+        spark, os.path.join(landing, "course_id=course0000", "ingest_date=*")
+    )
+    ck = os.path.join(workdir, f"ck_silver_{reps}x_{int(time.time())}")
+    t0 = time.perf_counter()
+    q = stream_silver(
+        spark, lake, landing, schema, ck, max_files_per_trigger=FILES_PER_TRIGGER
+    )
+    q.processAllAvailable()
+    q.stop()
+    wall = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(ck, ignore_errors=True)
+
+    n_rows = lake.read("silver.fact_telemetry_event").count()
+    leaf_files: dict[str, int] = {}
+    for f in glob.glob(
+        os.path.join(lake.path("silver.fact_telemetry_event"), "**", "*.parquet"),
+        recursive=True,
+    ):
+        leaf_files[os.path.dirname(f)] = leaf_files.get(os.path.dirname(f), 0) + 1
+    max_files = max(leaf_files.values()) if leaf_files else 0
+    out = {
+        "op": "silver_ingest",
+        "reps": reps,
+        "courses": n_courses,
+        "batches": -(-n_courses // FILES_PER_TRIGGER),
+        "fact_rows": n_rows,
+        "leaf_dirs": len(leaf_files),
+        "max_files_per_leaf": max_files,
+        "layout_ok": max_files == 1,
+        "sec": wall,
+    }
+    print(json.dumps(out), flush=True)
+    assert out["layout_ok"], (
+        f"streaming silver ingest broke the clustered-write layout: "
+        f"{max_files} files in one leaf"
+    )
+    return out
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "silver":
+        # streaming silver-ingest octaves: tools/streaming_probe.py silver [reps...]
+        from tagmarshal_data_lakehouse_spark.session import get_spark
+
+        workdir = os.environ.get("STREAM_PROBE_WORKDIR", "/tmp/streaming_probe")
+        os.makedirs(workdir, exist_ok=True)
+        spark = get_spark(
+            app_name="streaming-silver-probe",
+            shuffle_partitions=int(os.environ.get("SCALE_PROBE_SHUFFLE_PARTS", "32")),
+            driver_memory=os.environ.get("SCALE_PROBE_DRIVER_MEM", "48g"),
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        pts = []
+        for reps in [int(x) for x in sys.argv[2:]] or [16, 64]:
+            m = probe_silver_ingest(spark, workdir, reps)
+            pts.append((reps, m["sec"]))
+        if len(pts) >= 2:
+            (r0, t0), (r1, t1) = pts[0], pts[-1]
+            exp = round(math.log(max(t1, 1e-3) / max(t0, 1e-3)) / math.log(r1 / r0), 2)
+            print(json.dumps({"phase": "silver_ingest", "exponent": exp, "points": pts}))
+        return 0
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps_list = [int(x) for x in sys.argv[2:]] or [4, 16, 64]
     workdir = os.environ.get("STREAM_PROBE_WORKDIR", "/tmp/streaming_probe")
@@ -120,15 +222,24 @@ def main() -> int:
         driver_memory=os.environ.get("SCALE_PROBE_DRIVER_MEM", "48g"),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # STREAM_PROBE_STATE=rocksdb: the one-knob attribution rerun for
-    # state-store binds — the default HDFSBackedStateStore keeps its
-    # maps (plus retained versions) on the JVM heap, which is the first
-    # suspect when a high-cardinality stateful op goes super-linear.
-    if os.environ.get("STREAM_PROBE_STATE", "").lower() == "rocksdb":
+    # STREAM_PROBE_STATE: the one-knob attribution rerun for state-store
+    # binds. Since r11 the SESSION default is RocksDB; =heap forces the
+    # HDFSBackedStateStore (JVM-heap maps plus retained versions — the
+    # store that GC-bound the stream-stream join at ~10M state rows),
+    # =rocksdb forces RocksDB explicitly.
+    state = os.environ.get("STREAM_PROBE_STATE", "").lower()
+    if state == "rocksdb":
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+    elif state == "heap":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        )
+    elif state:
+        raise SystemExit(f"STREAM_PROBE_STATE must be rocksdb|heap, got {state!r}")
 
     # The probe watermark is WIDE (30 days > the testdata's event-time
     # span): the file source orders micro-batches by modification time,
