@@ -49,24 +49,28 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 # Measured constants behind suggest_dedup_shuffle_partitions (SCALE.md,
-# r10 sixth octave + r11 seventh octave, six attributed points):
-# - Bind onset: clean sessions at ~41-43k docs/heap-GiB (2.048M @ 48g,
-#   4.096M @ 100g, both exponent ~1.07/in-band); GC-bound sessions at
-#   ~82-85k/GiB (4.096M @ 48g exponent 2.54, 8.192M @ 100g exponent
-#   1.54 — the r11 seventh octave, which caught this constant's first
-#   value of 85k as too generous). 48k/GiB classifies all measured
-#   points correctly with margin on the clean side.
-# - The width remedy is BIND-POINT-LOCAL (r11's key negative result).
-#   At the 48g bind, widening fixed it: 32 parts 259.8s, 128 parts
-#   146.0s, 256 parts 200.2s (optimum ~32k docs/task). At the 100g
-#   bind the SAME sweep is monotonically worse: 32 parts 386.5s, 128
-#   parts 468.0s, 256 parts 567.4s — there the ~60 GiB gram cache
-#   itself outgrows the storage-safe fraction and extra partitions only
-#   add churn; no shuffle width avoids that cliff. Widening is
-#   therefore applied only in the measured-validated regime
-#   (executor-class heaps <= 64 GiB, cap 128); past it the honest
-#   remedy is more executors (smaller per-JVM doc share), not width.
-_DEDUP_HEAP_DOCS_PER_GIB = 48_000
+# r10 sixth octave + r11 seventh octave + r12 64g crossover sweep,
+# eight attributed points):
+# - Bind onset: clean sessions through ~64k docs/heap-GiB (2.048M @
+#   48g and 4.096M @ 100g at ~41-43k, exponent ~1.07; 4.096M @ 64g at
+#   64k, exponent 1.04 — the r12 sweep); GC-bound sessions at ~82-85k/
+#   GiB (4.096M @ 48g exponent 2.54, 8.192M @ 100g exponent 1.54).
+#   The onset therefore sits in (64k, 82k]/GiB; 72k splits the bracket
+#   with margin on both measured sides. (The r11 value of 48k was
+#   conservative-early — and the r12 sweep showed early is NOT safe:
+#   widening at the clean 64k-ratio point cost 2.3x, see below.)
+# - The width remedy is BIND-POINT-LOCAL (r11's key negative result,
+#   sharpened by r12): it helps ONLY at an actual GC bind. At the 48g
+#   bind, widening fixed it: 32 parts 259.8s, 128 parts 146.0s, 256
+#   parts 200.2s (optimum ~32k docs/task). At the 100g cache-overflow
+#   bind the SAME sweep is monotonically worse: 386.5/468.0/567.4 s at
+#   32/128/256 — the ~60 GiB gram cache outgrows the storage-safe
+#   fraction and width only adds churn. And at a CLEAN point (4.096M @
+#   64g, r12) widening is pure cost: 93.6 s at 32 parts vs 213.1 s at
+#   128. Widening is therefore applied only past the measured onset on
+#   executor-class heaps (<= 64 GiB, cap 128); past the cache cliff
+#   the honest remedy is more executors, not width.
+_DEDUP_HEAP_DOCS_PER_GIB = 72_000
 _DEDUP_DOCS_PER_TASK = 32_000
 _DEDUP_WIDEN_MAX_HEAP_GIB = 64  # widening validated at 48g; harmful at 100g
 _DEDUP_MAX_WIDTH = 128  # widest reading that ever beat the default
@@ -81,7 +85,7 @@ def suggest_dedup_shuffle_partitions(
     from the r10/r11 heap-bind measurements (constants above).
 
     Returns ``default_partitions`` while the per-JVM document count
-    sits below the measured GC-bind ratio (48k docs/heap-GiB). Past it,
+    sits below the measured GC-bind ratio (72k docs/heap-GiB). Past it,
     on executor-class heaps (<= 64 GiB) it widens to the next power of
     two landing ~32k docs per task, capped at 128 — the 146.0s winner
     of the 8192x/48g one-knob sweep. On larger single-JVM heaps past

@@ -543,6 +543,11 @@ def test_suggest_dedup_shuffle_partitions_pins_measured_band():
     assert s(4_096_000, 100, 32) == 32
     assert s(2_048_000, 48, 32) == 32
     assert s(500_000, 48, 32) == 32
+    # the r12 64g crossover sweep: 4.096M @ 64g (64k docs/GiB) is CLEAN
+    # (exponent 1.04) and widening there cost 2.3x (93.6 s at 32 parts
+    # vs 213.1 s at 128) — the helper must hold the default below the
+    # measured onset even on a widen-eligible heap
+    assert s(4_096_000, 64, 32) == 32
     # the 48g bind: widen to 128 (the measured winner)
     assert s(4_096_000, 48, 32) == 128
     # the 100g bind: hold the default — width only hurt there; the
