@@ -261,18 +261,21 @@ _SWEEP_PRIORITY = (
     "gold_completeness_summary",
     "gold_rounds_by_weekday",
     "gold_start_hole_distribution",
-    # Queue underflow (37 dues, 38 slots): the spare slot pulls the
-    # first r07-vintage entry forward, trimming round 13's cohort to
-    # 37 <= 38.
-    "agg_weighted_score",
+    # The 38th slot carries the round-12 registration (never-green ->
+    # hard due, must sit in the sweep window): the rollup-combine
+    # global_overview, the driver-grade check on gold/rollups.py's
+    # incremental path INCLUDING the nearest-rank median the full-build
+    # bridge entry must exclude.
+    "gold_global_overview_rollup",
 )
 
 # The rest of the stale rotation.  FRONT: this round's due-queue
-# overflow — empty at round 12 (37 dues fit 38 slots).  Then the
-# remaining 37 r07-vintage entries that cross the staleness horizon at
-# round 13, in rotation order — round 13's queue is 37 <= 38 slots.
+# overflow — empty at round 12 (37 stale + 1 hard due fill 38 slots).
+# Then the 38 r07-vintage entries that cross the staleness horizon at
+# round 13, in rotation order — round 13's queue is 38 = 38 slots.
 _STALE_TAIL = (
     # r07-vintage cohort (due at round 13)
+    "agg_weighted_score",
     "distinct_projection",
     "join_broadcast",
     "join_range_broadcast",

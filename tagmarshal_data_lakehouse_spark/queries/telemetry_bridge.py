@@ -1947,6 +1947,139 @@ q_gold_global_overview = Query(
     "(approximate sketches never hash cross-engine).",
 )
 
+# The incremental-refresh pipeline for global_overview as ONE statement:
+# per-course partial-aggregate rollups (gold/rollups.py rollup_partials
+# — course-grain sums, (course,round) flag rollup, (course,pace_gap)
+# value histogram, (course,device) rollup) combined into the global row
+# (combine_global_overview). Shared verbatim between the Spark build
+# and the DuckDB oracle — pure ANSI, including the median: the rollup
+# path's exact nearest-rank median (value at 1-based rank CEIL(0.5*N)
+# via a windowed cumulative over the value histogram) is deterministic
+# and engine-portable, which the full build's PERCENTILE_APPROX sketch
+# is not — so this entry driver-verifies the column the
+# gold_global_overview bridge entry must exclude. The average rides
+# exact DECIMAL(30,12) partial sums (the dsum discipline; both engines
+# round the double at 12 fractional digits identically, then divide in
+# IEEE double).
+_GLOBAL_OVERVIEW_ROLLUP_BODY = """
+base AS (
+    SELECT course_id, round_id, device AS device_id, fix_timestamp,
+           is_timestamp_missing, is_location_padding, is_problem, is_complete,
+           is_nine_hole, is_secondary, is_auto_assigned, pace_gap
+    FROM fact_telemetry_event WHERE course_id IS NOT NULL
+),
+rollup_course AS (
+    SELECT course_id,
+        COUNT(*) AS total_rows,
+        CAST(SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS padding_rows,
+        CAST(SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS non_padding_rows,
+        CAST(SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_rows,
+        CAST(SUM(CASE WHEN is_timestamp_missing AND NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_non_padding_rows,
+        CAST(SUM(CASE WHEN NOT is_location_padding AND is_problem THEN 1 ELSE 0 END) AS BIGINT) AS problem_rows,
+        MIN(fix_timestamp) AS first_fix_ts,
+        MAX(fix_timestamp) AS last_fix_ts,
+        SUM(CASE WHEN NOT is_location_padding THEN CAST(pace_gap AS DECIMAL(30,12)) END) AS pace_gap_np_sum,
+        COUNT(CASE WHEN NOT is_location_padding THEN pace_gap END) AS pace_gap_np_cnt
+    FROM base GROUP BY course_id
+),
+rollup_round AS (
+    SELECT course_id, round_id,
+        BOOL_OR(NOT is_location_padding) AS any_non_padding,
+        BOOL_OR(NOT is_location_padding AND COALESCE(is_complete, FALSE)) AS complete_np,
+        BOOL_OR(NOT is_location_padding AND COALESCE(is_nine_hole, FALSE)) AS nine_hole_np,
+        BOOL_OR(NOT is_location_padding AND COALESCE(is_secondary, FALSE)) AS secondary_np,
+        BOOL_OR(NOT is_location_padding AND COALESCE(is_auto_assigned, FALSE)) AS auto_assigned_np
+    FROM base GROUP BY course_id, round_id
+),
+rollup_pace AS (
+    SELECT course_id, pace_gap, COUNT(*) AS n
+    FROM base WHERE NOT is_location_padding AND pace_gap IS NOT NULL
+    GROUP BY course_id, pace_gap
+),
+rollup_device AS (
+    SELECT course_id, device_id FROM base
+    WHERE device_id IS NOT NULL GROUP BY course_id, device_id
+),
+c AS (
+    SELECT
+        CAST(SUM(total_rows) AS BIGINT) AS total_rows,
+        CAST(SUM(padding_rows) AS BIGINT) AS padding_rows,
+        CAST(SUM(non_padding_rows) AS BIGINT) AS non_padding_rows,
+        COUNT(*) AS courses,
+        CAST(SUM(ts_missing_rows) AS BIGINT) AS ts_missing_rows,
+        CAST(SUM(ts_missing_non_padding_rows) AS BIGINT) AS ts_missing_non_padding_rows,
+        CAST(SUM(problem_rows) AS BIGINT) AS problem_rows,
+        MIN(first_fix_ts) AS first_fix_ts,
+        MAX(last_fix_ts) AS last_fix_ts,
+        CAST(CAST(SUM(pace_gap_np_sum) AS DOUBLE) / CAST(SUM(pace_gap_np_cnt) AS DOUBLE) AS DOUBLE) AS avg_pace_gap_sec
+    FROM rollup_course
+),
+r AS (
+    SELECT
+        COUNT(DISTINCT round_id) AS distinct_rounds_all,
+        COUNT(DISTINCT CASE WHEN any_non_padding THEN round_id END) AS distinct_rounds_non_padding,
+        COUNT(DISTINCT CASE WHEN complete_np THEN round_id END) AS complete_rounds,
+        COUNT(DISTINCT CASE WHEN nine_hole_np THEN round_id END) AS nine_hole_rounds,
+        COUNT(DISTINCT CASE WHEN secondary_np THEN round_id END) AS secondary_rounds,
+        COUNT(DISTINCT CASE WHEN auto_assigned_np THEN round_id END) AS auto_assigned_rounds
+    FROM rollup_round
+),
+d AS (SELECT COUNT(DISTINCT device_id) AS distinct_devices FROM rollup_device),
+hist AS (SELECT pace_gap, CAST(SUM(n) AS BIGINT) AS n FROM rollup_pace GROUP BY pace_gap),
+ranked AS (
+    SELECT pace_gap,
+           CAST(SUM(n) OVER (ORDER BY pace_gap) AS BIGINT) AS cum,
+           CAST(SUM(n) OVER () AS BIGINT) AS total
+    FROM hist
+),
+p AS (
+    SELECT MIN(pace_gap) AS median_pace_gap_sec
+    FROM ranked WHERE CAST(cum AS DOUBLE) >= CEIL(0.5 * CAST(total AS DOUBLE))
+),
+agg AS (SELECT c.*, r.*, d.*, p.* FROM c CROSS JOIN r CROSS JOIN d CROSS JOIN p)
+SELECT total_rows, padding_rows, non_padding_rows, courses,
+    distinct_rounds_all, distinct_rounds_non_padding, distinct_devices,
+    ts_missing_rows, ts_missing_non_padding_rows, problem_rows,
+    CAST(ROUND(100.0 * problem_rows / NULLIF(non_padding_rows, 0), 2) AS DOUBLE) AS pct_problem_rows_non_padding,
+    complete_rounds,
+    CAST(ROUND(100.0 * complete_rounds / NULLIF(distinct_rounds_non_padding, 0), 2) AS DOUBLE) AS pct_complete_rounds,
+    nine_hole_rounds,
+    CAST(ROUND(100.0 * nine_hole_rounds / NULLIF(distinct_rounds_non_padding, 0), 2) AS DOUBLE) AS pct_nine_hole_rounds,
+    secondary_rounds,
+    CAST(ROUND(100.0 * secondary_rounds / NULLIF(distinct_rounds_non_padding, 0), 2) AS DOUBLE) AS pct_secondary_rounds,
+    auto_assigned_rounds,
+    CAST(ROUND(100.0 * auto_assigned_rounds / NULLIF(distinct_rounds_non_padding, 0), 2) AS DOUBLE) AS pct_auto_assigned_rounds,
+    CAST(ROUND(100.0 * padding_rows / NULLIF(total_rows, 0), 2) AS DOUBLE) AS pct_padding_rows,
+    CAST(ROUND(100.0 * ts_missing_rows / NULLIF(total_rows, 0), 2) AS DOUBLE) AS pct_ts_missing_rows,
+    CAST(ROUND(100.0 * ts_missing_non_padding_rows / NULLIF(non_padding_rows, 0), 2) AS DOUBLE) AS pct_ts_missing_non_padding_rows,
+    first_fix_ts, last_fix_ts, avg_pace_gap_sec, median_pace_gap_sec
+FROM agg
+"""
+
+
+def _build_global_overview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        f"WITH fact_telemetry_event AS ({_SPARK_BRIDGE_EXT}),"
+        f"{_GLOBAL_OVERVIEW_ROLLUP_BODY}"
+    )
+
+
+q_gold_global_overview_rollup = Query(
+    name="gold_global_overview_rollup",
+    build=_build_global_overview_rollup,
+    oracle=(
+        lambda: f"WITH fact_telemetry_event AS ({_DUCK_BRIDGE_EXT}),"
+        f"{_GLOBAL_OVERVIEW_ROLLUP_BODY}"
+    )(),
+    doc="global_overview derived the INCREMENTAL way (gold/rollups.py):"
+    " per-course partial rollups combined into the global row, as one"
+    " shared-text statement. Unlike the full-build bridge entry this"
+    " one driver-verifies median_pace_gap_sec — the rollup path's"
+    " exact nearest-rank median is engine-portable where the"
+    " full build's PERCENTILE_APPROX sketch is not.",
+)
+
 q_gold_global_course_summary = Query(
     name="gold_global_course_summary",
     build=lambda spark, sf_dir: _decimals_as_double(
@@ -4889,3 +5022,9 @@ R17_STAGED = [
 # hard dues; events_hopping_window moved from the staged tz gate
 # (_TS_STAGED) into test_tz_independence.TS_QUERIES.
 QUERIES += R17_STAGED
+
+# --- Round 12 registration (no staging needed): the rollup-combine ----
+# pipeline for global_overview, registered directly because the
+# round-12 head has a free slot (37 dues / 38 slots) — it takes the
+# never-green hard-due slot the r07-vintage pull-forward occupied.
+QUERIES += [q_gold_global_overview_rollup]

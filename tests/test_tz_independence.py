@@ -60,6 +60,10 @@ TS_QUERIES = [
     "gold_dim_round",
     "gold_dim_device",
     "gold_global_overview",
+    # r12: the rollup-combine variant emits the same raw NTZ
+    # first/last_fix_ts stamps (and its nearest-rank median must not
+    # shift under session tz either)
+    "gold_global_overview_rollup",
     "gold_global_course_summary",
     "gold_global_time_patterns",
     "gold_fact_telemetry_fix",
