@@ -1048,7 +1048,7 @@ def incremental_update(
 
     if global_models:
         t0 = time.perf_counter()
-        _rollups.refresh_rollups(spark, lake, fact_full, fact_inc)
+        _rollups.refresh_rollups(spark, lake, fact_full, fact_inc, course_ids)
         if timings is not None:
             timings["rollup_refresh"] = round(time.perf_counter() - t0, 3)
 

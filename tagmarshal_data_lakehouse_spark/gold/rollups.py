@@ -150,21 +150,53 @@ def rollup_partials(fact: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def refresh_rollups(spark: SparkSession, lake, fact_full, fact_inc) -> None:
+# Pruned projection shared by all four partial aggregates: persisting
+# it makes the seed cost ONE corpus scan (the first aggregate fills the
+# cache, the other three read it back), not one per rollup table.
+_PARTIAL_COLUMNS = (
+    "course_id", "round_id", "device", "fix_timestamp",
+    "is_timestamp_missing", "is_location_padding", "is_problem",
+    "is_complete", "is_nine_hole", "is_secondary", "is_auto_assigned",
+    "pace_gap", "battery_percentage",
+)
+
+
+def refresh_rollups(spark: SparkSession, lake, fact_full, fact_inc, course_ids) -> None:
     """Bring the rollup tables up to date for a refresh.
 
     Steady state rebuilds only the refreshed courses' partitions from
-    `fact_inc` (O(new data)).  If any rollup table is missing the whole
-    set is seeded from `fact_full` — one full scan, paid once per
-    deployment, after which no refresh ever rescans the corpus.
+    `fact_inc` (O(new data)); a refreshed course with NO remaining
+    silver rows (full deletion / re-ingest correction) gets its rollup
+    partitions DROPPED — dynamic partition overwrite cannot rewrite a
+    partition absent from the written frame, so without the explicit
+    drop the global models would keep counting deleted data forever.
+    If any rollup table is missing the whole set is seeded from
+    `fact_full` — one full scan (the pruned projection is persisted
+    across the four partial writes, spilling to disk rather than
+    re-reading the corpus), paid once per deployment, after which no
+    refresh ever rescans the corpus.
     """
+    from pyspark import StorageLevel
+
     seeding = any(not lake.exists(t) for t in ROLLUP_TABLES)
-    partials = rollup_partials(fact_full if seeding else fact_inc)
-    for table, df in partials.items():
+    src = (fact_full if seeding else fact_inc).select(*_PARTIAL_COLUMNS)
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        partials = rollup_partials(src)
         if seeding:
-            lake.overwrite(table, df, partition_by=["course_id"])
+            for table, df in partials.items():
+                lake.overwrite(table, df, partition_by=["course_id"])
         else:
-            lake.replace_partitions(table, df, ["course_id"])
+            present = {
+                r["course_id"] for r in src.select("course_id").distinct().collect()
+            }
+            vanished = [c for c in course_ids if c not in present]
+            for table, df in partials.items():
+                lake.replace_partitions(table, df, ["course_id"])
+                if vanished:
+                    lake.drop_partitions(table, "course_id", vanished)
+    finally:
+        src.unpersist()
 
 
 def combine_global_overview(spark: SparkSession, lake) -> DataFrame:

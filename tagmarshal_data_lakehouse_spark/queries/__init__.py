@@ -208,7 +208,7 @@ _FLAGSHIP_INTERLEAVE = (
     "join_multiway",
 )
 
-# Round-12 sweep priorities (37 entries; slots 13..49 of the head).
+# Round-12 sweep priorities (38 entries; slots 13..50 of the head).
 # Composition is governed by the artifact-driven standing gate in
 # tests/test_registry_order.py: every oracle-backed query that has NEVER
 # had a driver hash row, or whose text was edited after its last green
@@ -217,10 +217,12 @@ _FLAGSHIP_INTERLEAVE = (
 # (oldest driver-green round first); whatever the queue cannot fit this
 # round leads the tail (_STALE_TAIL) and must fit entirely into NEXT
 # round's priority block.
-# rotate_head --round 12: 238 oracle-backed, horizon 6 (stale = green
-# <= r06); due 37 = 0 hard + 37 stale (tpch_q22, the round-11 overflow,
-# due FIRST, then the 36 r06-vintage cohort) — 37/38 slots, overflow 0;
-# round 13's queue is the 38 r07-vintage entries = 38 <= 38.
+# rotate_head --round 12 (plus the round-12 registration): 239
+# oracle-backed, horizon 6 (stale = green <= r06); due 38 = 1 hard
+# (gold_global_overview_rollup, registered never-green this round) +
+# 37 stale (tpch_q22, the round-11 overflow, due FIRST, then the 36
+# r06-vintage cohort) — 38/38 slots, overflow 0; round 13's queue is
+# the 38 r07-vintage entries = 38 <= 38.
 _SWEEP_PRIORITY = (
     # round-11 due-queue overflow (r05-vintage), due first
     "tpch_q22",

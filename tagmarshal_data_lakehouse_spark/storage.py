@@ -334,13 +334,21 @@ class Lakehouse:
         Partitioned overwrites get the same key clustering as
         write_partitioned — the full gold build and merge_upsert's
         shadow write land through here, and an un-clustered layout pays
-        the measured small-files tax on every downstream scan."""
+        the measured small-files tax on every downstream scan.
+
+        partitionOverwriteMode is forced STATIC per write (the mirror
+        of replace_partitions forcing dynamic): the package session
+        defaults the conf to dynamic, under which a partitioned
+        `.mode("overwrite")` would silently keep partitions ABSENT from
+        the frame — replace semantics, not the drop-and-recreate this
+        method promises (round-12 review finding: a course deleted from
+        the incoming frame survived an 'overwrite')."""
         self._snapshot(table, "overwrite")
         if partition_by:
             df = self._cluster_for_write(df, partition_by, files_per_partition)
         w = df.write.mode("overwrite")
         if partition_by:
-            w = w.partitionBy(*partition_by)
+            w = w.option("partitionOverwriteMode", "static").partitionBy(*partition_by)
         w.parquet(self.path(table))
         self._save_schema(table, df, reset=True)
 
@@ -383,6 +391,25 @@ class Lakehouse:
         shadow = table + "__tmp"
         self.overwrite(shadow, merged, partition_by)
         self._swap_in(table, shadow)
+
+    def drop_partitions(self, table: str, partition_col: str, values: list[str]) -> int:
+        """Remove entire TOP-LEVEL partitions — the complement of
+        replace_partitions, whose dynamic overwrite can only rewrite
+        partitions PRESENT in the incoming frame and therefore cannot
+        express "this course no longer exists".  Snapshotted like every
+        other mutation, so time travel still sees the pre-drop state.
+        Values must be plain partition strings (no characters Spark
+        URL-escapes in partition paths).  Returns partitions removed."""
+        if not self.exists(table) or not values:
+            return 0
+        self._snapshot(table, "drop_partitions")
+        dropped = 0
+        for v in values:
+            d = os.path.join(self.path(table), f"{partition_col}={v}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                dropped += 1
+        return dropped
 
     def _swap_in(self, table: str, shadow: str) -> None:
         """Atomically replace `table`'s directory with `shadow`'s (two

@@ -147,8 +147,12 @@ def jvm_heap_gib(spark) -> float:
 # call.  Without it repeated calls ratchet: once a large-corpus run
 # widens to 128, a later small-corpus call would read 128 back as the
 # "default" and never narrow again (the SCALE_PROBE_AUTO_PARTS loop in
-# tools/scale_probe.py hits exactly that across reps).
+# tools/scale_probe.py hits exactly that across reps).  _LAST_SET
+# records what the sizing itself last wrote: when the live conf
+# differs, the USER changed the width since — their value becomes the
+# new baseline instead of being silently clobbered by a stale one.
 _DEDUP_BASELINE_KEY = "spark.tagmarshal.dedup.baselineShufflePartitions"
+_DEDUP_LAST_SET_KEY = "spark.tagmarshal.dedup.lastSetShufflePartitions"
 
 
 def size_session_for_dedup(spark, n_docs: int) -> int:
@@ -158,19 +162,23 @@ def size_session_for_dedup(spark, n_docs: int) -> int:
     Session-level by design — the same knob the round-10 probe turned
     (`SCALE_PROBE_SHUFFLE_PARTS`), and shuffle width is a session conf
     in Spark, not a per-plan hint.  The pre-sizing width is captured
-    once (first call) under ``spark.tagmarshal.dedup.baseline...`` and
-    every later call sizes from THAT baseline, so a small-corpus call
-    after a widened run narrows back instead of ratcheting; callers
-    interleaving other work can restore with
-    :func:`restore_session_width`.  Returns the width it set (the
+    under ``spark.tagmarshal.dedup.baseline...`` and later calls size
+    from THAT baseline, so a small-corpus call after a widened run
+    narrows back instead of ratcheting — and a width the USER sets
+    between sizing calls is adopted as the new baseline (the recorded
+    last-set value distinguishes our own write from theirs), never
+    silently reverted.  Callers interleaving other work can restore
+    with :func:`restore_session_width`.  Returns the width it set (the
     baseline when the heap is comfortable, so calling it is always
     safe)."""
+    current = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = spark.conf.get(_DEDUP_BASELINE_KEY, None)
-    if baseline is None:
-        baseline = spark.conf.get("spark.sql.shuffle.partitions")
+    if baseline is None or current != spark.conf.get(_DEDUP_LAST_SET_KEY, None):
+        baseline = current  # first call, or user-changed width: re-capture
         spark.conf.set(_DEDUP_BASELINE_KEY, baseline)
     width = suggest_dedup_shuffle_partitions(n_docs, jvm_heap_gib(spark), int(baseline))
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    spark.conf.set(_DEDUP_LAST_SET_KEY, str(width))
     return width
 
 
@@ -179,11 +187,15 @@ def restore_session_width(spark) -> int | None:
     baseline (no-op if sizing never ran).  Only call this AFTER the
     dedup plan has actually executed — the returned frames are lazy,
     and the width in force at action time is what the measurements
-    validated.  Returns the restored width, or None if untouched."""
+    validated.  Clears the recorded baseline, so the next sizing call
+    captures the then-current width afresh.  Returns the restored
+    width, or None if untouched."""
     baseline = spark.conf.get(_DEDUP_BASELINE_KEY, None)
     if baseline is None:
         return None
     spark.conf.set("spark.sql.shuffle.partitions", baseline)
+    spark.conf.unset(_DEDUP_BASELINE_KEY)
+    spark.conf.unset(_DEDUP_LAST_SET_KEY)
     return int(baseline)
 
 
@@ -538,8 +550,8 @@ def minhash_dedup_verdicts(
     never a pair-grain frame.
 
     ``auto_size_session=True`` applies the measured heap-bind remedy
-    (:func:`size_session_for_dedup` — 48k docs/heap-GiB onset, widen
-    cap 128 on <= 64 GiB heaps, SCALE.md r10/r11 octaves) before
+    (:func:`size_session_for_dedup` — 72k docs/heap-GiB onset, widen
+    cap 128 on <= 64 GiB heaps, SCALE.md r10-r12 octaves) before
     building the plan, sized from ``n_docs_estimate`` (or one
     ``df.count()`` when not given — a single columnar scan, cheap next
     to the dedup itself).  The width is a SESSION conf and must stay in

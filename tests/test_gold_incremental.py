@@ -202,3 +202,43 @@ def test_combined_median_matches_percentile_approx_in_exact_regime(spark, tmp_pa
         ).first()["m"]
         reference = df.agg(F.expr("percentile_approx(pace_gap, 0.5)")).first()[0]
         assert combined == reference, (i, combined, reference)
+
+
+def test_refreshing_a_fully_deleted_course_drops_its_rollup_state(spark, tmp_path):
+    """Dynamic partition overwrite cannot rewrite a partition absent
+    from the written frame, so a course whose silver rows were all
+    deleted (GDPR / re-ingest correction) must have its rollup
+    partitions explicitly DROPPED when IT IS REFRESHED — otherwise the
+    global models count deleted data forever (round-12 review
+    finding)."""
+    lake = Lakehouse(spark, str(tmp_path / "warehouse"))
+    fact = _silver_fact(spark, tmp_path, ["course_a", "course_b"])
+    lake.replace_partitions(
+        "silver.fact_telemetry_event", fact, ["course_id", "ingest_date", "event_date"]
+    )
+    models = GoldBuilder(spark).build(lake.read("silver.fact_telemetry_event"))
+    for name, df in models.items():
+        part = ["course_id"] if "course_id" in df.columns else None
+        lake.overwrite(f"gold.{name}", df, partition_by=part)
+    incremental_update(spark, lake, ["course_a"])  # seeds the rollups
+    assert lake.read("gold.global_overview").first()["courses"] == 2
+
+    # course_a's silver data is deleted, and course_a IS refreshed
+    only_b = fact.filter(F.col("course_id") == "course_b")
+    lake.overwrite(
+        "silver.fact_telemetry_event",
+        only_b,
+        partition_by=["course_id", "ingest_date", "event_date"],
+    )
+    incremental_update(spark, lake, ["course_a"])
+    row = lake.read("gold.global_overview").first()
+    assert row["courses"] == 1  # deleted course gone from the rollups
+    assert row["total_rows"] == only_b.count()
+    devices_b = {
+        r["device_id"]
+        for r in only_b.filter(F.col("device").isNotNull())
+        .select(F.col("device").alias("device_id")).distinct().collect()
+    }
+    assert {
+        r["device_id"] for r in lake.read("gold.dim_device").collect()
+    } == devices_b

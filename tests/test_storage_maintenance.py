@@ -270,3 +270,20 @@ def test_partitioned_overwrite_is_clustered_too(spark, tmp_path):
         f.endswith(".parquet") for f in _os.listdir(lake.path("t.flat"))
     )
     assert n_flat == 16
+
+
+def test_overwrite_is_drop_and_recreate_even_under_dynamic_session(spark, tmp_path):
+    """Lakehouse.overwrite promises drop-and-recreate (S15), but the
+    package session defaults spark.sql.sources.partitionOverwriteMode
+    to dynamic — under which a partitioned .mode('overwrite') keeps
+    partitions absent from the frame (replace semantics). The per-write
+    static override must make partitions DISAPPEAR when the new frame
+    lacks them (round-12 review finding)."""
+    lake = Lakehouse(spark, str(tmp_path / "whd"))
+    df2 = spark.createDataFrame([("a", 1), ("b", 2)], "p string, v int")
+    lake.overwrite("t.ow", df2, partition_by=["p"])
+    assert lake.read("t.ow").count() == 2
+    only_b = df2.filter(F.col("p") == "b")
+    lake.overwrite("t.ow", only_b, partition_by=["p"])
+    rows = lake.read("t.ow").collect()
+    assert [(r["p"], r["v"]) for r in rows] == [("b", 2)]
