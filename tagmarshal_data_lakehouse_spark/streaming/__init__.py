@@ -8,6 +8,7 @@ event-time analytics over the events stream.
 """
 
 from .ingest import stream_silver  # noqa: F401
+from .sizing import suggest_stream_shuffle_partitions  # noqa: F401
 from .events import (  # noqa: F401
     stream_curate,
     stream_dedup_against_corpus,

@@ -743,3 +743,31 @@ def test_stream_interval_enrich_matches_naive_and_keeps_unmatched(spark, tmp_pat
     # w2 (multi-chunk span, 4 is the last microsecond); 5 unmatched;
     # empty w0 never matches
     assert rows == naive == {(1, "w1"), (2, None), (3, "w2"), (4, "w2"), (5, None)}
+
+
+def test_suggest_stream_shuffle_partitions_pins_measured_points():
+    """The r12 4096x streaming probe (SCALE.md): state shards one
+    RocksDB store per shuffle partition, and per-store state rows are
+    the binding resource — comfortable at the measured ~1.28M/store,
+    super-linear at ~5.1M/store, recovered 1.9x by the one-knob 128-
+    store rerun. The helper must hold the default below the onset and
+    re-land the measured-good density past it."""
+    import pytest as _pytest
+
+    from tagmarshal_data_lakehouse_spark.streaming import (
+        suggest_stream_shuffle_partitions as s,
+    )
+
+    # windowed aggs: state is open windows (hundreds of rows) — default
+    assert s(1_441, 32) == 32
+    # the measured-comfortable 1024x join point: 40.9M rows / 32 stores
+    assert s(40_905_728, 32) == 32
+    # the measured bind: 163.6M rows at 32 stores (~5.1M/store) must
+    # widen to the one-knob rerun's 128 (~1.28M/store, 1.9x faster)
+    assert s(163_622_912, 32) == 128
+    # never narrows below the session default; cap bounds runaways
+    assert s(10_000_000, 256) == 256
+    assert s(10**12, 32) == 128
+    for bad in [(-1, 32), (100, 0)]:
+        with _pytest.raises(ValueError):
+            s(*bad)
