@@ -191,7 +191,7 @@ def _register_tables(
 # test fails loudly if this marker ever falls more than one round
 # behind the artifacts (the round-5 zero-commit failure mode). Bump it
 # when rotating the head.
-HEAD_DESIGNED_FOR_ROUND = 12
+HEAD_DESIGNED_FOR_ROUND = 13
 
 _FLAGSHIP_INTERLEAVE = (
     "events_sessionize",
@@ -208,7 +208,7 @@ _FLAGSHIP_INTERLEAVE = (
     "join_multiway",
 )
 
-# Round-12 sweep priorities (38 entries; slots 13..50 of the head).
+# Round-13 sweep priorities (38 entries; slots 13..50 of the head).
 # Composition is governed by the artifact-driven standing gate in
 # tests/test_registry_order.py: every oracle-backed query that has NEVER
 # had a driver hash row, or whose text was edited after its last green
@@ -217,66 +217,12 @@ _FLAGSHIP_INTERLEAVE = (
 # (oldest driver-green round first); whatever the queue cannot fit this
 # round leads the tail (_STALE_TAIL) and must fit entirely into NEXT
 # round's priority block.
-# rotate_head --round 12 (plus the round-12 registration): 239
-# oracle-backed, horizon 6 (stale = green <= r06); due 38 = 1 hard
-# (gold_global_overview_rollup, registered never-green this round) +
-# 37 stale (tpch_q22, the round-11 overflow, due FIRST, then the 36
-# r06-vintage cohort) — 38/38 slots, overflow 0; round 13's queue is
-# the 38 r07-vintage entries = 38 <= 38.
+# rotate_head --round 13: 239 oracle-backed, horizon 6 (stale = green
+# <= r07); due 38 = 0 hard + 38 stale (the r07-vintage cohort) —
+# 38/38 slots, overflow 0; round 14's queue is the 37 r08-vintage
+# entries = 37 <= 38.
 _SWEEP_PRIORITY = (
-    # round-11 due-queue overflow (r05-vintage), due first
-    "tpch_q22",
-    # r06-vintage cohort (crossed the horizon at round 12)
-    "agg_conditional",
-    "agg_filter_clause",
-    "agg_minmax_duration",
-    "agg_percentile",
-    "agg_stddev",
-    "agg_bool_array",
-    "agg_mode_deterministic",
-    "agg_having",
-    "agg_global",
-    "scalar_variant",
-    "events_gapfill",
-    "events_activity_islands",
-    "events_interval_join",
-    "events_value_histogram",
-    "events_point_in_interval",
-    "doc_semantic_domain_profile",
-    "doc_tf_cosine_pairs",
-    "doc_corpus_keywords",
-    "emb_label_centroids",
-    "emb_cosine_topk_gemm",
-    "emb_hard_negatives",
-    "emb_hard_negatives_gemm",
-    "doc_weighted_sample",
-    "doc_length_matched_sample",
-    "doc_temperature_mixture",
-    "doc_source_drift",
-    "doc_pii_redact",
-    "doc_token_rarity",
-    "telemetry_missing_ts_by_ingest",
-    "telemetry_missing_ts_by_location",
-    "telemetry_missing_ts_trend",
-    "gold_fact_rounds",
-    "gold_data_quality_overview",
-    "gold_completeness_summary",
-    "gold_rounds_by_weekday",
-    "gold_start_hole_distribution",
-    # The 38th slot carries the round-12 registration (never-green ->
-    # hard due, must sit in the sweep window): the rollup-combine
-    # global_overview, the driver-grade check on gold/rollups.py's
-    # incremental path INCLUDING the nearest-rank median the full-build
-    # bridge entry must exclude.
-    "gold_global_overview_rollup",
-)
-
-# The rest of the stale rotation.  FRONT: this round's due-queue
-# overflow — empty at round 12 (37 stale + 1 hard due fill 38 slots).
-# Then the 38 r07-vintage entries that cross the staleness horizon at
-# round 13, in rotation order — round 13's queue is 38 = 38 slots.
-_STALE_TAIL = (
-    # r07-vintage cohort (due at round 13)
+    # r07-vintage cohort (crossed the horizon at round 13)
     "agg_weighted_score",
     "distinct_projection",
     "join_broadcast",
@@ -315,6 +261,52 @@ _STALE_TAIL = (
     "gold_pace_summary_by_round",
     "gold_hole_performance",
     "gold_dim_course",
+)
+
+# The rest of the stale rotation.  FRONT: this round's due-queue
+# overflow — empty at round 13 (the 38 r07 stales fill 38 slots
+# exactly).  Then the 37 r08-vintage entries that cross the staleness
+# horizon at round 14, in rotation order — round 14's queue is
+# 37 <= 38 slots.
+_STALE_TAIL = (
+    # r08-vintage cohort (due at round 14)
+    "window_ntile_distribution",
+    "pivot_status_counts",
+    "join_exists_correlated",
+    "scalar_correlated_subquery",
+    "explode_posexplode",
+    "set_intersect_except",
+    "agg_corr_regression",
+    "scalar_array_family",
+    "agg_string_agg",
+    "window_range_frame",
+    "join_full_outer",
+    "agg_skew_profile",
+    "scan_profile",
+    "events_funnel",
+    "events_dedup_exact",
+    "events_time_rollup",
+    "events_retention_cohorts",
+    "events_anomaly_zscore",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_ngram_jaccard",
+    "emb_label_stats",
+    "emb_cosine_near_dups",
+    "doc_train_split",
+    "doc_stratified_sample",
+    "gold_signal_quality_rounds",
+    "gold_course_configuration",
+    "gold_critical_column_gaps",
+    "gold_dim_round",
+    "gold_dim_device",
+    "gold_global_overview",
+    "gold_global_course_summary",
+    "gold_global_time_patterns",
+    "gold_fact_telemetry_fix",
+    "telemetry_round_progression",
+    "telemetry_progression_summary",
+    "telemetry_nine_combinations",
 )
 
 
