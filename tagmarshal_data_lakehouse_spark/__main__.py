@@ -223,17 +223,31 @@ def cmd_curate(args) -> int:
     from pyspark.sql import functions as F
 
     from .training.curation import curate_corpus
+    from .training.dedup import restore_session_width
 
     spark, _ = _spark_and_lake(args)
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    # The packaged entry point applies the measured dedup shuffle
+    # sizing by default when the near-dup stage is on (VERDICT r12 —
+    # the remedy must protect CLI users, not only library callers);
+    # the width stays in force through the audit write (where the lazy
+    # plan executes) and is restored below for the rest of the command.
+    auto_size = args.near_dup_threshold is not None and not args.no_auto_size
     verdicts = curate_corpus(
         docs,
         min_quality=args.min_quality,
         near_dup_threshold=args.near_dup_threshold,
+        auto_size_session=auto_size,
     )
+    if auto_size:
+        width = spark.conf.get("spark.sql.shuffle.partitions")
+        print(f"dedup sizing: shuffle width {width} for the near-dup stage")
     audit_path = f"{args.out}/curation_audit"
     corpus_path = f"{args.out}/curated_corpus"
     verdicts.write.mode("overwrite").partitionBy("split").parquet(audit_path)
+    if auto_size:
+        restored = restore_session_width(spark)
+        print(f"dedup sizing: session width restored to {restored}")
     audit = spark.read.parquet(audit_path)  # reuse the written frame, not the plan
     kept = audit.filter(F.col("kept")).select("doc_id", "split", "quality_score")
     (
@@ -505,6 +519,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="opt-in MinHash near-dup stage: gram-Jaccard threshold "
         "(e.g. 0.5); adds 'near_duplicate' drop verdicts to the audit",
+    )
+    cu.add_argument(
+        "--no-auto-size",
+        action="store_true",
+        help="skip the measured dedup shuffle sizing the near-dup "
+        "stage applies by default (training/dedup.py heap-bind remedy)",
     )
     cu.set_defaults(fn=cmd_curate)
 

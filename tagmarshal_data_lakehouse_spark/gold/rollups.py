@@ -165,12 +165,19 @@ def refresh_rollups(spark: SparkSession, lake, fact_full, fact_inc, course_ids) 
     """Bring the rollup tables up to date for a refresh.
 
     Steady state rebuilds only the refreshed courses' partitions from
-    `fact_inc` (O(new data)); a refreshed course with NO remaining
-    silver rows (full deletion / re-ingest correction) gets its rollup
-    partitions DROPPED — dynamic partition overwrite cannot rewrite a
-    partition absent from the written frame, so without the explicit
-    drop the global models would keep counting deleted data forever.
-    If any rollup table is missing the whole set is seeded from
+    `fact_inc` (O(new data)); a refreshed course whose partial for a
+    given rollup table came out EMPTY gets that table's partition
+    DROPPED — dynamic partition overwrite cannot rewrite a partition
+    absent from the written frame, so without the explicit drop the
+    global models would keep counting retracted data forever.  Presence
+    is judged PER TABLE from each partial's own distinct course set,
+    not from overall row presence in the slice: a course can still have
+    rows (so it is "present" overall) while its re-ingested rows are
+    all padding (empty _rollup_overview_pace partial) or all
+    device-NULL (empty _rollup_device partial) — a single global
+    present-set would leave those tables' stale partitions behind and
+    the global median / distinct_devices would keep counting retracted
+    data.  If any rollup table is missing the whole set is seeded from
     `fact_full` — one full scan (the pruned projection is persisted
     across the four partial writes, spilling to disk rather than
     re-reading the corpus), paid once per deployment, after which no
@@ -187,12 +194,19 @@ def refresh_rollups(spark: SparkSession, lake, fact_full, fact_inc, course_ids) 
             for table, df in partials.items():
                 lake.overwrite(table, df, partition_by=["course_id"])
         else:
-            present = {
-                r["course_id"] for r in src.select("course_id").distinct().collect()
-            }
-            vanished = [c for c in course_ids if c not in present]
             for table, df in partials.items():
-                lake.replace_partitions(table, df, ["course_id"])
+                # Persist the (tiny) partial so the presence collect
+                # reuses the aggregation the write just computed.
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    lake.replace_partitions(table, df, ["course_id"])
+                    present = {
+                        r["course_id"]
+                        for r in df.select("course_id").distinct().collect()
+                    }
+                finally:
+                    df.unpersist()
+                vanished = [c for c in course_ids if c not in present]
                 if vanished:
                     lake.drop_partitions(table, "course_id", vanished)
     finally:

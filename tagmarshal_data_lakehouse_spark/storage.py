@@ -392,20 +392,46 @@ class Lakehouse:
         self.overwrite(shadow, merged, partition_by)
         self._swap_in(table, shadow)
 
+    # Characters Spark escapes in partition directory names (mirrors
+    # ExternalCatalogUtils.escapePathName / Hive's FileUtils: ASCII
+    # control chars 01-1F, DEL, and "#%'*/:=?\[]^{ — space is NOT
+    # escaped; verified empirically against a partitionBy write).
+    _PATH_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\[]^{') | frozenset(
+        chr(c) for c in range(0x01, 0x20)
+    ) | {"\x7f"}
+
+    @classmethod
+    def _escape_partition_value(cls, v: str | None) -> str:
+        """Partition value -> the directory-name fragment Spark wrote
+        for it, so path probes match the physical layout even for
+        values containing '/', ':', '%' etc. (ADVICE r12: an unescaped
+        probe silently missed the escaped directory)."""
+        if v is None or v == "":
+            return "__HIVE_DEFAULT_PARTITION__"
+        return "".join(
+            f"%{ord(c):02X}" if c in cls._PATH_ESCAPE_CHARS else c for c in v
+        )
+
     def drop_partitions(self, table: str, partition_col: str, values: list[str]) -> int:
         """Remove entire TOP-LEVEL partitions — the complement of
         replace_partitions, whose dynamic overwrite can only rewrite
         partitions PRESENT in the incoming frame and therefore cannot
         express "this course no longer exists".  Snapshotted like every
         other mutation, so time travel still sees the pre-drop state.
-        Values must be plain partition strings (no characters Spark
-        URL-escapes in partition paths).  Returns partitions removed."""
+        Values are escaped to the directory names Spark actually wrote
+        (`_escape_partition_value`), so a course_id containing '/' or
+        ':' drops the `a%2Fb` directory instead of silently no-oping on
+        the raw path.  Returns partitions removed (a value with no
+        directory counts 0 — it may legitimately never have existed in
+        this table, e.g. a course with no pace rows)."""
         if not self.exists(table) or not values:
             return 0
         self._snapshot(table, "drop_partitions")
         dropped = 0
         for v in values:
-            d = os.path.join(self.path(table), f"{partition_col}={v}")
+            d = os.path.join(
+                self.path(table), f"{partition_col}={self._escape_partition_value(v)}"
+            )
             if os.path.isdir(d):
                 shutil.rmtree(d)
                 dropped += 1

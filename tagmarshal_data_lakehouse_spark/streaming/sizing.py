@@ -56,3 +56,54 @@ def suggest_stream_shuffle_partitions(
     want = -(-state_rows_estimate // _STREAM_STATE_ROWS_PER_STORE_TARGET)
     width = 1 << (want - 1).bit_length()
     return max(default_partitions, min(width, _STREAM_MAX_WIDTH))
+
+
+# Mirrors the dedup sizing discipline (training/dedup.py): remember the
+# pre-sizing width so repeated calls size from the ORIGINAL baseline
+# instead of ratcheting, and adopt a width the user set between calls
+# (detectable because it differs from the last value sizing wrote; a
+# user width EQUAL to the last auto-set value is indistinguishable —
+# call restore_stream_session_width first, same documented protocol).
+_STREAM_BASELINE_KEY = "spark.tagmarshal.stream.baselineShufflePartitions"
+_STREAM_LAST_SET_KEY = "spark.tagmarshal.stream.lastSetShufflePartitions"
+
+
+def size_session_for_stream(spark, state_rows_estimate: int) -> int:
+    """Set ``spark.sql.shuffle.partitions`` for a stateful streaming
+    query from the estimated peak state rows, per the measured
+    rows-per-store invariant.
+
+    MUST run BEFORE the query starts: shuffle width fixes the state
+    store count at query start and is pinned into the checkpoint — a
+    conf change after ``.start()`` does nothing, and a restarted query
+    keeps its checkpointed width regardless of the session conf.  The
+    stateful builders in streaming/events.py call this from their
+    ``state_rows_estimate=`` parameter, which satisfies the ordering by
+    construction (the width is set while the plan is being built).
+    Returns the width it set (the current width when per-store state
+    is comfortable, so calling it is always safe)."""
+    current = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = spark.conf.get(_STREAM_BASELINE_KEY, None)
+    if baseline is None or current != spark.conf.get(_STREAM_LAST_SET_KEY, None):
+        baseline = current  # first call, or user-changed width: re-capture
+        spark.conf.set(_STREAM_BASELINE_KEY, baseline)
+    width = suggest_stream_shuffle_partitions(state_rows_estimate, int(baseline))
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    spark.conf.set(_STREAM_LAST_SET_KEY, str(width))
+    return width
+
+
+def restore_stream_session_width(spark) -> int | None:
+    """Put ``spark.sql.shuffle.partitions`` back to its pre-sizing
+    baseline (no-op if stream sizing never ran).  Safe once the
+    streaming query has STARTED — the width is checkpointed at start,
+    so later batch work in the same session can narrow back without
+    touching the running stream.  Returns the restored width, or None
+    if untouched."""
+    baseline = spark.conf.get(_STREAM_BASELINE_KEY, None)
+    if baseline is None:
+        return None
+    spark.conf.set("spark.sql.shuffle.partitions", baseline)
+    spark.conf.unset(_STREAM_BASELINE_KEY)
+    spark.conf.unset(_STREAM_LAST_SET_KEY)
+    return int(baseline)

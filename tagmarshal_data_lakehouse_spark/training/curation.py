@@ -255,6 +255,8 @@ def curate_corpus(
     train_pct: int = 80,
     val_pct: int = 10,
     near_dup_threshold: float | None = None,
+    auto_size_session: bool = False,
+    n_docs_estimate: int | None = None,
 ) -> DataFrame:
     """The composed curation pipeline: exact dedup -> quality gate ->
     language-ID -> split assignment, as ONE lazily-built plan.
@@ -281,6 +283,14 @@ def curate_corpus(
     `near_dup_of`. Costs the verdict path's banding shuffle + verify
     join on top of the single-exchange default — which is why it is
     opt-in rather than the default.
+
+    `auto_size_session` / `n_docs_estimate` pass through to the
+    verdict stage (only meaningful with `near_dup_threshold`): the
+    measured heap-bind shuffle sizing is applied from the pipeline
+    itself (`dedup.size_session_for_dedup`), and the caller restores
+    the width with `dedup.restore_session_width` AFTER the returned
+    lazy frame has executed — the packaged CLI `curate` command does
+    exactly this.
     """
     feats = quality_features(ensure_parallelism(df), text_col=text_col)
     feats = feats.withColumn("lang_detected", language_id(F.col(text_col)))
@@ -298,6 +308,8 @@ def curate_corpus(
             text_col=text_col,
             threshold=near_dup_threshold,
             persist_shingles=False,
+            auto_size_session=auto_size_session,
+            n_docs_estimate=n_docs_estimate,
         ).select(F.col(id_col), F.col("dup_of").alias("near_dup_of"))
         verdicts = verdicts.join(nd, id_col, "left")
         near_dup_cols = [F.col("near_dup_of")]

@@ -167,10 +167,19 @@ def size_session_for_dedup(spark, n_docs: int) -> int:
     narrows back instead of ratcheting — and a width the USER sets
     between sizing calls is adopted as the new baseline (the recorded
     last-set value distinguishes our own write from theirs), never
-    silently reverted.  Callers interleaving other work can restore
-    with :func:`restore_session_width`.  Returns the width it set (the
-    baseline when the heap is comfortable, so calling it is always
-    safe)."""
+    silently reverted.  One detection blind spot, by construction: a
+    user width that happens to EQUAL the last value sizing wrote (e.g.
+    deliberately setting 128 right after sizing chose 128) is
+    indistinguishable from our own write — Spark conf records values,
+    not who set them — so the stale baseline survives and a later
+    small-corpus call would narrow past the user's intent.  To set an
+    intentional width equal to the last auto-set value, call
+    :func:`restore_session_width` FIRST (it clears the recorded
+    baseline, so the next sizing call re-captures yours; pinned in
+    tests/test_training_dedup.py).  Callers interleaving other work
+    can restore with :func:`restore_session_width`.  Returns the width
+    it set (the baseline when the heap is comfortable, so calling it
+    is always safe)."""
     current = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = spark.conf.get(_DEDUP_BASELINE_KEY, None)
     if baseline is None or current != spark.conf.get(_DEDUP_LAST_SET_KEY, None):

@@ -119,6 +119,55 @@ def test_cli_curate_writes_corpus_and_audit(spark, tmp_path, capsys):
     assert "near_dup_of" in audit2.columns
     assert audit2.count() == n_docs
     assert audit2.filter("kept").count() <= audit.filter("kept").count()
+    # the packaged entry point applies the measured dedup sizing by
+    # default when the near-dup stage is on, and restores the width
+    # after the audit write (VERDICT r12)
+    printed = capsys.readouterr().out
+    assert "dedup sizing: shuffle width" in printed
+    assert "restored to" in printed
+
+
+def test_cli_curate_auto_size_applies_and_restores_width(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """At a (mocked-heap, forced-estimate) point inside the measured
+    48g bind band the CLI's default auto-sizing must run the near-dup
+    stage at the helper's 128 and put the session width back before the
+    command returns; --no-auto-size must leave the conf untouched."""
+    from tagmarshal_data_lakehouse_spark.training import dedup
+
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    monkeypatch.setattr(dedup, "jvm_heap_gib", lambda _s: 48.0)
+    seen = {}
+    real_size = dedup.size_session_for_dedup
+
+    def forced(s, n_docs):
+        w = real_size(s, 4_096_000)  # the measured 8192x/48g bind point
+        seen["width"] = w
+        return w
+
+    monkeypatch.setattr(dedup, "size_session_for_dedup", forced)
+    out = str(tmp_path / "curated_sz")
+    assert main([
+        "--warehouse", str(tmp_path / "wh"),
+        "curate", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        "--near-dup-threshold", "0.5",
+    ]) == 0
+    printed = capsys.readouterr().out
+    assert seen["width"] == 128                     # sizing fired at the bind
+    assert "shuffle width 128" in printed           # ... while the plan built
+    assert spark.conf.get("spark.sql.shuffle.partitions") == original  # restored
+
+    seen.clear()
+    out2 = str(tmp_path / "curated_nosz")
+    assert main([
+        "--warehouse", str(tmp_path / "wh"),
+        "curate", "--sf-dir", "/root/testdata/sf0.001", "--out", out2,
+        "--near-dup-threshold", "0.5", "--no-auto-size",
+    ]) == 0
+    assert "dedup sizing" not in capsys.readouterr().out
+    assert not seen                                  # sizing never invoked
+    assert spark.conf.get("spark.sql.shuffle.partitions") == original
 
 
 def test_cli_serve_runs_cached_queries(spark, tmp_path, capsys):

@@ -242,3 +242,83 @@ def test_refreshing_a_fully_deleted_course_drops_its_rollup_state(spark, tmp_pat
     assert {
         r["device_id"] for r in lake.read("gold.dim_device").collect()
     } == devices_b
+
+
+def test_partially_retracted_course_drops_per_table_rollup_state(spark, tmp_path):
+    """A refreshed course can still HAVE rows (so it is present in the
+    overall slice) while its partial for a specific rollup table is
+    empty: re-ingested rows that are all padding yield no
+    _rollup_overview_pace rows, and all-NULL devices yield no
+    _rollup_device rows.  Presence must therefore be judged per table —
+    a single global present-set never fires the drop, and the global
+    median / distinct_devices keep counting retracted data forever
+    (ADVICE r12, the round-12 fix one level down)."""
+    lake = Lakehouse(spark, str(tmp_path / "warehouse"))
+    fact = _silver_fact(spark, tmp_path, ["course_a", "course_b"])
+    lake.replace_partitions(
+        "silver.fact_telemetry_event", fact, ["course_id", "ingest_date", "event_date"]
+    )
+    models = GoldBuilder(spark).build(lake.read("silver.fact_telemetry_event"))
+    for name, df in models.items():
+        part = ["course_id"] if "course_id" in df.columns else None
+        lake.overwrite(f"gold.{name}", df, partition_by=part)
+    incremental_update(spark, lake, ["course_a"])  # seeds the rollups
+    pace_a = (
+        lake.read("gold._rollup_overview_pace")
+        .filter(F.col("course_id") == "course_a").count()
+    )
+    dev_a = (
+        lake.read("gold._rollup_device")
+        .filter(F.col("course_id") == "course_a").count()
+    )
+    assert pace_a > 0 and dev_a > 0  # the retraction below must undo real state
+
+    # Re-ingest correction: course_a still has rows, but every row is
+    # now padding with a NULL device — its pace and device partials are
+    # empty while its course/round partials are not.
+    is_a = F.col("course_id") == "course_a"
+    corrected = (
+        fact.withColumn(
+            "is_location_padding",
+            F.when(is_a, F.lit(True)).otherwise(F.col("is_location_padding")),
+        )
+        .withColumn("device", F.when(is_a, F.lit(None)).otherwise(F.col("device")))
+        .withColumn("pace_gap", F.when(is_a, F.lit(None)).otherwise(F.col("pace_gap")))
+    )
+    lake.overwrite(
+        "silver.fact_telemetry_event",
+        corrected,
+        partition_by=["course_id", "ingest_date", "event_date"],
+    )
+    incremental_update(spark, lake, ["course_a"])
+
+    # The empty partials' partitions are gone, table by table ...
+    assert (
+        lake.read("gold._rollup_overview_pace")
+        .filter(F.col("course_id") == "course_a").count() == 0
+    )
+    assert (
+        lake.read("gold._rollup_device")
+        .filter(F.col("course_id") == "course_a").count() == 0
+    )
+    # ... while the still-populated partials for course_a remain.
+    assert (
+        lake.read("gold._rollup_overview_course")
+        .filter(F.col("course_id") == "course_a").count() > 0
+    )
+
+    # And the combined globals match a full rebuild of the same state.
+    row = lake.read("gold.global_overview").first()
+    full = GoldBuilder(spark).build(
+        lake.read("silver.fact_telemetry_event")
+    )["global_overview"].first()
+    for col in ("median_pace_gap_sec", "distinct_devices", "courses", "total_rows"):
+        assert row[col] == full[col], col
+    only_b_devices = {
+        r["device_id"]
+        for r in corrected.filter(F.col("device").isNotNull())
+        .select(F.col("device").alias("device_id")).distinct().collect()
+    }
+    assert {
+        r["device_id"] for r in lake.read("gold.dim_device").collect()
+    } == only_b_devices

@@ -287,3 +287,26 @@ def test_overwrite_is_drop_and_recreate_even_under_dynamic_session(spark, tmp_pa
     lake.overwrite("t.ow", only_b, partition_by=["p"])
     rows = lake.read("t.ow").collect()
     assert [(r["p"], r["v"]) for r in rows] == [("b", 2)]
+
+
+def test_drop_partitions_escapes_values_like_spark_writes_them(spark, tmp_path):
+    """Spark URL-escapes '/', ':', '%', etc. in partition directory
+    names (ExternalCatalogUtils.escapePathName); drop_partitions must
+    probe the ESCAPED directory, or a course_id like 'a/b' — written to
+    course_id=a%2Fb — silently survives the drop the caller believes
+    happened (ADVICE r12)."""
+    lake = Lakehouse(spark, str(tmp_path / "whe"))
+    vals = ["a/b", "a:b", "a%b", "plain", "a b"]
+    df = spark.createDataFrame([(v, 1) for v in vals], "course_id string, v int")
+    lake.overwrite("t.esc", df, partition_by=["course_id"])
+    assert lake.read("t.esc").count() == len(vals)
+
+    dropped = lake.drop_partitions("t.esc", "course_id", ["a/b", "a:b", "a%b"])
+    assert dropped == 3
+    remaining = {r["course_id"] for r in lake.read("t.esc").collect()}
+    assert remaining == {"plain", "a b"}
+
+    # unescaped chars (space) and absent values keep working / count 0
+    assert lake.drop_partitions("t.esc", "course_id", ["a b"]) == 1
+    assert lake.drop_partitions("t.esc", "course_id", ["never-there"]) == 0
+    assert {r["course_id"] for r in lake.read("t.esc").collect()} == {"plain"}

@@ -771,3 +771,55 @@ def test_suggest_stream_shuffle_partitions_pins_measured_points():
     for bad in [(-1, 32), (100, 0)]:
         with _pytest.raises(ValueError):
             s(*bad)
+
+
+def test_stateful_builders_apply_stream_sizing_before_plan_build(spark):
+    """VERDICT r12: the sizing helper must be reachable from the
+    operators it sizes.  Passing state_rows_estimate at the measured
+    163.6M-row bind point must set the session width to the helper's
+    128 BEFORE the query starts (width fixes the store count at start
+    and is checkpointed), a small estimate must keep the default, and
+    restore_stream_session_width must put the session back."""
+    from tagmarshal_data_lakehouse_spark.streaming import (
+        restore_stream_session_width,
+        stream_dedup_within_watermark,
+        stream_interval_join,
+        stream_session_windows,
+    )
+    from tagmarshal_data_lakehouse_spark.streaming import sizing as sz
+
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    events = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .select(
+            F.col("value").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    try:
+        # THE measured operator: interval join at the 4096x bind point
+        df = stream_interval_join(events, state_rows_estimate=163_622_912)
+        assert df.isStreaming
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == 128
+        # a later small-estimate build sizes from the BASELINE (no
+        # ratchet): back to the original width
+        stream_session_windows(events, state_rows_estimate=1_441)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == original
+        # dedup at depth widens too
+        stream_dedup_within_watermark(events, state_rows_estimate=409_600_000)
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == 128
+        assert restore_stream_session_width(spark) == int(original)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == original
+        # no estimate -> conf untouched (the default path costs nothing)
+        stream_interval_join(events)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == original
+        assert restore_stream_session_width(spark) is None
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+        for k in (sz._STREAM_BASELINE_KEY, sz._STREAM_LAST_SET_KEY):
+            try:
+                spark.conf.unset(k)
+            except Exception:
+                pass

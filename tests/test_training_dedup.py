@@ -596,9 +596,28 @@ def test_size_session_for_dedup_sets_and_restores(spark):
         dedup.size_session_for_dedup(spark, n_bound)
         assert dedup.restore_session_width(spark) == int(original)
         assert spark.conf.get("spark.sql.shuffle.partitions") == original
+
+        # a user-set width BETWEEN sizing calls becomes the new
+        # baseline (detected because it differs from the last value
+        # sizing wrote) ...
+        widened = dedup.size_session_for_dedup(spark, n_bound)
+        user_width = widened + 7  # distinguishable from our own write
+        spark.conf.set("spark.sql.shuffle.partitions", str(user_width))
+        got = dedup.size_session_for_dedup(spark, 1_000)
+        assert got == user_width  # user's width adopted, not reverted
+        # ... and the DOCUMENTED blind spot: a user width EQUAL to the
+        # last auto-set value must be preceded by restore_session_width
+        # (Spark conf records values, not writers — ADVICE r12); with
+        # the restore-first protocol the user width is re-captured.
+        dedup.restore_session_width(spark)
+        spark.conf.set("spark.sql.shuffle.partitions", str(user_width))
+        got = dedup.size_session_for_dedup(spark, 1_000)
+        assert got == user_width
+        assert int(spark.conf.get(dedup._DEDUP_BASELINE_KEY)) == user_width
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
         spark.conf.unset(dedup._DEDUP_BASELINE_KEY)
+        spark.conf.unset(dedup._DEDUP_LAST_SET_KEY)
 
 
 def test_minhash_dedup_verdict_auto_size_applies_measured_width(spark, monkeypatch):
