@@ -25,18 +25,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _maybe_size_session(df: DataFrame, state_rows_estimate: int | None) -> None:
+def _maybe_size_session(
+    df: DataFrame, state_rows_estimate: int | None, operator: str
+) -> None:
     """Apply the measured per-store state sizing before the plan is
     built (sizing.size_session_for_stream) — the width must be in force
     when the query STARTS, because it fixes the state store count and
     is pinned into the checkpoint.  Every stateful builder here takes a
     ``state_rows_estimate=`` parameter routing through this, so the
     measured remedy is reachable from the operators it sizes (VERDICT
-    r12) instead of only from the helper module."""
+    r12) instead of only from the helper module.  The builder passes
+    its own operator kind: sizing widens ONLY kinds with a measured
+    per-store bind (the stream-stream join); for the rest the call is
+    a documented no-op — the r13 sessions rerun measured widening 1.6x
+    harmful where no bind exists (sizing.py module docstring)."""
     if state_rows_estimate is not None:
         from .sizing import size_session_for_stream
 
-        size_session_for_stream(df.sparkSession, state_rows_estimate)
+        size_session_for_stream(df.sparkSession, state_rows_estimate, operator)
 
 
 def stream_tumbling_counts(
@@ -51,9 +57,9 @@ def stream_tumbling_counts(
     stream time is exact per window here since the key is grouped).
 
     `state_rows_estimate` (open windows — scale-invariant for tumbling,
-    so usually tiny) applies the measured per-store sizing via
-    sizing.size_session_for_stream before the plan builds."""
-    _maybe_size_session(events, state_rows_estimate)
+    so usually tiny) routes through sizing.size_session_for_stream —
+    a no-op for windowed aggs, whose state is scale-invariant."""
+    _maybe_size_session(events, state_rows_estimate, "windowed_agg")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_size).alias("w"))
@@ -87,9 +93,9 @@ def stream_hopping_counts(
     against the DuckDB oracle with an explicit 2-row in-plan expansion.
     State per key grows with size/hop concurrently-open windows — keep
     the ratio small on a 100 TB/day feed.  `state_rows_estimate` (open
-    windows x size/hop) applies the measured per-store sizing via
-    sizing.size_session_for_stream before the plan builds."""
-    _maybe_size_session(events, state_rows_estimate)
+    windows x size/hop) routes through sizing.size_session_for_stream —
+    a no-op for windowed aggs, whose state is scale-invariant."""
+    _maybe_size_session(events, state_rows_estimate, "windowed_agg")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_size, hop).alias("w"))
@@ -133,12 +139,12 @@ def stream_funnel_progress(
     (bounded, self-cleaning via completion/timeout); processing is
     Arrow-batched pandas per key group; one shuffle on user_id — the same
     key the built-in stateful operators would use.  `state_rows_estimate`
-    (in-flight users) applies the measured per-store sizing via
-    sizing.size_session_for_stream before the plan builds.
+    (in-flight users) routes through sizing.size_session_for_stream —
+    a no-op today: bounded per-key state has no measured bind.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    _maybe_size_session(events, state_rows_estimate)
+    _maybe_size_session(events, state_rows_estimate, "custom_keyed_state")
 
     timeout_ms = _duration_ms(timeout)
     step_a, step_b, step_c = steps
@@ -245,9 +251,12 @@ def stream_session_windows(
     """Gap-based sessions per key via the native session_window operator.
 
     `state_rows_estimate` (concurrently-open sessions, ~users x open
-    sessions each) applies the measured per-store sizing via
-    sizing.size_session_for_stream before the plan builds."""
-    _maybe_size_session(events, state_rows_estimate)
+    sessions each) routes through sizing.size_session_for_stream — a
+    documented NO-OP: sessions are linear (not bound) at the measured
+    3.05M rows/store, and the r13 one-knob rerun at the join's
+    suggested width was 1.6x SLOWER (SCALE.md), so no width change is
+    applied until a measured sessions bind exists."""
+    _maybe_size_session(events, state_rows_estimate, "session_window")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("s"))
@@ -289,7 +298,7 @@ def stream_interval_join(
     probe's 163.6M-row point the suggested width ran 1.9x faster than
     the 32-store default.
     """
-    _maybe_size_session(events, state_rows_estimate)
+    _maybe_size_session(events, state_rows_estimate, "stream_stream_join")
     base = events.select(
         F.col(user_col).alias("user_id"),
         F.col(type_col).alias("event_type"),
@@ -346,13 +355,15 @@ def stream_dedup_within_watermark(
     the property that lets an at-least-once source (kafka replays,
     overlapping file drops) feed an exactly-once table.
 
-    `state_rows_estimate` (distinct keys within the watermark horizon —
-    the r12 probe GC-bound this operator's heap store at 102.4M keys,
-    so at depth use the RocksDB session default AND size the width)
-    applies the measured per-store sizing via
-    sizing.size_session_for_stream before the plan builds.
+    `state_rows_estimate` (distinct keys within the watermark horizon)
+    routes through sizing.size_session_for_stream — a documented
+    NO-OP on the RocksDB session default: dedup ran SUB-linear at
+    12.8M rows/store (r12 4096x), so there is no bind to widen for.
+    The knob that matters at depth is the store PROVIDER: the heap
+    store GC-binds at 102.4M keys (exponent 2.66) where RocksDB stays
+    sub-linear — keep the session default.
     """
-    _maybe_size_session(events, state_rows_estimate)
+    _maybe_size_session(events, state_rows_estimate, "dedup")
     key_cols = key_cols or ["user_id", "event_type", ts_col]
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 

@@ -746,12 +746,13 @@ def test_stream_interval_enrich_matches_naive_and_keeps_unmatched(spark, tmp_pat
 
 
 def test_suggest_stream_shuffle_partitions_pins_measured_points():
-    """The r12 4096x streaming probe (SCALE.md): state shards one
-    RocksDB store per shuffle partition, and per-store state rows are
-    the binding resource — comfortable at the measured ~1.28M/store,
-    super-linear at ~5.1M/store, recovered 1.9x by the one-knob 128-
-    store rerun. The helper must hold the default below the onset and
-    re-land the measured-good density past it."""
+    """The r12 4096x streaming probe + the r13 cross-operator
+    validation (SCALE.md): per-store state rows bind the STREAM-STREAM
+    JOIN (comfortable at ~1.28M/store, super-linear at ~5.1M/store,
+    recovered 1.9x by the 128-store rerun) — but sessions are linear at
+    3.05M/store and ran 1.6x SLOWER at the join's suggested width, and
+    dedup is sub-linear at 12.8M/store. The helper must widen ONLY the
+    kind with a measured bind and hold the default for the rest."""
     import pytest as _pytest
 
     from tagmarshal_data_lakehouse_spark.streaming import (
@@ -765,20 +766,32 @@ def test_suggest_stream_shuffle_partitions_pins_measured_points():
     # the measured bind: 163.6M rows at 32 stores (~5.1M/store) must
     # widen to the one-knob rerun's 128 (~1.28M/store, 1.9x faster)
     assert s(163_622_912, 32) == 128
+    assert s(163_622_912, 32, "stream_stream_join") == 128
     # never narrows below the session default; cap bounds runaways
     assert s(10_000_000, 256) == 256
     assert s(10**12, 32) == 128
+    # r13: kinds with NO measured bind hold the default at any estimate
+    # — sessions at the very point the 1.6x-slower rerun measured, and
+    # dedup at its 4096x sub-linear point
+    assert s(97_756_160, 32, "session_window") == 32
+    assert s(409_600_000, 32, "dedup") == 32
+    assert s(10**12, 32, "windowed_agg") == 32
+    assert s(10**12, 32, "custom_keyed_state") == 32
     for bad in [(-1, 32), (100, 0)]:
         with _pytest.raises(ValueError):
             s(*bad)
+    with _pytest.raises(ValueError):
+        s(100, 32, "not_a_kind")
 
 
 def test_stateful_builders_apply_stream_sizing_before_plan_build(spark):
     """VERDICT r12: the sizing helper must be reachable from the
-    operators it sizes.  Passing state_rows_estimate at the measured
-    163.6M-row bind point must set the session width to the helper's
-    128 BEFORE the query starts (width fixes the store count at start
-    and is checkpointed), a small estimate must keep the default, and
+    operators it sizes.  The interval join passing state_rows_estimate
+    at the measured 163.6M-row bind point must set the session width
+    to the helper's 128 BEFORE the query starts (width fixes the store
+    count at start and is checkpointed); sessions and dedup — kinds
+    with NO measured bind, where the r13 rerun proved widening 1.6x
+    harmful — must hold the width even at huge estimates; and
     restore_stream_session_width must put the session back."""
     from tagmarshal_data_lakehouse_spark.streaming import (
         restore_stream_session_width,
@@ -807,8 +820,16 @@ def test_stateful_builders_apply_stream_sizing_before_plan_build(spark):
         # ratchet): back to the original width
         stream_session_windows(events, state_rows_estimate=1_441)
         assert spark.conf.get("spark.sql.shuffle.partitions") == original
-        # dedup at depth widens too
+        # sessions at the r13 measured point and dedup at its 4096x
+        # sub-linear point: no bind measured -> width held (widening
+        # here was measured 1.6x slower)
+        stream_session_windows(events, state_rows_estimate=97_756_160)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == original
         stream_dedup_within_watermark(events, state_rows_estimate=409_600_000)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == original
+        # the join widens again from the same baseline, and restore
+        # puts the session back
+        stream_interval_join(events, state_rows_estimate=163_622_912)
         assert int(spark.conf.get("spark.sql.shuffle.partitions")) == 128
         assert restore_stream_session_width(spark) == int(original)
         assert spark.conf.get("spark.sql.shuffle.partitions") == original

@@ -239,6 +239,21 @@ def main() -> int:
         fact = lake.read("silver.fact_telemetry_event")
         n_fact = fact.count()
         results["silver"][reps] = silver_sec
+        # Layout invariant readout (r11 clustered-write fix): every
+        # (course, ingest, event_date) leaf must hold exactly ONE data
+        # file at every corpus scale — the 63k-file cliff was files
+        # growing with upstream task count, and the invariant must hold
+        # as leaf count itself crosses 10^4 dirs.
+        import glob as _glob
+
+        leaf_files: dict[str, int] = {}
+        for fpath in _glob.glob(
+            os.path.join(lake.path("silver.fact_telemetry_event"), "**", "*.parquet"),
+            recursive=True,
+        ):
+            d = os.path.dirname(fpath)
+            leaf_files[d] = leaf_files.get(d, 0) + 1
+        max_files = max(leaf_files.values()) if leaf_files else 0
         print(
             json.dumps(
                 {
@@ -247,10 +262,16 @@ def main() -> int:
                     "rounds_in": n_rounds,
                     "fact_rows": n_fact,
                     "quarantined": n_quarantined,
+                    "leaf_dirs": len(leaf_files),
+                    "max_files_per_leaf": max_files,
+                    "layout_ok": max_files == 1,
                     "sec": silver_sec,
                 }
             ),
             flush=True,
+        )
+        assert max_files == 1, (
+            f"clustered write broke at {reps}x: {max_files} files in one leaf"
         )
 
         # ---- phase 2: full gold DAG over the written fact ------------

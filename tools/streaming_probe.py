@@ -42,6 +42,25 @@ N_FILES = 32
 FILES_PER_TRIGGER = 8
 
 
+def _print_calibration_preamble(sf_dir: str) -> None:
+    """Machine-state fingerprint, same fields as bench.py's calibration
+    block: RocksDB state + the staged parquet drain are IO-shaped, so a
+    146.5-s-style outlier needs the cold disk-read rate on record to be
+    attributable without a rerun campaign (VERDICT r12 item 8)."""
+    import bench as _bench
+
+    print(
+        json.dumps(
+            {
+                "preamble": "calibration",
+                "disk_read_mbps": _bench._disk_read_mbps(sf_dir),
+                "loadavg_1m": round(os.getloadavg()[0], 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def _amplified_events(spark, sf_dir: str, reps: int):
     from pyspark.sql import functions as F
 
@@ -198,6 +217,9 @@ def main() -> int:
             driver_memory=os.environ.get("SCALE_PROBE_DRIVER_MEM", "48g"),
         )
         spark.sparkContext.setLogLevel("ERROR")
+        _print_calibration_preamble(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        )
         pts = []
         for reps in [int(x) for x in sys.argv[2:]] or [16, 64]:
             m = probe_silver_ingest(spark, workdir, reps)
@@ -222,6 +244,7 @@ def main() -> int:
         driver_memory=os.environ.get("SCALE_PROBE_DRIVER_MEM", "48g"),
     )
     spark.sparkContext.setLogLevel("ERROR")
+    _print_calibration_preamble(sf_dir)
     # STREAM_PROBE_STATE: the one-knob attribution rerun for state-store
     # binds. Since r11 the SESSION default is RocksDB; =heap forces the
     # HDFSBackedStateStore (JVM-heap maps plus retained versions — the
