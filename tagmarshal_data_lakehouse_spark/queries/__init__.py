@@ -217,11 +217,18 @@ _FLAGSHIP_INTERLEAVE = (
 # (oldest driver-green round first); whatever the queue cannot fit this
 # round leads the tail (_STALE_TAIL) and must fit entirely into NEXT
 # round's priority block.
-# rotate_head --round 13: 239 oracle-backed, horizon 6 (stale = green
-# <= r07); due 38 = 0 hard + 38 stale (the r07-vintage cohort) —
-# 38/38 slots, overflow 0; round 14's queue is the 37 r08-vintage
-# entries = 37 <= 38.
+# rotate_head --round 13 (plus the round-13 registration): 240
+# oracle-backed, horizon 6 (stale = green <= r07); due 39 = 1 hard
+# (gold_dim_device_rollup, registered never-green this round) + 38
+# stale (the r07-vintage cohort) — 38/38 slots, overflow 1
+# (gold_dim_course, leading the tail); round 14's queue is that
+# overflow + the 37 r08-vintage entries = 38 <= 38.
 _SWEEP_PRIORITY = (
+    # Round-13 registration (never-green -> hard due, must sit in the
+    # sweep window): the rollup-combine dim_device, the driver-grade
+    # check on gold/rollups.py's SECOND combiner (course-grain
+    # COUNT(DISTINCT) merge + exact DECIMAL battery sum).
+    "gold_dim_device_rollup",
     # r07-vintage cohort (crossed the horizon at round 13)
     "agg_weighted_score",
     "distinct_projection",
@@ -260,15 +267,16 @@ _SWEEP_PRIORITY = (
     "gold_device_health_errors",
     "gold_pace_summary_by_round",
     "gold_hole_performance",
-    "gold_dim_course",
 )
 
 # The rest of the stale rotation.  FRONT: this round's due-queue
-# overflow — empty at round 13 (the 38 r07 stales fill 38 slots
-# exactly).  Then the 37 r08-vintage entries that cross the staleness
-# horizon at round 14, in rotation order — round 14's queue is
-# 37 <= 38 slots.
+# overflow — gold_dim_course, the one r07 stale the round-13
+# registration's hard-due slot displaced (one-round lag, bounded by
+# the gate).  Then the 37 r08-vintage entries that cross the staleness
+# horizon at round 14 — round 14's queue is 1 + 37 = 38 <= 38 slots.
 _STALE_TAIL = (
+    # round-13 due-queue overflow (r07-vintage), due FIRST at round 14
+    "gold_dim_course",
     # r08-vintage cohort (due at round 14)
     "window_ntile_distribution",
     "pivot_status_counts",

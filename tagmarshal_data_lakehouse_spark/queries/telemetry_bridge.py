@@ -2080,6 +2080,70 @@ q_gold_global_overview_rollup = Query(
     " full build's PERCENTILE_APPROX sketch is not.",
 )
 
+# The incremental-refresh pipeline for dim_device as ONE statement:
+# (course, device)-grain partials (gold/rollups.py rollup_partials
+# "gold._rollup_device") merged up to device grain
+# (combine_dim_device).  COUNT(DISTINCT course_id) merges because the
+# rollup keeps course grain, not per-course counts; the average rides
+# the exact DECIMAL(30,12) battery sum (the dsum discipline), so the
+# combine is merge-order independent — the property that makes the
+# incremental path equal the full build.  Shared verbatim between the
+# Spark build and the DuckDB oracle; driver-verifies the SECOND
+# registered combiner the way gold_global_overview_rollup verifies the
+# first (r13).
+_DIM_DEVICE_ROLLUP_BODY = """
+base AS (
+    SELECT course_id, device AS device_id, fix_timestamp,
+           is_timestamp_missing, battery_percentage
+    FROM fact_telemetry_event WHERE device IS NOT NULL
+),
+rollup_device AS (
+    SELECT course_id, device_id,
+        COUNT(*) AS total_rows,
+        MIN(fix_timestamp) AS first_seen_ts,
+        MAX(fix_timestamp) AS last_seen_ts,
+        CAST(SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_rows,
+        MIN(battery_percentage) AS min_battery_pct,
+        MAX(battery_percentage) AS max_battery_pct,
+        SUM(CAST(battery_percentage AS DECIMAL(30,12))) AS battery_sum,
+        COUNT(battery_percentage) AS battery_cnt
+    FROM base GROUP BY course_id, device_id
+)
+SELECT device_id,
+    CAST(SUM(total_rows) AS BIGINT) AS total_rows,
+    COUNT(DISTINCT course_id) AS courses_seen,
+    MIN(first_seen_ts) AS first_seen_ts,
+    MAX(last_seen_ts) AS last_seen_ts,
+    CAST(SUM(ts_missing_rows) AS BIGINT) AS ts_missing_rows,
+    MIN(min_battery_pct) AS min_battery_pct,
+    MAX(max_battery_pct) AS max_battery_pct,
+    CAST(CAST(SUM(battery_sum) AS DOUBLE) / CAST(SUM(battery_cnt) AS DOUBLE) AS DOUBLE) AS avg_battery_pct
+FROM rollup_device GROUP BY device_id ORDER BY device_id
+"""
+
+
+def _build_dim_device_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        f"WITH fact_telemetry_event AS ({_SPARK_BRIDGE}),"
+        f"{_DIM_DEVICE_ROLLUP_BODY}"
+    )
+
+
+q_gold_dim_device_rollup = Query(
+    name="gold_dim_device_rollup",
+    build=_build_dim_device_rollup,
+    oracle=(
+        lambda: f"WITH fact_telemetry_event AS ({_DUCK_BRIDGE}),"
+        f"{_DIM_DEVICE_ROLLUP_BODY}"
+    )(),
+    doc="dim_device derived the INCREMENTAL way (gold/rollups.py):"
+    " (course, device)-grain partials merged to device grain, as one"
+    " shared-text statement — the driver-grade check on the second"
+    " registered combiner (COUNT(DISTINCT course_id) merging from the"
+    " course-grain rollup; exact DECIMAL battery sum).",
+)
+
 q_gold_global_course_summary = Query(
     name="gold_global_course_summary",
     build=lambda spark, sf_dir: _decimals_as_double(
@@ -5028,3 +5092,9 @@ QUERIES += R17_STAGED
 # round-12 head has a free slot (37 dues / 38 slots) — it takes the
 # never-green hard-due slot the r07-vintage pull-forward occupied.
 QUERIES += [q_gold_global_overview_rollup]
+
+# --- Round 13 registration: the rollup-combine pipeline for dim_device
+# (the second combiner).  Never-green -> hard due, so it takes the
+# head's first slot and pushes one r07-vintage stale (gold_dim_course)
+# into the one-round-lag overflow at the tail front.
+QUERIES += [q_gold_dim_device_rollup]

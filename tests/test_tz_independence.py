@@ -64,6 +64,9 @@ TS_QUERIES = [
     # first/last_fix_ts stamps (and its nearest-rank median must not
     # shift under session tz either)
     "gold_global_overview_rollup",
+    # r13: the dim_device rollup-combine emits raw NTZ first/last_seen
+    # stamps merged through MIN/MAX across course-grain partials
+    "gold_dim_device_rollup",
     "gold_global_course_summary",
     "gold_global_time_patterns",
     "gold_fact_telemetry_fix",
