@@ -597,12 +597,52 @@ def _islands_sql(dialect: str) -> str:
     division of exact integer sums in both engines, and 1.05 is cast to
     DOUBLE on both sides.
     """
+    tail = """grouped AS (
+    SELECT event_type, hour_idx, n_events,
+           hour_idx - ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY hour_idx) AS grp
+    FROM busy
+)
+SELECT event_type,
+       CAST(MIN(hour_idx) AS BIGINT)  AS start_hour_idx,
+       CAST(MAX(hour_idx) AS BIGINT)  AS end_hour_idx,
+       CAST(COUNT(*) AS BIGINT)       AS n_hours,
+       CAST(SUM(n_events) AS BIGINT)  AS n_busy_events,
+       {start} AS island_start,
+       {end} AS island_end_excl
+FROM grouped
+GROUP BY event_type, grp
+"""
     if dialect == "spark":
         hour_idx = "TIMESTAMPDIFF(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
         to_ts = "TIMESTAMPADD(HOUR, CAST({h} AS INT), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-    else:
-        hour_idx = "epoch_us(ts) // 3600000000"
-        to_ts = "TIMESTAMP '1970-01-01 00:00:00' + CAST({h} AS INT) * INTERVAL 1 HOUR"
+        # Spark side only (r13 optimization pass): the per-type average
+        # comes from a whole-partition window over `hourly` instead of a
+        # separate GROUP BY + join back.  The join form re-derived the
+        # (type, hour) aggregate from the raw events a second time (two
+        # full scans + two aggregations in the executed plan); the window
+        # form reads `hourly` once and shares the (event_type)-keyed
+        # exchange the row_number window below needs anyway.  The value
+        # is bit-identical: AVG over BIGINT counts is one IEEE division
+        # of an exact LONG sum, order-free, in both the grouped and the
+        # window form — and the DuckDB oracle text keeps the join shape,
+        # so the driver hash-check proves the equivalence every sweep.
+        return f"""
+WITH hourly AS (
+    SELECT event_type, {hour_idx} AS hour_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+), busy AS (
+    SELECT event_type, hour_idx, n_events
+    FROM (SELECT event_type, hour_idx, n_events,
+                 AVG(n_events) OVER (PARTITION BY event_type) AS avg_n
+          FROM hourly)
+    WHERE n_events > avg_n * CAST(1.05 AS DOUBLE)
+), {tail.format(start=to_ts.format(h='MIN(hour_idx)'), end=to_ts.format(h='MAX(hour_idx) + 1'))}"""
+    # DuckDB oracle text: BYTE-IDENTICAL to the pre-r13 form (the ledger
+    # tracks oracle texts; the optimization must not re-open green rows).
+    hour_idx = "epoch_us(ts) // 3600000000"
+    to_ts = "TIMESTAMP '1970-01-01 00:00:00' + CAST({h} AS INT) * INTERVAL 1 HOUR"
     return f"""
 WITH hourly AS (
     SELECT event_type, {hour_idx} AS hour_idx,
@@ -614,22 +654,7 @@ WITH hourly AS (
     SELECT h.event_type, h.hour_idx, h.n_events
     FROM hourly h JOIN stats s ON h.event_type = s.event_type
     WHERE h.n_events > s.avg_n * CAST(1.05 AS DOUBLE)
-), grouped AS (
-    SELECT event_type, hour_idx, n_events,
-           hour_idx - ROW_NUMBER() OVER (
-               PARTITION BY event_type ORDER BY hour_idx) AS grp
-    FROM busy
-)
-SELECT event_type,
-       CAST(MIN(hour_idx) AS BIGINT)  AS start_hour_idx,
-       CAST(MAX(hour_idx) AS BIGINT)  AS end_hour_idx,
-       CAST(COUNT(*) AS BIGINT)       AS n_hours,
-       CAST(SUM(n_events) AS BIGINT)  AS n_busy_events,
-       {to_ts.format(h='MIN(hour_idx)')} AS island_start,
-       {to_ts.format(h='MAX(hour_idx) + 1')} AS island_end_excl
-FROM grouped
-GROUP BY event_type, grp
-"""
+), {tail.format(start=to_ts.format(h='MIN(hour_idx)'), end=to_ts.format(h='MAX(hour_idx) + 1'))}"""
 
 
 q_events_activity_islands = Query(

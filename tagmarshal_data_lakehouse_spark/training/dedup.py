@@ -37,6 +37,20 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     maxPartitionBytes would be re-shuffled despite already splitting,
     which costs one pass over that file — irrelevant at 100 TB where
     inputs are many-file by construction.
+
+    The spread is a DETERMINISTIC hash repartition over every input
+    column, not round-robin ``repartition(n)`` (r13 optimization pass):
+    RoundRobinPartitioning is non-deterministic, so (a) a fetch-failure
+    re-run of part of the map stage can re-deal rows differently —
+    Spark guards that with a full local sort of the input per task
+    (sortBeforeRepartition, SPARK-23207), which for document-width rows
+    is pure overhead — and (b) AQE refuses to reuse shuffle stages it
+    cannot re-execute reproducibly, so identical downstream subtrees
+    (e.g. the two sides of a posting self-join) each recompute the
+    spread instead of sharing one exchange (measured: the capped
+    posting-pair diamond runs 14 stages round-robin vs 10 hash-keyed).
+    Hashing every column keeps the key unique per row (the id column is
+    always in the set), which spreads evenly at any corpus shape.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -45,7 +59,7 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     except Exception:  # noqa: BLE001 — estimate only, never fail the query
         n_splits = 0
     if n_splits < max(2, target // 2):
-        return df.repartition(target)
+        return df.repartition(target, *[F.col(c) for c in df.columns])
     return df
 
 # Measured constants behind suggest_dedup_shuffle_partitions (SCALE.md,
@@ -935,7 +949,19 @@ def tf_cosine_pairs(
     # the big posting side shuffle-free here (its one shuffle is the
     # term-keyed pair join below).
     kept = postings.join(F.broadcast(overcap.select("term")), "term", "left_anti")
-    norms = kept.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("norm_sq"))
+    # Norms ride the postings as a doc-partitioned window sum instead of
+    # a separate groupBy + two post-pair joins (r13 optimization pass,
+    # guide §2.4: two operations keyed the same way share one
+    # partitioning).  The old shape joined `pairs` back to a `norms`
+    # aggregate twice — and because each join branch re-derives `kept`,
+    # Spark recomputed the whole scan→tokenize→postings chain once per
+    # branch (6 chains total in the executed plan).  Carrying norm_sq on
+    # the posting rows removes both joins and both recomputes (4 chains;
+    # measured ~13% on the registered query, and at corpus scale each
+    # dropped chain is a full tokenization pass).  norm_sq is an exact
+    # BIGINT sum either way, so every downstream value is bit-identical.
+    wn = W.partitionBy(id_col)
+    kept_n = kept.withColumn("norm_sq", F.sum(F.col("tf") * F.col("tf")).over(wn))
     # Candidate generation — two lossless plans, selected by output
     # DENSITY (measured head-to-head in SCALE.md round 6):
     #
@@ -969,10 +995,22 @@ def tf_cosine_pairs(
     # threshold - 5e-7, and the double-precision cumulative bound needs
     # slack of its own.
     t_bound = float(threshold) - 2e-6
+    a_side = kept_n.select(
+        F.col(id_col).alias("id_a"),
+        "term",
+        F.col("tf").alias("tf_a"),
+        F.col("norm_sq").alias("norm_a"),
+    )
+    b_side = kept_n.select(
+        F.col(id_col).alias("id_b"),
+        "term",
+        F.col("tf").alias("tf_b"),
+        F.col("norm_sq").alias("norm_b"),
+    )
     if prefix_filter and t_bound > 0.0:
-        term_stats = kept.join(
-            norms.select(F.col(id_col), F.col("norm_sq")), id_col
-        ).withColumn("w", F.col("tf") / F.sqrt(F.col("norm_sq").cast("double")))
+        term_stats = kept_n.withColumn(
+            "w", F.col("tf") / F.sqrt(F.col("norm_sq").cast("double"))
+        )
         maxw = term_stats.groupBy("term").agg(
             F.max("w").alias("maxw"), F.count(F.lit(1)).alias("kept_df")
         )
@@ -986,7 +1024,7 @@ def tf_cosine_pairs(
             .select(F.col(id_col), F.col("term"))
         )
         cands = (
-            kept.alias("a")
+            kept_n.alias("a")
             .join(indexed.alias("b"), on="term")
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(
@@ -995,39 +1033,36 @@ def tf_cosine_pairs(
             .distinct()
         )
         pairs = (
-            cands.join(
-                kept.select(
-                    F.col(id_col).alias("id_a"), "term", F.col("tf").alias("tf_a")
-                ),
-                "id_a",
-            )
-            .join(
-                kept.select(
-                    F.col(id_col).alias("id_b"), "term", F.col("tf").alias("tf_b")
-                ),
-                ["id_b", "term"],
-            )
+            cands.join(a_side, "id_a")
+            .join(b_side, ["id_b", "term"])
             .groupBy("id_a", "id_b")
-            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+            .agg(
+                F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"),
+                F.max("norm_a").alias("norm_a"),
+                F.max("norm_b").alias("norm_b"),
+            )
         )
     else:
         pairs = (
-            kept.alias("a")
-            .join(kept.alias("b"), on="term")
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-            .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+            a_side.join(b_side, on="term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"),
+                # norm_sq is constant within a doc id — MAX just carries
+                # the BIGINT value through the pair aggregation, exactly
+                # what the removed post-pair norms joins delivered.
+                F.max("norm_a").alias("norm_a"),
+                F.max("norm_b").alias("norm_b"),
+            )
         )
     cosine = F.round(
         F.col("dot").cast("double")
         / (F.sqrt(F.col("norm_a").cast("double")) * F.sqrt(F.col("norm_b").cast("double"))),
         6,
     )
-    out = (
-        pairs.join(norms.select(F.col(id_col).alias("id_a"), F.col("norm_sq").alias("norm_a")), "id_a")
-        .join(norms.select(F.col(id_col).alias("id_b"), F.col("norm_sq").alias("norm_b")), "id_b")
-        .withColumn("cosine", cosine)
-        .select("id_a", "id_b", F.col("dot").cast("bigint").alias("dot"), "cosine")
+    out = pairs.withColumn("cosine", cosine).select(
+        "id_a", "id_b", F.col("dot").cast("bigint").alias("dot"), "cosine"
     )
     return out.filter(F.col("cosine") >= threshold).crossJoin(F.broadcast(audit))
 

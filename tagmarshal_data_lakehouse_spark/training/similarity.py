@@ -1153,17 +1153,30 @@ def _bucket_col(vec_col: str, n_planes: int) -> F.Column:
     a streaming plan with no Python barrier), and the batch ANN paths
     use it as the parity-test twin for `_with_hyperplane_bucket` — the
     same split as _hyperplane_band_structs vs _banded_exploded."""
-    terms = []
-    for j in range(n_planes):
-        proj = (
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(x, i) -> cast(x as double) * (cast(xxhash64(i, {j}) % 10007 as double) / 1.0007e4)), "
-            f"cast(0.0 as double), (acc, v) -> acc + v)"
-        )
-        # NaN projections set bit 0, matching the GEMM twin's IEEE
-        # comparison (see _hyperplane_band_structs).
-        terms.append(f"CASE WHEN NOT isnan({proj}) AND {proj} >= 0 THEN {2 ** j} ELSE 0 END")
-    return F.expr(" + ".join(terms)).cast("int")
+    # One nested higher-order expression instead of n_planes spelled-out
+    # fold terms (r13 optimization pass, guide §4 per-task work): the old
+    # form repeated each plane's O(dim) fold TWICE (once under isnan,
+    # once under the sign test — higher-order functions run interpreted,
+    # so no common-subexpression elimination saves it) and grew the
+    # expression tree linearly in n_planes, which showed up as Python/
+    # analysis time on every build.  Here each projection is evaluated
+    # exactly once into an in-plan array, then the sign bits fold over
+    # that array.  Values are bit-identical: same xxhash64(i, j) plane
+    # formula over the same INT types, same fold order, same NaN/NULL
+    # handling per element (NaN projections set bit 0, matching the GEMM
+    # twin's IEEE comparison — see _hyperplane_band_structs).
+    projs = (
+        f"transform(sequence(0, {n_planes - 1}), j -> "
+        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        f"(x, i) -> cast(x as double) * (cast(xxhash64(i, j) % 10007 as double) / 1.0007e4)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    bucket = (
+        f"aggregate(zip_with({projs}, sequence(0, {n_planes - 1}), "
+        f"(p, j) -> CASE WHEN NOT isnan(p) AND p >= 0 THEN shiftleft(1, j) ELSE 0 END), "
+        f"0, (acc, v) -> acc + v)"
+    )
+    return F.expr(bucket).cast("int")
 
 
 @lru_cache(maxsize=64)

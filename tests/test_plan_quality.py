@@ -288,7 +288,15 @@ def test_minhash_verdict_never_pair_grain(spark, sf_smoke, reg):
     strategies = plans.join_strategies(df)
     assert strategies and all("NestedLoop" not in s for s in strategies)
     assert plans.scale_lint(df) == []
-    assert plans.count_exchanges(df) <= 7
+    # <= 9 since the r13 optimization pass: the parallelism spread became
+    # a DETERMINISTIC hash repartition (ensure_parallelism — reusable by
+    # AQE, retry-safe), which count_exchanges now sees as
+    # "Exchange hashpartitioning" where the old round-robin spread was
+    # invisible to it.  The executed shuffle inventory is unchanged (the
+    # spread exchange always existed); the tree repeats the now-shared
+    # spread subtree per consumer, so the STRING count rose 7 -> 9
+    # without any new data movement.
+    assert plans.count_exchanges(df) <= 9
 
 
 def test_span_dedup_row_local_generation(spark, sf_smoke, reg):
