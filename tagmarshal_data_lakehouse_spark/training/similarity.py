@@ -213,17 +213,26 @@ def cosine_topk_fast(
     at scale the candidate side stays partitioned and never shuffles.
     """
     _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "cosine_topk_fast")
+    # Per-side norms are computed ONCE per row before the pair join (r13
+    # optimization pass, guide §1.2 per-task work): evaluated per pair,
+    # each O(dim) self-dot fold ran |Q| times per candidate and |C|
+    # times per query.  Same expression over the same array — the
+    # rounded cosine is bit-identical.
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     queries = vecs.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("qn2"),
     )
-    cands = vecs.select(F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cvec"))
+    cands = vecs.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("cn2"),
+    )
     dot = F.expr(_DOT.format(a="qvec", b="cvec"))
-    qq = F.expr(_DOT.format(a="qvec", b="qvec"))
-    cc = F.expr(_DOT.format(a="cvec", b="cvec"))
     scored = (
         cands.join(F.broadcast(queries), F.col("query_id") != F.col("candidate_id"))
-        .withColumn("cosine", F.round(dot / (F.sqrt(qq) * F.sqrt(cc)), 6))
+        .withColumn("cosine", F.round(dot / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id").asc())
     return (
@@ -739,16 +748,27 @@ def _lsh_pairs_from_banded(
         .distinct()
     )
 
-    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("veca"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vecb"))
+    # Per-side norms once per row before the id-joins (r13, guide §1.2):
+    # per pair each O(dim) self-dot fold ran once per candidate pair —
+    # candidate mass is ~density× the corpus (sparse regime ~10 pairs/
+    # vector), so per-row evaluation is the cheaper side.  Same fold over
+    # the same array — the rounded cosine is bit-identical.
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "n2", F.expr(_DOT.format(a=vec_col, b=vec_col))
+    )
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("veca"), F.col("n2").alias("na2")
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vecb"), F.col("n2").alias("nb2")
+    )
     dot = F.expr(_DOT.format(a="veca", b="vecb"))
-    aa = F.expr(_DOT.format(a="veca", b="veca"))
-    bb = F.expr(_DOT.format(a="vecb", b="vecb"))
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(dot / (F.sqrt(aa) * F.sqrt(bb)), 6))
+        .withColumn(
+            "cosine", F.round(dot / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6)
+        )
         # ~isnan: Spark's NaN >= threshold is TRUE under total ordering,
         # the GEMM scorer's numpy comparison is IEEE False — a NaN
         # cosine (NaN vector element) must fail on both scorers or the
@@ -1114,21 +1134,32 @@ def ivf_topk(
 
         return probe
 
+    # Per-side norms once per row before the cell join (r13, guide §1.2):
+    # per pair, each O(dim) self-dot fold ran per probed candidate pair.
+    # Same fold over the same array — the rounded cosine is bit-identical.
     cands = vecs.withColumn("cell", _probe_udf(1)(F.col(vec_col)).getItem(0)).select(
-        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cvec"), "cell"
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("cvec"),
+        "cell",
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("cn2"),
     )
     queries = (
         vecs.filter(F.col(id_col) < n_queries)
         .withColumn("cell", F.explode(_probe_udf(n_probe)(F.col(vec_col))))
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell")
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            "cell",
+            F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("qn2"),
+        )
     )
     dot = F.expr(_DOT.format(a="qvec", b="cvec"))
-    qq = F.expr(_DOT.format(a="qvec", b="qvec"))
-    cc = F.expr(_DOT.format(a="cvec", b="cvec"))
     scored = (
         cands.join(F.broadcast(queries), "cell")
         .filter(F.col("query_id") != F.col("candidate_id"))
-        .withColumn("cosine", F.round(dot / (F.sqrt(qq) * F.sqrt(cc)), 6))
+        .withColumn(
+            "cosine", F.round(dot / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))), 6)
+        )
         # a candidate can surface via several probed cells
         .dropDuplicates(["query_id", "candidate_id"])
     )
@@ -1315,17 +1346,30 @@ def cosine_topk_lsh(
         vec_col,
         [id_col, vec_col],
         use_gemm=use_gemm,
-    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket")
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "bucket",
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("qn2"),
+    )
+    # Per-side norms once per row before the bucket join (r13, guide
+    # §1.2): per pair, each O(dim) self-dot fold ran per bucket-mate
+    # pair.  Same fold over the same array — bit-identical cosine.
     cands = _with_hyperplane_bucket(
         embeddings, n_planes, vec_col, [id_col, vec_col], use_gemm=use_gemm
-    ).select(F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cvec"), "bucket")
+    ).select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("cvec"),
+        "bucket",
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("cn2"),
+    )
     dot = F.expr(_DOT.format(a="qvec", b="cvec"))
-    qq = F.expr(_DOT.format(a="qvec", b="qvec"))
-    cc = F.expr(_DOT.format(a="cvec", b="cvec"))
     scored = (
         cands.join(F.broadcast(queries), "bucket")
         .filter(F.col("query_id") != F.col("candidate_id"))
-        .withColumn("cosine", F.round(dot / (F.sqrt(qq) * F.sqrt(cc)), 6))
+        .withColumn(
+            "cosine", F.round(dot / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))), 6)
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id").asc())
     return (
@@ -1564,16 +1608,25 @@ def semantic_dedup(
     if scorer != "expr":
         raise ValueError(f"semantic_dedup: unknown scorer {scorer!r} (auto | expr | gemm)")
 
-    a = vecs.select(
-        F.col(id_col).alias("id_a"), F.col("cluster"), F.col(vec_col).alias("veca")
+    # Per-side norms once per row before the cluster self-join (r13,
+    # guide §1.2): per pair, each O(dim) self-dot fold ran once per
+    # within-cluster pair (≈density× the corpus).  Same fold over the
+    # same array — bit-identical cosine.
+    scored_vecs = vecs.withColumn("n2", F.expr(_DOT.format(a=vec_col, b=vec_col)))
+    a = scored_vecs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster"),
+        F.col(vec_col).alias("veca"),
+        F.col("n2").alias("na2"),
     )
-    b = vecs.select(
-        F.col(id_col).alias("id_b"), F.col("cluster"), F.col(vec_col).alias("vecb")
+    b = scored_vecs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster"),
+        F.col(vec_col).alias("vecb"),
+        F.col("n2").alias("nb2"),
     )
     dot = F.expr(_DOT.format(a="veca", b="vecb"))
-    aa = F.expr(_DOT.format(a="veca", b="veca"))
-    bb = F.expr(_DOT.format(a="vecb", b="vecb"))
-    cos = F.round(dot / (F.sqrt(aa) * F.sqrt(bb)), 6)
+    cos = F.round(dot / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6)
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1798,25 +1851,30 @@ def hard_negatives_lsh(
         F.col(label_col),
         _bucket_col(vec_col, n_planes).alias("bucket"),
     )
+    # Per-side norms once per row before the bucket join (r13, guide
+    # §1.2): per pair, each O(dim) self-dot fold ran per bucket-mate
+    # pair.  Same fold over the same array — bit-identical cosine.
     queries = vecs.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
         F.col(vec_col).alias("qvec"),
         "bucket",
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("qn2"),
     )
     cands = vecs.select(
         F.col(id_col).alias("candidate_id"),
         F.col(label_col).alias("candidate_label"),
         F.col(vec_col).alias("cvec"),
         "bucket",
+        F.expr(_DOT.format(a=vec_col, b=vec_col)).alias("cn2"),
     )
     dot = F.expr(_DOT.format(a="qvec", b="cvec"))
-    qq = F.expr(_DOT.format(a="qvec", b="qvec"))
-    cc = F.expr(_DOT.format(a="cvec", b="cvec"))
     scored = (
         cands.join(F.broadcast(queries), "bucket")
         .filter(F.col("query_label") != F.col("candidate_label"))
-        .withColumn("cosine", F.round(dot / (F.sqrt(qq) * F.sqrt(cc)), 6))
+        .withColumn(
+            "cosine", F.round(dot / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))), 6)
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("candidate_id").asc())
     return (
