@@ -452,29 +452,41 @@ def corpus_keywords(
     divide over exact values — bit-identical ranking everywhere. The
     rarest terms are tempered by `min_df` (hapax noise never ranks).
 
-    Scale shape: one explode + one (term) aggregation — map-side
-    combined, shuffle carries one row per distinct term; top-k is
-    TakeOrderedAndProject (never a global sort of the vocabulary).
+    Scale shape (r13 optimization pass, guide §1.2 "don't compute
+    things twice"): ONE tokenization pass.  The old form tokenized the
+    corpus twice — explode(array_distinct(toks)) for document
+    frequency and explode(toks) for total frequency, two independent
+    scan→normalize→split chains in the executed plan.  Instead the
+    per-(doc, term) counts come from one map-side-combined explode
+    (the exchange carries postings, nothing token-grain — the same
+    discipline as tf_cosine_pairs), and ONE (term) aggregation derives
+    both statistics from them: term_df = COUNT of (doc, term) groups,
+    tf_total = SUM of their counts.  Both are exact integers either
+    way, so every score is bit-identical to the two-pass form.  The
+    corpus count needs no tokens at all — it counts the raw frame.
+    Top-k is TakeOrderedAndProject (never a global sort of the
+    vocabulary).
     """
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-    postings = toks.select(
-        F.col(id_col), F.explode(F.array_distinct("toks")).alias("term")
+    postings = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    occurrences = toks.select(F.explode("toks").alias("term"))
-    # one-row corpus count, broadcast into the plan (no driver action)
-    n_docs = toks.agg(F.count(F.lit(1)).cast("bigint").alias("_n_docs"))
-    term_df = postings.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("term_df"))
-    tf_total = occurrences.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf_total")
+    stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("term_df"),
+        F.sum("tf").cast("bigint").alias("tf_total"),
     )
+    # one-row corpus count, broadcast into the plan (no driver action);
+    # counting the RAW frame keeps the tokenize expression out of this
+    # branch entirely (one row per input document either way)
+    n_docs = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n_docs"))
     score = F.round(
         F.col("tf_total").cast("double")
         * (F.col("_n_docs").cast("double") / F.col("term_df").cast("double")),
         6,
     )
     return (
-        term_df.join(tf_total, "term")
-        .filter(F.col("term_df") >= min_df)
+        stats.filter(F.col("term_df") >= min_df)
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", score)
         .drop("_n_docs")
