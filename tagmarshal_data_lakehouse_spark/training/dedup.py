@@ -473,20 +473,45 @@ def verify_jaccard(
 ) -> DataFrame:
     """Exact Jaccard on shingle sets for candidate pairs only.
 
-    array_intersect/array_union are JVM built-ins; the join fans shingle
-    arrays out to candidate pairs (O(candidates), not O(n^2)).  `set_col`
-    may hold string grams or their 64-bit hashes — set Jaccard is
-    identical either way (modulo hash collisions).
+    array_intersect is a JVM built-in; the join fans shingle arrays out
+    to candidate pairs (O(candidates), not O(n^2)).  `set_col` may hold
+    string grams or their 64-bit hashes — set Jaccard is identical
+    either way (modulo hash collisions).
+
+    The union is never materialized (r13 optimization pass, guide §1.2
+    per-task work): |A∪B| = |distinct A| + |distinct B| − |A∩B|, so the
+    per-ROW distinct count rides the join and each PAIR pays only the
+    intersect — the old per-pair `array_union` built an |A|+|B| hash set
+    per candidate pair for a number the inclusion–exclusion identity
+    derives from integers already at hand.  Same integers → the divided
+    double and its ROUND are bit-identical (array_intersect/array_union
+    are both SET-valued, so the identity is exact even for multiset
+    inputs; a null element participates in both sides identically).
     """
-    s = shingled.select(F.col(id_col), F.col(set_col))
+    s = shingled.select(
+        F.col(id_col),
+        F.col(set_col),
+        F.size(F.array_distinct(F.col(set_col))).alias("_n_distinct"),
+    )
     out = (
-        candidates.join(s.withColumnRenamed(id_col, "id_a").withColumnRenamed(set_col, "sh_a"), "id_a")
-        .join(s.withColumnRenamed(id_col, "id_b").withColumnRenamed(set_col, "sh_b"), "id_b")
+        candidates.join(
+            s.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed(set_col, "sh_a")
+            .withColumnRenamed("_n_distinct", "_nd_a"),
+            "id_a",
+        )
+        .join(
+            s.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed(set_col, "sh_b")
+            .withColumnRenamed("_n_distinct", "_nd_b"),
+            "id_b",
+        )
+        .withColumn("_n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                F.col("_n_common")
+                / (F.col("_nd_a") + F.col("_nd_b") - F.col("_n_common")).cast("double"),
                 6,
             ),
         )
@@ -707,18 +732,34 @@ def minhash_dedup_verdicts(
     # fixed-48g-heap bind at ~4M docs (the 8192x octave) — that is the gram cache +
     # aggregation state (SCALE.md r10) — it lowers shuffle pressure,
     # which on a real cluster is the cross-executor cost.
+    # The union is never materialized per pair (r13, guide §1.2, same
+    # identity as verify_jaccard): |A∪B| = |distinct A| + |distinct B|
+    # − |A∩B|, with the distinct counts computed once per ROW at the
+    # same projection that hashes the grams — each PAIR then pays only
+    # the intersect instead of also building an |A|+|B| union hash set.
+    # Same integers, same division, same ROUND → bit-identical jaccard
+    # (the identity is a set identity, unconditional on collisions).
     grams_h = F.transform("grams", lambda g: F.xxhash64(g))
+    nd_h = F.size(F.array_distinct(grams_h))
     verified = (
         cand.join(
-            shingled.select(F.col(id_col).alias("rep_id"), grams_h.alias("rep_grams_h")),
+            shingled.select(
+                F.col(id_col).alias("rep_id"),
+                grams_h.alias("rep_grams_h"),
+                nd_h.alias("_nd_rep"),
+            ),
             "rep_id",
         )
-        .join(shingled.select(F.col(id_col), grams_h.alias("grams_h")), id_col)
+        .join(
+            shingled.select(F.col(id_col), grams_h.alias("grams_h"), nd_h.alias("_nd_doc")),
+            id_col,
+        )
+        .withColumn("_n_common", F.size(F.array_intersect("grams_h", "rep_grams_h")))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("grams_h", "rep_grams_h"))
-                / F.size(F.array_union("grams_h", "rep_grams_h")).cast("double"),
+                F.col("_n_common")
+                / (F.col("_nd_doc") + F.col("_nd_rep") - F.col("_n_common")).cast("double"),
                 6,
             ),
         )
@@ -813,7 +854,11 @@ def ngram_jaccard_pairs(
     # shuffle-free on the big side.
     gram_df = inv.groupBy("gram").agg(F.count("*").alias("gram_df"))
     if max_doc_frac is not None:
-        n_docs = grams.agg(F.count(F.lit(1)).alias("_n_docs"))
+        # One-row corpus count off the RAW frame (r13, guide §2.4): the
+        # grams frame sits above ensure_parallelism's repartition, so
+        # counting it paid a full-width (id, text) exchange just to
+        # count rows that df already has one-per-document.
+        n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
         cap = F.greatest(
             F.lit(int(max_doc_freq)),
             (F.lit(float(max_doc_frac)) * F.col("_n_docs")).cast("bigint"),
@@ -929,8 +974,11 @@ def tf_cosine_pairs(
     term_df = postings.groupBy("term").agg(F.count("*").alias("term_df"))
     if max_doc_frac is not None:
         # threshold = max(floor, frac·N), derived in-plan: the one-row
-        # doc count broadcasts onto the (term, df) aggregate.
-        n_docs = toked.agg(F.count(F.lit(1)).alias("_n_docs"))
+        # doc count broadcasts onto the (term, df) aggregate.  Counted
+        # off the RAW frame (r13, guide §2.4) — counting `toked` paid
+        # ensure_parallelism's full-width exchange for a row count df
+        # already has one-per-document.
+        n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
         cap = F.greatest(F.lit(int(max_doc_freq)), (F.lit(float(max_doc_frac)) * F.col("_n_docs")).cast("bigint"))
         overcap = (
             term_df.crossJoin(F.broadcast(n_docs)).filter(F.col("term_df") > cap).drop("_n_docs")

@@ -94,7 +94,12 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+    # Only the columns the function reads cross the Python boundary
+    # (r13 optimization pass, guide §4.1): Spark cannot see which
+    # columns an opaque mapInPandas touches, so without the explicit
+    # select the metadata struct would be read, transposed to Arrow and
+    # shipped to every worker just to be dropped.
+    return media.select("media_id", "payload").mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:
@@ -182,7 +187,9 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
+    # guide §4.1: ship only the columns the function reads (see
+    # extract_media_features)
+    return media.select("media_id", "payload").mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(
@@ -275,4 +282,6 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                 }
             )
 
-    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
+    # guide §4.1: ship only the columns the function reads (see
+    # extract_media_features)
+    return media.select("media_id", "payload").mapInPandas(resize, schema=RESIZE_SCHEMA)

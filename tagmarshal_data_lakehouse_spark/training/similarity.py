@@ -1207,7 +1207,18 @@ def _bucket_col(vec_col: str, n_planes: int) -> F.Column:
         f"(p, j) -> CASE WHEN NOT isnan(p) AND p >= 0 THEN shiftleft(1, j) ELSE 0 END), "
         f"0, (acc, v) -> acc + v)"
     )
-    return F.expr(bucket).cast("int")
+    # coalesce marks the column NON-NULLABLE (r13 optimization pass,
+    # guide §4.4 pathology with a built-in expression): the expression
+    # cannot actually return NULL — the outer fold runs over a literal
+    # sequence with a non-null init and CASE...ELSE 0 elements, so a
+    # NULL/empty vector yields bucket 0 (the GEMM twin's contract,
+    # parity-pinned) — but Catalyst types it nullable, and every
+    # inner equi-join on `bucket` then infers an IsNotNull(bucket)
+    # filter that is pushed BELOW the projection, re-inlining and
+    # re-evaluating the whole O(planes*dim) fold once more per row.
+    # With the key provably non-nullable the inference never fires and
+    # each row pays the fold exactly once.
+    return F.coalesce(F.expr(bucket).cast("int"), F.lit(0))
 
 
 @lru_cache(maxsize=64)
