@@ -360,45 +360,38 @@ def interval_overlap_join(
     if chunk_micros is None:
         chunk_micros = derive_chunk_micros(left, right, l_start, l_end, r_start, r_end)
 
-    def us(col: str):
-        return F.expr(
-            f"TIMESTAMPDIFF(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
-        )
+    # Construction is selectExpr/where/F.expr strings rather than
+    # chained withColumns (r13 optimization pass — driver-side build
+    # cost: each withColumn is a plan-rebuilding py4j roundtrip; the
+    # parsed trees, and therefore the plan and results, are identical).
+    def us(col: str) -> str:
+        return f"TIMESTAMPDIFF(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
 
     lhs = (
-        left.filter(F.col(l_end) > F.col(l_start))
-        .withColumn("_ls_us", us(l_start))
-        .withColumn("_le_us", us(l_end))
-        .withColumn(
-            "_l_chunk",
-            F.explode(
-                F.sequence(
-                    F.expr(f"_ls_us div {chunk_micros}"),
-                    F.expr(f"(_le_us - 1) div {chunk_micros}"),
-                )
-            ),
+        left.where(f"`{l_end}` > `{l_start}`")
+        .selectExpr("*", f"{us(l_start)} AS _ls_us", f"{us(l_end)} AS _le_us")
+        .selectExpr(
+            "*",
+            f"explode(sequence(_ls_us div {chunk_micros},"
+            f" (_le_us - 1) div {chunk_micros})) AS _l_chunk",
         )
     )
     rhs = (
-        right.filter(F.col(r_end) > F.col(r_start))
-        .withColumn("_rs_us", us(r_start))
-        .withColumn("_re_us", us(r_end))
-        .withColumn(
-            "_r_chunk",
-            F.explode(
-                F.sequence(
-                    F.expr(f"_rs_us div {chunk_micros}"),
-                    F.expr(f"(_re_us - 1) div {chunk_micros}"),
-                )
-            ),
+        right.where(f"`{r_end}` > `{r_start}`")
+        .selectExpr("*", f"{us(r_start)} AS _rs_us", f"{us(r_end)} AS _re_us")
+        .selectExpr(
+            "*",
+            f"explode(sequence(_rs_us div {chunk_micros},"
+            f" (_re_us - 1) div {chunk_micros})) AS _r_chunk",
         )
     )
     joined = lhs.join(
         rhs,
-        (F.col("_l_chunk") == F.col("_r_chunk"))
-        & (F.col(l_start) < F.col(r_end))
-        & (F.col(r_start) < F.col(l_end))
-        & (F.col("_l_chunk") == F.expr(f"greatest(_ls_us, _rs_us) div {chunk_micros}")),
+        F.expr(
+            f"(_l_chunk = _r_chunk) AND (`{l_start}` < `{r_end}`)"
+            f" AND (`{r_start}` < `{l_end}`)"
+            f" AND (_l_chunk = greatest(_ls_us, _rs_us) div {chunk_micros})"
+        ),
         "inner",
     )
     return joined.drop("_ls_us", "_le_us", "_l_chunk", "_rs_us", "_re_us", "_r_chunk")

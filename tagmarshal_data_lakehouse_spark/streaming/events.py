@@ -654,7 +654,7 @@ def stream_curate(
         .join(digests, "content_md5", "left_anti")
     )
     scored = quality_features(fresh, text_col=text_col).withColumn(
-        "lang_detected", language_id(F.col(text_col))
+        "lang_detected", language_id(text_col)
     )
     grams = with_token_grams(scored, text_col=text_col, n=ngram, out="_grams")
     contaminated = F.size(F.filter(F.col("_grams"), hit)) > 0

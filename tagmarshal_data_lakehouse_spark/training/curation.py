@@ -293,7 +293,7 @@ def curate_corpus(
     exactly this.
     """
     feats = quality_features(ensure_parallelism(df), text_col=text_col)
-    feats = feats.withColumn("lang_detected", language_id(F.col(text_col)))
+    feats = feats.withColumn("lang_detected", language_id(text_col))
     verdicts = with_dedup_verdict(feats, id_col=id_col, text_col=text_col)
     near_dup_cols = []
     if near_dup_threshold is not None:

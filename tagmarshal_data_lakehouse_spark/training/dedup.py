@@ -258,15 +258,20 @@ def with_token_grams(df: DataFrame, text_col: str = "text", n: int = 3, out: str
     Texts shorter than n tokens contribute their full token sequence.
     """
     # tokenize ONCE into a temp column (see with_shingles: putting the
-    # split inside the lambda re-tokenizes per gram position).
-    tmp = df.withColumn("_toks", F.split(normalize_text(F.col(text_col)), " "))
-    grams = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
-            f"i -> array_join(slice(_toks, i, {n}), ' '))"
-        )
+    # split inside the lambda re-tokenizes per gram position; the temp
+    # column is referenced twice, which blocks CollapseProject from
+    # inlining the split into the lambda). selectExpr strings keep the
+    # identical two-Project structure at a fraction of the py4j calls
+    # (r13 — driver-side build cost).
+    tmp = df.selectExpr(
+        "*",
+        f"split(trim(regexp_replace(lower(`{text_col}`), '\\\\s+', ' ')), ' ') AS _toks",
     )
-    return tmp.withColumn(out, grams).drop("_toks")
+    return tmp.selectExpr(
+        "*",
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
+        f"i -> array_join(slice(_toks, i, {n}), ' '))) AS `{out}`",
+    ).drop("_toks")
 
 
 def _norm_sql(text_col: str) -> str:
@@ -281,15 +286,27 @@ def with_dedup_verdict(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     Keeping every input column lets composed pipelines (curate_corpus)
     attach the verdict with the operator's single digest shuffle instead
     of a second join-back-by-id shuffle.
+
+    Two selectExpr calls instead of four chained withColumns (r13
+    optimization pass — driver-side build cost; see text.py's SQL-twin
+    note): each withColumn is a plan-rebuilding py4j roundtrip, and the
+    SQL window texts parse to the identical window expressions, so the
+    plan (one digest exchange, both windows on it) and every value are
+    unchanged.
     """
-    digest = F.md5(normalize_text(F.col(text_col)))
-    w = W.partitionBy("content_md5")
-    w_rank = w.orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("content_md5", digest)
-        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
-        .withColumn("is_canonical", F.row_number().over(w_rank) == 1)
-        .withColumn("is_duplicate", (F.col("cluster_size") > 1) & ~F.col("is_canonical"))
+    id_sql = "`" + id_col.replace("`", "``") + "`"
+    text_sql = "`" + text_col.replace("`", "``") + "`"
+    return df.selectExpr(
+        "*",
+        f"md5(trim(regexp_replace(lower({text_sql}), '\\\\s+', ' '))) AS content_md5",
+    ).selectExpr(
+        "*",
+        "CAST(count(*) OVER (PARTITION BY content_md5) AS BIGINT) AS cluster_size",
+        f"row_number() OVER (PARTITION BY content_md5 ORDER BY {id_sql} ASC) = 1"
+        " AS is_canonical",
+    ).selectExpr(
+        "*",
+        "((cluster_size > 1) AND (NOT is_canonical)) AS is_duplicate",
     )
 
 
@@ -387,17 +404,19 @@ def minhash_signatures(
     gram pair), and an 8-byte long array persists and intersects several
     times cheaper than the string shingles it replaces.
     """
+    # SQL-string construction (r13 — driver-side build cost; the parsed
+    # trees are identical to the former Column-API form: seeds are
+    # 63-bit values, so both spellings are BIGINT literals and the
+    # xxhash64(h, sd) inputs keep the exact types the hash depends on).
     shingled = with_token_grams(ensure_parallelism(df), text_col=text_col, n=ngram, out="shingles")
-    hashed = shingled.withColumn(
-        "gram_hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    hashed = shingled.selectExpr(
+        "*", "transform(shingles, s -> xxhash64(s)) AS gram_hashes"
     )
-    seeds = F.array(*[F.lit(s) for s in _MINHASH_SEEDS[:num_perm]])
-    sig = F.transform(
-        seeds,
-        lambda sd: F.array_min(
-            F.transform(F.col("gram_hashes"), lambda h: F.xxhash64(h, sd))
-        ),
-    ).alias("sig")
+    seeds_sql = ", ".join(f"{s}L" for s in _MINHASH_SEEDS[:num_perm])
+    sig_sql = (
+        f"transform(array({seeds_sql}), "
+        f"sd -> array_min(transform(gram_hashes, h -> xxhash64(h, sd)))) AS sig"
+    )
     # keep_gram_hashes=False leaves gram_hashes single-use, which lets
     # CollapseProject inline the whole shingle+hash expression into the
     # seeds lambda — re-derived once per permutation by the interpreted
@@ -406,8 +425,8 @@ def minhash_signatures(
     # passes True (two references block the collapse); a future
     # False-path caller at scale should persist the shingled frame
     # first or re-measure.
-    cols = [F.col(id_col)] + ([F.col("gram_hashes")] if keep_gram_hashes else []) + [sig]
-    return hashed.select(*cols)
+    cols = [f"`{id_col}`"] + (["gram_hashes"] if keep_gram_hashes else []) + [sig_sql]
+    return hashed.selectExpr(*cols)
 
 
 def minhash_lsh_candidates(
@@ -488,34 +507,22 @@ def verify_jaccard(
     are both SET-valued, so the identity is exact even for multiset
     inputs; a null element participates in both sides identically).
     """
-    s = shingled.select(
-        F.col(id_col),
-        F.col(set_col),
-        F.size(F.array_distinct(F.col(set_col))).alias("_n_distinct"),
+    nd = f"size(array_distinct(`{set_col}`))"
+    a_side = shingled.selectExpr(
+        f"`{id_col}` AS id_a", f"`{set_col}` AS sh_a", f"{nd} AS _nd_a"
+    )
+    b_side = shingled.selectExpr(
+        f"`{id_col}` AS id_b", f"`{set_col}` AS sh_b", f"{nd} AS _nd_b"
     )
     out = (
-        candidates.join(
-            s.withColumnRenamed(id_col, "id_a")
-            .withColumnRenamed(set_col, "sh_a")
-            .withColumnRenamed("_n_distinct", "_nd_a"),
+        candidates.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .selectExpr("id_a", "id_b", "size(array_intersect(sh_a, sh_b)) AS _n_common", "_nd_a", "_nd_b")
+        .selectExpr(
             "id_a",
-        )
-        .join(
-            s.withColumnRenamed(id_col, "id_b")
-            .withColumnRenamed(set_col, "sh_b")
-            .withColumnRenamed("_n_distinct", "_nd_b"),
             "id_b",
+            "round(_n_common / CAST(_nd_a + _nd_b - _n_common AS DOUBLE), 6) AS jaccard",
         )
-        .withColumn("_n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_n_common")
-                / (F.col("_nd_a") + F.col("_nd_b") - F.col("_n_common")).cast("double"),
-                6,
-            ),
-        )
-        .select("id_a", "id_b", "jaccard")
     )
     return out.filter(F.col("jaccard") >= threshold)
 

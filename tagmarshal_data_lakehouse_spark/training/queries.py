@@ -198,11 +198,11 @@ q_doc_lang_id = Query(
     build=lambda spark, sf_dir: _docs(spark, sf_dir).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        text.language_id(F.col("text")).alias("predicted_lang"),
-        text.stopword_hits(F.col("text"), "en").alias("en_hits"),
-        text.stopword_hits(F.col("text"), "de").alias("de_hits"),
-        text.stopword_hits(F.col("text"), "es").alias("es_hits"),
-        text.stopword_hits(F.col("text"), "fr").alias("fr_hits"),
+        text.language_id("text").alias("predicted_lang"),
+        text.stopword_hits("text", "en").alias("en_hits"),
+        text.stopword_hits("text", "de").alias("de_hits"),
+        text.stopword_hits("text", "es").alias("es_hits"),
+        text.stopword_hits("text", "fr").alias("fr_hits"),
     ),
     oracle=f"""
         WITH hits AS (

@@ -53,15 +53,82 @@ def bpe_ish_token_count(col: Column) -> Column:
     ).cast("int")
 
 
-def stopword_hits(col: Column, lang: str) -> Column:
-    """Number of tokens that are stopwords of `lang` (token-exact match)."""
+# ---------------------------------------------------------------------
+# SQL-twin expression builders (r13 optimization pass, guide §1.2 "the
+# Python boundary" applied to the DRIVER: bench.py times build + action,
+# and profiling the curation build showed ~1,900 py4j roundtrips — 0.48 s
+# of socket I/O per build — almost all from Column-by-Column construction
+# of these feature expressions: each F.lit stopword, each F.when arm is
+# a JVM call).  Building the identical expression as ONE SQL string
+# parsed by Catalyst in a single F.expr call removes the chatter; the
+# parser produces the same expression tree the Column API did, so every
+# value is bit-identical (oracle-checked on doc_lang_id /
+# doc_quality_scores / doc_curation_pipeline every sweep).  The public
+# functions accept a column NAME (fast single-parse path) or a Column
+# (legacy tree construction, for callers holding derived expressions).
+# ---------------------------------------------------------------------
+
+
+def _sql_ref(name: str) -> str:
+    """Backtick-quoted SQL reference for a column name."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _norm_sql(c_sql: str) -> str:
+    # the proven SQL twin of normalize_text (same text as dedup._norm_sql)
+    return f"trim(regexp_replace(lower({c_sql}), '\\\\s+', ' '))"
+
+
+def _tokens_sql(c_sql: str) -> str:
+    return f"split({_norm_sql(c_sql)}, ' ')"
+
+
+def _token_count_sql(c_sql: str) -> str:
+    n = _norm_sql(c_sql)
+    return (
+        f"CAST(CASE WHEN length({n}) = 0 THEN 0 "
+        f"ELSE size(split({n}, ' ')) END AS INT)"
+    )
+
+
+def _stopword_hits_sql(c_sql: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(size(filter({_tokens_sql(c_sql)}, "
+        f"t -> array_contains(array({words}), t))) AS INT)"
+    )
+
+
+def _language_id_sql(c_sql: str, langs: tuple[str, ...]) -> str:
+    hits = {lang: _stopword_hits_sql(c_sql, lang) for lang in langs}
+    exprs = list(hits.values())
+    best = f"greatest({', '.join(exprs)})" if len(exprs) > 1 else exprs[0]
+    whens = " ".join(f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in langs)
+    return (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        f"ELSE CASE {whens} ELSE 'und' END END"
+    )
+
+
+def stopword_hits(col: "Column | str", lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang` (token-exact match).
+
+    Pass the column NAME for the single-parse SQL path (see the SQL-twin
+    note above); a Column builds the identical tree via the Column API.
+    """
+    if isinstance(col, str):
+        return F.expr(_stopword_hits_sql(_sql_ref(col), lang))
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(words, t))).cast("int")
 
 
-def language_id(col: Column, langs: tuple[str, ...] = ("en", "de", "es", "fr")) -> Column:
+def language_id(col: "Column | str", langs: tuple[str, ...] = ("en", "de", "es", "fr")) -> Column:
     """Deterministic argmax over per-language stopword hit counts;
-    ties broken by language code order in `langs`; 'und' when no hits."""
+    ties broken by language code order in `langs`; 'und' when no hits.
+
+    Accepts a column name (single-parse SQL path) or a Column."""
+    if isinstance(col, str):
+        return F.expr(_language_id_sql(_sql_ref(col), langs))
     hit_cols = {lang: stopword_hits(col, lang) for lang in langs}
     best = F.greatest(*hit_cols.values()) if len(hit_cols) > 1 else next(iter(hit_cols.values()))
     expr: Column = F.lit("und")
@@ -87,31 +154,43 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     Same weighted-composite shape as the reference's data-quality scores
     (critical_column_gaps.sql:146-154), applied to corpus QA: length,
     token shape, punctuation balance, stopword density.
+
+    Built as ONE selectExpr (SQL-twin note above): the expression trees
+    are identical to the former Column-API construction — double
+    literals spelled in e-notation/CAST so every intermediate keeps the
+    exact type the Column form produced (F.lit(40.0) was a DOUBLE; a
+    bare SQL `40.0` would parse as DECIMAL) — so every value is
+    bit-identical, at ~one py4j call instead of hundreds.
     """
-    c = F.col(text_col)
-    n_chars = F.octet_length(c)
-    n_tokens = token_count(c)
-    mean_token_len = F.round(F.length(normalize_text(c)) / F.nullif(n_tokens.cast("double"), F.lit(0.0)), 6)
-    sw = stopword_hits(c, "en")
-    stopword_ratio = F.round(sw / F.nullif(n_tokens.cast("double"), F.lit(0.0)), 6)
-    p_ratio = F.round(punct_count(c) / F.nullif(n_chars.cast("double"), F.lit(0.0)), 6)
-    length_ok = (n_chars >= 100) & (n_chars <= 100000)
-    token_shape_ok = (mean_token_len >= 2.0) & (mean_token_len <= 12.0)
-    score = F.round(
-        F.lit(40.0) * length_ok.cast("int")
-        + F.lit(30.0) * token_shape_ok.cast("int")
-        + F.lit(20.0) * (stopword_ratio <= 0.6).cast("int")
-        + F.lit(10.0) * (p_ratio <= 0.2).cast("int"),
-        1,
+    c = _sql_ref(text_col)
+    n_chars = f"octet_length({c})"
+    n_tokens = _token_count_sql(c)
+    dnull = "CAST(0 AS DOUBLE)"
+    mean_token_len = (
+        f"round(length({_norm_sql(c)}) / nullif(CAST({n_tokens} AS DOUBLE), {dnull}), 6)"
     )
-    return df.select(
+    sw = _stopword_hits_sql(c, "en")
+    stopword_ratio = f"round({sw} / nullif(CAST({n_tokens} AS DOUBLE), {dnull}), 6)"
+    p_count = (
+        f"CAST(length({c}) - length(regexp_replace({c}, '[.,!?;:\\'\"()-]', '')) AS INT)"
+    )
+    p_ratio = f"round({p_count} / nullif(CAST({n_chars} AS DOUBLE), {dnull}), 6)"
+    length_ok = f"(({n_chars} >= 100) AND ({n_chars} <= 100000))"
+    token_shape_ok = f"(({mean_token_len} >= 2.0D) AND ({mean_token_len} <= 12.0D))"
+    score = (
+        f"round(4.0e1 * CAST({length_ok} AS INT) "
+        f"+ 3.0e1 * CAST({token_shape_ok} AS INT) "
+        f"+ 2.0e1 * CAST(({stopword_ratio} <= 0.6D) AS INT) "
+        f"+ 1.0e1 * CAST(({p_ratio} <= 0.2D) AS INT), 1)"
+    )
+    return df.selectExpr(
         "*",
-        n_chars.cast("bigint").alias("n_bytes"),
-        n_tokens.alias("n_tokens"),
-        mean_token_len.alias("mean_token_len"),
-        stopword_ratio.alias("stopword_ratio_en"),
-        p_ratio.alias("punct_ratio"),
-        score.alias("quality_score"),
+        f"CAST({n_chars} AS BIGINT) AS n_bytes",
+        f"{n_tokens} AS n_tokens",
+        f"{mean_token_len} AS mean_token_len",
+        f"{stopword_ratio} AS stopword_ratio_en",
+        f"{p_ratio} AS punct_ratio",
+        f"{score} AS quality_score",
     )
 
 

@@ -651,3 +651,42 @@ def test_bigram_lm_score_stays_token_grain(spark, sf_smoke):
     assert "Generate" in plan  # explode of arrays_zip, not a join
     assert "CartesianProduct" not in plan
     assert all("NestedLoop" not in s for s in strategies)
+
+
+# ---------------------------------------------------------------------
+# r13 optimization-round contracts: the plan shapes the round's measured
+# wins depend on (OPTIMIZATION_r13.md batches 3-4) must stay visible.
+# ---------------------------------------------------------------------
+
+
+def test_q18_single_lineitem_scan(spark, sf_smoke, reg):
+    """tpch_q18's Spark text is the single-aggregate restructure: ONE
+    lineitem scan (the canonical IN+HAVING text planned three)."""
+    plan = plans.physical_plan(reg["tpch_q18"].build(spark, sf_smoke))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+
+
+def test_lsh_bucket_fold_not_duplicated_by_join_filter(spark, sf_smoke, reg):
+    """The hyperplane-bucket key is non-nullable (coalesce), so the
+    bucket equi-join must not infer an IsNotNull filter that re-inlines
+    the O(planes*dim) projection fold below the Project."""
+    for name in ("emb_cosine_topk_lsh", "emb_hard_negatives_lsh"):
+        plan = plans.physical_plan(reg[name].build(spark, sf_smoke))
+        assert not re.search(r"isnotnull\((?:coalesce\()?aggregate\(zip_with", plan), name
+
+
+def test_minhash_verify_never_builds_union(spark, sf_smoke, reg):
+    """verify_jaccard and the verdict verify stage derive |A∪B| from
+    per-row distinct counts (inclusion-exclusion), never a per-pair
+    array_union."""
+    for name in ("doc_minhash_near_dups", "doc_minhash_dedup_verdict"):
+        plan = plans.physical_plan(reg[name].build(spark, sf_smoke))
+        assert "array_union" not in plan, name
+
+
+def test_corpus_keywords_single_tokenization(spark, sf_smoke, reg):
+    """corpus_keywords tokenizes the corpus ONCE: a single explode
+    Generate feeds both the df and tf statistics."""
+    plan = plans.physical_plan(reg["doc_corpus_keywords"].build(spark, sf_smoke))
+    assert plan.count("Generate explode") == 1
