@@ -824,8 +824,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Token n-gram Jaccard similarity for ALL pairs sharing >=1 n-gram.
 
-    Candidate generation is an inverted-index join on the n-gram (shuffle
-    on the gram string), with pair-count aggregation giving |A∩B| without
+    Candidate generation is an inverted-index join on the n-gram's
+    xxhash64 (8-byte shuffle key; see the r13 note at the `inv`
+    projection), with pair-count aggregation giving |A∩B| without
     materializing set products; |A∪B| = |A|+|B|-|A∩B|.  This is the exact
     (non-LSH) baseline — at 100 TB you'd use minhash_near_duplicates and
     reserve this for verification.
@@ -855,7 +856,18 @@ def ngram_jaccard_pairs(
         F.col(id_col), "grams"
     )
     sizes = grams.select(F.col(id_col), F.size("grams").alias("n_grams"))
-    inv = grams.select(F.col(id_col), F.explode("grams").alias("gram"))
+    # inverted index on the gram's xxhash64, not the string (r13, guide
+    # §2.3): the gram string is never an output — only a join/group key
+    # — and an n-token gram is a long string, so the 8-byte key shrinks
+    # both the gram-df aggregation and the pair self-join exchange.
+    # n_common is identical modulo an in-corpus xxhash64 collision
+    # (~2⁻⁶⁴ per gram pair — the same accepted class as decontaminate's
+    # hashed gram join and the verdict path), and the DuckDB oracle
+    # re-checks the end-to-end jaccards every sweep.
+    inv = grams.select(
+        F.col(id_col),
+        F.explode(F.transform(F.col("grams"), lambda g: F.xxhash64(g))).alias("gram"),
+    )
     # The over-cap gram set is tiny by construction (few grams are shared
     # by >max_doc_freq docs), so it broadcasts; the anti-join stays
     # shuffle-free on the big side.
@@ -935,7 +947,8 @@ def tf_cosine_pairs(
     Scale shape (the inverted-index discipline of `ngram_jaccard_pairs`):
     per-document term counts come from one map-side-combined
     (doc, term) aggregation (the exchange carries postings, nothing
-    token-grain), the posting self-join shuffles on the term string,
+    token-grain), the posting self-join shuffles on the term's 8-byte
+    xxhash64 (r13; see the note at the `postings` projection),
     and `max_doc_freq` drops boilerplate/stopword terms BEFORE
     the join, bounding the worst per-term pair fan-out at O(cap²). The
     cap doubles as stopword pruning: ubiquitous terms carry no cosine
@@ -973,8 +986,23 @@ def tf_cosine_pairs(
     # run-length higher-order expression is O(L log L) on paper but
     # CollapseProject re-inlines the bounds subexpression per element
     # access, exploding codegen.)
+    #
+    # `term` is the token's xxhash64, not the string (r13 optimization
+    # pass, guide §2.3 "shuffle keys instead of payloads"): the term
+    # string appears in NO output column — it is only ever a grouping /
+    # join key — so an 8-byte long key does the same work with cheaper
+    # hashing/equality at the aggregate and a narrower exchange at both
+    # the postings aggregation and the pair self-join (measured at
+    # sf0.1: postings noop 0.76 -> 0.53 s, capped pair path 0.98 ->
+    # 0.81 s). Counts are identical modulo an in-vocabulary xxhash64
+    # collision (~|vocab|²/2⁶⁴ — the same accepted, documented class as
+    # the minhash verdict path's hashed grams), and the DuckDB oracle
+    # re-checks the end-to-end values on every sweep.
     postings = (
-        toked.select(F.col(id_col), F.explode("toks").alias("term"))
+        toked.select(
+            F.col(id_col),
+            F.explode(F.transform(F.col("toks"), lambda s: F.xxhash64(s))).alias("term"),
+        )
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
