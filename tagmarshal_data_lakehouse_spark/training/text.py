@@ -216,10 +216,21 @@ def token_rarity(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     """
     from .dedup import ensure_parallelism
 
-    toks = (
-        ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
-        .filter(F.length("t") > 0)
+    # `t` is the token's xxhash64, not the string (r13, guide §2.3): no
+    # output column carries a token, so the count/vocab aggregations and
+    # the vocabulary join run on 8-byte keys — identical values modulo
+    # an in-vocabulary collision (~|vocab|²/2⁶⁴, the documented class of
+    # tf_cosine_pairs / the verdict path), oracle-checked every sweep.
+    # The empty-token filter runs inside the array BEFORE hashing, so
+    # the kept token set is unchanged.
+    toks = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0),
+                lambda t: F.xxhash64(t),
+            )
+        ).alias("t"),
     )
     counts = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     vocab = counts.groupBy("t").agg(F.sum("c").alias("freq"))
@@ -279,10 +290,16 @@ def source_token_diversity(
     """
     from .dedup import ensure_parallelism
 
-    toks = (
-        ensure_parallelism(df)
-        .select(F.col(source_col).alias("source"), F.explode(tokens(F.col(text_col))).alias("t"))
-        .filter(F.length("t") > 0)
+    # token-hash keys, same rationale and collision class as
+    # token_rarity above (r13, guide §2.3) — no output carries a token
+    toks = ensure_parallelism(df).select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.transform(
+                F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0),
+                lambda t: F.xxhash64(t),
+            )
+        ).alias("t"),
     )
     counts = toks.groupBy("source", "t").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
     per_source = counts.groupBy("source").agg(
