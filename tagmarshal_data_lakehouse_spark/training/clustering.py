@@ -25,16 +25,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(vec_col: str, centroid: list[float]) -> F.Column:
+def _sq_dist_sql(vec_col: str, centroid: list[float]) -> str:
     """Codegen'd squared L2 distance between an array column and a
     centroid literal (zip_with + aggregate stay inside whole-stage
-    codegen; no UDF, no serialization)."""
-    lit = F.array(*[F.lit(float(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    codegen; no UDF, no serialization).
+
+    Built as ONE SQL string (r13 optimization pass — driver-side build
+    cost: the Column form issued k·dim py4j literal calls PER LLOYD'S
+    ITERATION). Each component is spelled CAST('<repr>' AS DOUBLE):
+    Java's parseDouble of Python's repr is the exact round-trip double,
+    and ConstantFolding collapses the casts to the same literals
+    F.lit(float) produced — bit-identical distances.
+    """
+    vals = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in centroid)
+    return (
+        f"aggregate(zip_with(`{vec_col}`, array({vals}), "
+        f"(a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     )
+
+
+def _sq_dist(vec_col: str, centroid: list[float]) -> F.Column:
+    """Column twin of `_sq_dist_sql` (kept for expression composition)."""
+    return F.expr(_sq_dist_sql(vec_col, centroid))
 
 
 def assign_clusters(
@@ -45,16 +57,15 @@ def assign_clusters(
     One row-local projection: k distance expressions + argmin via
     array_position on the distance array.  Ties break to the lowest
     cluster index (array_position returns the first match), keeping
-    assignment deterministic.
+    assignment deterministic.  Construction is one parsed SQL string
+    per stage (see `_sq_dist_sql`) — the expression trees, and so the
+    assignment, are identical to the former Column-API form.
     """
-    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    dists = "array(" + ", ".join(_sq_dist_sql(vec_col, c) for c in centroids) + ")"
     return (
-        df.withColumn("_dists", dists)
-        .withColumn("sq_dist", F.array_min("_dists"))
-        .withColumn(
-            "cluster",
-            (F.array_position(F.col("_dists"), F.col("sq_dist")) - 1).cast("int"),
-        )
+        df.selectExpr("*", f"{dists} AS _dists")
+        .selectExpr("*", "array_min(_dists) AS sq_dist")
+        .selectExpr("*", "CAST(array_position(_dists, sq_dist) - 1 AS INT) AS cluster")
         .drop("_dists")
     )
 
@@ -82,7 +93,9 @@ def assign_clusters_multiprobe(
     """
     k = len(centroids)
     n_probes = max(1, min(n_probes, k))
-    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    dists = F.expr(
+        "array(" + ", ".join(_sq_dist_sql(vec_col, c) for c in centroids) + ")"
+    )
     ranked = F.expr(
         f"""slice(array_sort(
                 arrays_zip(_dists, sequence(0, {k - 1})),
@@ -176,38 +189,55 @@ def kmeans(
     groupBy(cluster) with dim partial SUMs + COUNT (map-side combine) ->
     k-row collect.  Empty clusters keep their previous centroid (the
     deterministic-init hash seeding makes them rare in practice).
-    """
-    dim = len(df.select(vec_col).first()[0])
-    centroids = init_centroids(df, k, id_col, vec_col)
 
-    sizes: dict[int, int] = {}
-    for _ in range(max_iter):
-        assigned = assign_clusters(df, centroids, vec_col)
-        sums = (
-            assigned.groupBy("cluster")
-            .agg(
-                *[
-                    F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-                F.count(F.lit(1)).alias("n"),
+    The fit's (id, vec) projection is persisted for the LOOP only (r13
+    optimization pass, guide §5: an iterative fit re-reads the same
+    frame max_iter+2 times — the canonical cache case; at 100 TB that
+    is max_iter full scans of the embedding table). Every job that
+    touches the cache (dim probe, init sample, per-iteration updates)
+    completes INSIDE this function, so the cache is unpersisted before
+    returning and nothing leaks; the returned assignment frame is built
+    over the caller's original `df`, exactly as before.
+    """
+    from pyspark import StorageLevel
+
+    fit_frame = df.select(F.col(id_col), F.col(vec_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        dim = len(fit_frame.select(vec_col).first()[0])
+        centroids = init_centroids(fit_frame, k, id_col, vec_col)
+
+        sizes: dict[int, int] = {}
+        for _ in range(max_iter):
+            assigned = assign_clusters(fit_frame, centroids, vec_col)
+            sums = (
+                assigned.groupBy("cluster")
+                .agg(
+                    *[
+                        F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        sizes = {row["cluster"]: row["n"] for row in sums}
-        new_centroids = list(centroids)  # empty clusters keep previous position
-        shift = 0.0
-        for row in sums:
-            c = row["cluster"]
-            centroid = [row[f"s{i}"] / row["n"] for i in range(dim)]
-            shift = max(
-                shift,
-                sum((a - b) * (a - b) for a, b in zip(centroid, centroids[c])),
-            )
-            new_centroids[c] = centroid
-        centroids = new_centroids
-        if shift < tol:
-            break
+            sizes = {row["cluster"]: row["n"] for row in sums}
+            new_centroids = list(centroids)  # empty clusters keep previous position
+            shift = 0.0
+            for row in sums:
+                c = row["cluster"]
+                centroid = [row[f"s{i}"] / row["n"] for i in range(dim)]
+                shift = max(
+                    shift,
+                    sum((a - b) * (a - b) for a, b in zip(centroid, centroids[c])),
+                )
+                new_centroids[c] = centroid
+            centroids = new_centroids
+            if shift < tol:
+                break
+    finally:
+        fit_frame.unpersist()
 
     out = assign_clusters(df, centroids, vec_col).select(
         F.col(id_col),
