@@ -252,6 +252,12 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 5, out: str = 
 def with_token_grams(df: DataFrame, text_col: str = "text", n: int = 3, out: str = "grams") -> DataFrame:
     """Distinct token n-gram shingles, as array<string>.
 
+    Precondition (ADVICE r13): the input must not already carry a
+    column named `out` or `_toks` — the selectExpr('*', ...) builders
+    APPEND rather than replace, so a pre-existing column of the same
+    name becomes ambiguous downstream (the historical withColumn form
+    silently replaced it; no caller relies on that).
+
     Token grams (not char shingles) are the discriminative unit for
     corpus dedup: the gram space is vocabulary^n, so unrelated documents
     share almost none, which keeps LSH candidate volume near-linear.
@@ -282,6 +288,10 @@ def with_dedup_verdict(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """Annotate rows IN PLACE with the exact-dedup verdict columns
     (content_md5, cluster_size, is_canonical, is_duplicate) — lowest id
     wins the canonical election.
+
+    Precondition (ADVICE r13): the input must not already carry any of
+    the verdict column names — the selectExpr('*', ...) builders APPEND
+    rather than replace (see with_token_grams).
 
     Keeping every input column lets composed pipelines (curate_corpus)
     attach the verdict with the operator's single digest shuffle instead
@@ -863,10 +873,17 @@ def ngram_jaccard_pairs(
     # n_common is identical modulo an in-corpus xxhash64 collision
     # (~2⁻⁶⁴ per gram pair — the same accepted class as decontaminate's
     # hashed gram join and the verdict path), and the DuckDB oracle
-    # re-checks the end-to-end jaccards every sweep.
+    # re-checks the end-to-end jaccards every sweep.  array_distinct
+    # AFTER hashing (ADVICE r13): a within-document hash collision
+    # would otherwise duplicate an (id, hash) posting row and inflate
+    # n_common past the set-valued |A∩B| the |A|+|B|-|A∩B| denominator
+    # assumes — re-distincting keeps the posting list set-valued under
+    # collisions for one O(L) row-local pass.
     inv = grams.select(
         F.col(id_col),
-        F.explode(F.transform(F.col("grams"), lambda g: F.xxhash64(g))).alias("gram"),
+        F.explode(
+            F.array_distinct(F.transform(F.col("grams"), lambda g: F.xxhash64(g)))
+        ).alias("gram"),
     )
     # The over-cap gram set is tiny by construction (few grams are shared
     # by >max_doc_freq docs), so it broadcasts; the anti-join stays

@@ -101,9 +101,71 @@ def train_codebooks(
 
 
 def _argmin_code(centroids: list[list[float]], vec_col: str) -> F.Column:
-    """0-based argmin-centroid index, ties to the lowest index."""
-    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    """0-based argmin-centroid index, ties to the lowest index.
+    Distance array via the shared transform-over-2D-literal template
+    (r14 — one fold subtree instead of k; element values bit-identical
+    to the spelled-out folds, see clustering._dists_sql)."""
+    from .clustering import _dists_sql
+
+    dists = F.expr(_dists_sql(f"`{vec_col}`", centroids))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _gemm_codes_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched CONFIDENT product codes: per subspace, the argmin
+    centroid id when the GEMM distance gap proves the exact-fold argmin
+    (see `clustering._gemm_argmin_udf` for the one-sided bound), else
+    -1 — that subspace falls back to the exact in-plan expression.
+    NULL/ragged rows return all -1 (whole-row exact fallback)."""
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(mats)
+    sub = mats[0].shape[1]
+    dim = m * sub
+    ccs = [(M * M).sum(axis=1) for M in mats]
+    cmaxs = [float(cc.max()) for cc in ccs]
+    finite_books = [bool(np.isfinite(M).all()) for M in mats]
+
+    @F.pandas_udf("array<int>")
+    def gemm_codes(vs: pd.Series) -> pd.Series:
+        fallback = np.full(m, -1, dtype=np.int32)
+        vals = vs.to_numpy()
+        ok_idx = [i for i, a in enumerate(vals) if a is not None and len(a) >= dim]
+        codes = None
+        if ok_idx:
+            X = np.stack(
+                [np.asarray(vals[i][:dim], dtype=np.float64) for i in ok_idx]
+            )
+            codes = np.full((len(X), m), -1, dtype=np.int32)
+            for j in range(m):
+                if mats[j].shape[0] < 2 or not finite_books[j]:
+                    continue
+                S = X[:, j * sub : (j + 1) * sub]
+                ss = (S * S).sum(axis=1)
+                D = ss[:, None] - 2.0 * (S @ mats[j].T) + ccs[j][None, :]
+                two = np.argpartition(D, 1, axis=1)[:, :2]
+                dv = np.take_along_axis(D, two, axis=1)
+                first = dv[:, 0] <= dv[:, 1]
+                d1 = np.where(first, dv[:, 0], dv[:, 1])
+                d2 = np.where(first, dv[:, 1], dv[:, 0])
+                i1 = np.where(first, two[:, 0], two[:, 1]).astype(np.int32)
+                tau = 1e-9 * (ss + cmaxs[j] + 1.0)
+                conf = (
+                    np.isfinite(S).all(axis=1)
+                    & np.isfinite(D).all(axis=1)
+                    & (d2 - d1 > 2.0 * tau)
+                )
+                codes[:, j] = np.where(conf, i1, np.int32(-1))
+        res: list = [None] * len(vals)
+        pos = 0
+        for i in range(len(vals)):
+            if codes is not None and pos < len(ok_idx) and ok_idx[pos] == i:
+                res[i] = codes[pos]
+                pos += 1
+            else:
+                res[i] = fallback
+        return pd.Series(res)
+
+    return gemm_codes
 
 
 def encode(
@@ -112,18 +174,48 @@ def encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out: str = "pq_code",
+    use_gemm: "bool | None" = None,
 ) -> DataFrame:
     """Attach the m-byte product code: array<int> of per-subspace
-    centroid ids.  Entirely row-local (scan projection)."""
+    centroid ids.  Entirely row-local (scan projection).
+
+    Two parity-pinned paths (r14, guide §4.2 — see
+    `clustering.assign_clusters`): the historical expression form runs
+    m*k interpreted distance folds per row; above the routing constant
+    an Arrow-batched pandas UDF computes the confident per-subspace
+    argmins with one numpy GEMM per subspace, and only the rows/
+    subspaces the gap test cannot prove (near-ties, non-finite, ragged)
+    evaluate the exact fold expressions through a lazily-evaluated CASE
+    per subspace.  Codes are bit-identical either way.
+    """
+    from .clustering import _dists_sql, _route_gemm
+
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    staged = df
+    if use_gemm is None:
+        use_gemm = _route_gemm(df, sum(len(b) * sub for b in codebooks))
+    if not use_gemm:
+        staged = df
+        for j in range(m):
+            staged = staged.withColumn(
+                f"__sub{j}", F.slice(F.col(vec_col), j * sub + 1, sub)
+            )
+        coded = staged.withColumn(
+            out, F.array(*[_argmin_code(codebooks[j], f"__sub{j}") for j in range(m)])
+        )
+        return coded.drop(*[f"__sub{j}" for j in range(m)])
+    cases = []
     for j in range(m):
-        staged = staged.withColumn(f"__sub{j}", F.slice(F.col(vec_col), j * sub + 1, sub))
-    coded = staged.withColumn(
-        out, F.array(*[_argmin_code(codebooks[j], f"__sub{j}") for j in range(m)])
+        vec_expr = f"slice(`{vec_col}`, {j * sub + 1}, {sub})"
+        dists = _dists_sql(vec_expr, codebooks[j])
+        exact = f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+        g = f"element_at(_gcodes, {j + 1})"
+        cases.append(f"CASE WHEN {g} >= 0 THEN {g} ELSE {exact} END")
+    return (
+        df.withColumn("_gcodes", _gemm_codes_udf(codebooks)(F.col(vec_col)))
+        .selectExpr("*", f"array({', '.join(cases)}) AS `{out}`")
+        .drop("_gcodes")
     )
-    return coded.drop(*[f"__sub{j}" for j in range(m)])
 
 
 def _adc_table(qvec, books: list[list[list[float]]]) -> list[list[float]]:

@@ -68,3 +68,53 @@ def test_assign_clusters_ties_break_low_index(spark):
     # two identical centroids -> argmin must pick index 0
     out = clustering.assign_clusters(df, [[0.0, 0.0], [0.0, 0.0]]).first()
     assert out["cluster"] == 0
+
+
+def _canon(rows):
+    import math
+
+    def cv(x):
+        if isinstance(x, float) and math.isnan(x):
+            return "NaN"
+        if isinstance(x, list):
+            return tuple(cv(e) for e in x)
+        return x
+
+    return sorted((tuple(cv(x) for x in r) for r in rows), key=repr)
+
+
+def test_assign_clusters_gemm_twin_parity(embs):
+    """r14: the Arrow/GEMM assignment twin must be bit-identical to the
+    expression path — cluster AND sq_dist — on real data (the one-sided
+    confident-gap routing falls back to the exact expression whenever
+    the GEMM cannot prove the fold argmin)."""
+    cents = clustering.init_centroids(embs, 10)
+    a = clustering.assign_clusters(embs, cents, use_gemm=False).collect()
+    b = clustering.assign_clusters(embs, cents, use_gemm=True).collect()
+    assert _canon(a) == _canon(b)
+    ma = clustering.assign_clusters_multiprobe(embs, cents, 3, use_gemm=False).collect()
+    mb = clustering.assign_clusters_multiprobe(embs, cents, 3, use_gemm=True).collect()
+    assert _canon(ma) == _canon(mb)
+
+
+def test_assign_clusters_gemm_twin_edge_parity(spark):
+    """r14: NULL vectors, ragged lengths, NaN components, exact ties
+    against duplicate centroids — every adversarial row must route to
+    the exact expression fallback and reproduce its output exactly."""
+    rows = [
+        (1, [0.0] * 64),
+        (2, None),
+        (3, [1.0, 2.0]),
+        (4, [float("nan")] * 64),
+        (5, [0.5] * 64),
+    ]
+    edf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0] * 64, [1.0] * 64, [0.0] * 64]  # duplicate centroid => tie
+    a = clustering.assign_clusters(edf, cents, use_gemm=False).collect()
+    b = clustering.assign_clusters(edf, cents, use_gemm=True).collect()
+    assert _canon(a) == _canon(b)
+    # the tie must break to the LOWEST index on both paths
+    assert all(r["cluster"] == 0 for r in b if r["vec_id"] in (1, 5))
+    pa = clustering.assign_clusters_multiprobe(edf, cents, 2, use_gemm=False).collect()
+    pb = clustering.assign_clusters_multiprobe(edf, cents, 2, use_gemm=True).collect()
+    assert _canon(pa) == _canon(pb)

@@ -152,3 +152,26 @@ def test_ivfpq_residual_mode_recall_and_determinism(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_encode_gemm_twin_parity(spark, sf_smoke):
+    """r14: the Arrow/GEMM product-code twin must emit bit-identical
+    codes to the expression path, including NULL/ragged/NaN rows (the
+    per-subspace confident-gap routing falls back to the exact fold
+    expressions)."""
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    books = pq.train_codebooks(embs, m=8, k=16, iters=2)
+    a = pq.encode(embs, books, use_gemm=False).select("vec_id", "pq_code").collect()
+    b = pq.encode(embs, books, use_gemm=True).select("vec_id", "pq_code").collect()
+    assert {r["vec_id"]: r["pq_code"] for r in a} == {r["vec_id"]: r["pq_code"] for r in b}
+    rows = [
+        (1, [0.0] * 64),
+        (2, None),
+        (3, [1.0] * 7),
+        (4, [float("nan")] * 64),
+        (5, [0.5] * 70),
+    ]
+    edf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ea = pq.encode(edf, books, use_gemm=False).select("vec_id", "pq_code").collect()
+    eb = pq.encode(edf, books, use_gemm=True).select("vec_id", "pq_code").collect()
+    assert {r["vec_id"]: r["pq_code"] for r in ea} == {r["vec_id"]: r["pq_code"] for r in eb}
