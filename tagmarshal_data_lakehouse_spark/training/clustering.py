@@ -175,7 +175,13 @@ def _gemm_argmin_udf(centroids: list[list[float]]):
             out[np.asarray(ok_idx)] = np.where(conf, i1, np.int32(-1))
         return pd.Series(out)
 
-    return gemm_argmin
+    # asNondeterministic: guide §4.4 — the optimizer otherwise pushes
+    # inferred filters (isnotnull(cluster) from inner joins, the
+    # generator's non-empty-array guard in the multiprobe twin) below
+    # the projection and DUPLICATES the ArrowEvalPython node, making
+    # every row pay the Python boundary twice.  The function is pure —
+    # the marking is an optimizer fence, not a semantics change.
+    return gemm_argmin.asNondeterministic()
 
 
 def _gemm_probes_udf(centroids: list[list[float]], n_probes: int):
@@ -219,7 +225,10 @@ def _gemm_probes_udf(centroids: list[list[float]], n_probes: int):
                     res[src] = top[row_pos]
         return pd.Series(res)
 
-    return gemm_probes
+    # §4.4 fence — see _gemm_argmin_udf (posexplode's implied
+    # size(...)>0 filter duplicated this node: 2 ArrowEvalPython -> 1,
+    # pinned in test_plan_quality)
+    return gemm_probes.asNondeterministic()
 
 
 def assign_clusters(

@@ -165,7 +165,8 @@ def _gemm_codes_udf(codebooks: list[list[list[float]]]):
                 res[i] = fallback
         return pd.Series(res)
 
-    return gemm_codes
+    # §4.4 fence — see clustering._gemm_argmin_udf
+    return gemm_codes.asNondeterministic()
 
 
 def encode(

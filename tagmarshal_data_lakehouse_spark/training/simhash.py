@@ -32,40 +32,91 @@ def _make_simhash_udf():
     must stay a module global: the pd.Series type hints are resolved
     against the function's __globals__ at UDF-registration time).
     """
-    # Bounded memo (plain dict: lru_cache wrappers don't pickle by value).
-    # Corpora repeat tokens heavily; the cap keeps worker memory flat on
-    # 100 TB-scale vocabularies.
-    bits_cache: dict = {}
+    # Bounded digest memo (plain dict: lru_cache wrappers don't pickle by
+    # value).  Corpora repeat tokens heavily across batches; the cap keeps
+    # worker memory flat on 100 TB-scale vocabularies.
+    digest_cache: dict = {}
+    # Chunk docs so the (postings x 64) int32 intermediate stays bounded
+    # (~1.5M chars => ~300k tokens => <=80 MB transient) — the unbounded
+    # (total_tokens x 64) allocation is exactly what sank the two r13
+    # vectorization attempts.
+    max_chunk_chars = 1_500_000
 
-    def token_bits(token: str):
-        """Stable 64 bits per token (md5 prefix — engine-independent)."""
-        v = bits_cache.get(token)
-        if v is None:
-            raw = np.frombuffer(
-                hashlib.md5(token.encode("utf-8")).digest()[:8], dtype=np.uint8
-            )
-            v = np.unpackbits(raw, bitorder="little").astype(np.int64)
-            if len(bits_cache) < (1 << 16):
-                bits_cache[token] = v
-        return v
+    def simhash_chunk(texts_list: list) -> "np.ndarray":
+        """Vectorized SimHash of one doc chunk (r14, guide §4.2 — the
+        per-BATCH unique-token kernel VERDICT r13 item 4 prescribes):
+
+        1. one np.unique over the chunk's tokens — md5 runs per UNIQUE
+           token (digest-cached across batches), not per occurrence;
+        2. ONE bulk np.unpackbits over the concatenated 8-byte digests
+           (the old kernel unpacked per cache miss and paid a Python
+           dict hit + 64-int vector add PER TOKEN);
+        3. per-(doc, unique) counts via np.unique on the combined key,
+           then one reduceat per doc segment: acc = 2*sum(count*bits)
+           - len, identical integer arithmetic to the +/-1 accumulate.
+
+        Value-identical to the historical per-token loop by
+        construction (same md5 bits, same integer sums, same acc>0
+        sign rule, same empty-doc 0) — pinned in pytest on an
+        adversarial corpus.
+        """
+        n = len(texts_list)
+        sigs = np.zeros(n, dtype=np.int64)
+        toklists = [t.split(" ") if t else [] for t in texts_list]
+        lens = np.fromiter((len(tl) for tl in toklists), dtype=np.int64, count=n)
+        nonempty_ids = np.nonzero(lens > 0)[0]
+        if not len(nonempty_ids):
+            return sigs
+        flat = [tok for tl in toklists for tok in tl]
+        doc_idx = np.repeat(np.arange(n), lens)
+        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        digs = bytearray()
+        for tok in uniq:
+            d = digest_cache.get(tok)
+            if d is None:
+                d = hashlib.md5(tok.encode("utf-8")).digest()[:8]
+                if len(digest_cache) < (1 << 16):
+                    digest_cache[tok] = d
+            digs += d
+        bits = np.unpackbits(
+            np.frombuffer(bytes(digs), dtype=np.uint8).reshape(len(uniq), 8),
+            axis=1,
+            bitorder="little",
+        ).astype(np.int32)  # (U, 64)
+        key = doc_idx * np.int64(len(uniq)) + inv
+        ukey, ucnt = np.unique(key, return_counts=True)
+        udoc = ukey // len(uniq)
+        uu = ukey % len(uniq)
+        vals = bits[uu] * ucnt[:, None].astype(np.int32)  # (P, 64)
+        # segment starts over NONEMPTY docs only: each has >=1 posting,
+        # so starts strictly increase and the last segment runs to the
+        # end — no empty-segment/clipping hazards
+        starts = np.searchsorted(udoc, nonempty_ids)
+        bit_sums = np.add.reduceat(vals, starts, axis=0).astype(np.int64)
+        acc = 2 * bit_sums - lens[nonempty_ids, None]
+        packed = (
+            np.packbits((acc > 0).astype(np.uint8), axis=1, bitorder="little")
+            .copy()
+            .view(np.int64)
+            .reshape(-1)
+        )
+        sigs[nonempty_ids] = packed
+        return sigs
 
     @F.pandas_udf(LongType())
     def simhash64(texts: pd.Series) -> pd.Series:
         """64-bit SimHash of whitespace tokens (expects normalized text)."""
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                out[i] = 0
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in t.split(" "):
-                acc += 2 * token_bits(tok) - 1
-            sig = 0
-            for b in range(64):
-                if acc[b] > 0:
-                    sig |= 1 << b
-            # two's-complement into int64
-            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        vals = texts.tolist()
+        n = len(vals)
+        out = np.empty(n, dtype=np.int64)
+        lo = 0
+        while lo < n:
+            hi, chars = lo, 0
+            while hi < n and (hi == lo or chars < max_chunk_chars):
+                chars += len(vals[hi]) if vals[hi] else 0
+                hi += 1
+            out[lo:hi] = simhash_chunk(vals[lo:hi])
+            lo = hi
         return pd.Series(out)
 
     return simhash64

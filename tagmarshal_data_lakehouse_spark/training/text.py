@@ -352,7 +352,19 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 )
             ).alias("bg"),
         )
-        .select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        # w1/w2 as the token's xxhash64, not the string (r14, guide §2.3
+        # — VERDICT r13 item 7 key audit): neither token ever reaches an
+        # output column (scores are per doc), they are only group/join
+        # keys for the bigram/context aggregates and the model equi-join,
+        # so two 8-byte longs shuffle and hash cheaper than two token
+        # strings.  Counts are identical modulo an in-vocabulary xxhash64
+        # collision (~|vocab|²/2⁶⁴ — the same accepted, documented class
+        # as the tf_cosine/ngram/token-profile key substitutions).
+        .select(
+            F.col(id_col),
+            F.xxhash64(F.col("bg.w1")).alias("w1"),
+            F.xxhash64(F.col("bg.w2")).alias("w2"),
+        )
     )
     return bigrams.groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("k")
@@ -421,11 +433,15 @@ def bigram_lm_scores(
     # corpus vocabulary the smoothing denominator implies even when
     # some tokens only ever appear in single-token documents.
     # Bounded collect, a single long.
+    # distinct over the token's xxhash64 (r14, guide §2.3 — same key
+    # class as _doc_bigrams above): V never surfaces a token string, and
+    # the distinct's shuffle/hash runs on 8-byte longs.  The length
+    # filter stays on the string (kept set unchanged).
     vocab = (
         ensure_parallelism(model_src)
         .select(F.explode(tokens(F.col(text_col))).alias("t"))
         .filter(F.length("t") > 0)
-        .agg(F.countDistinct("t").cast("bigint").alias("v"))
+        .agg(F.countDistinct(F.xxhash64(F.col("t"))).cast("bigint").alias("v"))
         .collect()[0]["v"]
     )
     if vocab == 0:

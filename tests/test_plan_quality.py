@@ -393,13 +393,27 @@ def test_semantic_dedup_multiprobe_assignment_is_row_local(spark, sf_smoke):
     from tagmarshal_data_lakehouse_spark.training import clustering, similarity
 
     embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
-    # assignment primitive alone: zero exchanges, zero Python eval
+    # assignment primitive alone: zero exchanges, zero Python eval on
+    # the expression branch (the default at this corpus size)
     probe = clustering.assign_clusters_multiprobe(
         embs, [[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62], 2
     )
     probe_plan = plans.physical_plan(probe)
     assert plans.count_exchanges(probe) == 0
     assert "InPandas" not in probe_plan and "BatchEvalPython" not in probe_plan
+    assert "ArrowEvalPython" not in probe_plan
+
+    # r14 GEMM twin branch: still row-local (zero exchanges) and its
+    # only Python node is ONE ArrowEvalPython (the confident-probe
+    # pandas UDF) — never a row-at-a-time BatchEvalPython or a
+    # full-frame mapInPandas barrier
+    probe_g = clustering.assign_clusters_multiprobe(
+        embs, [[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62], 2, use_gemm=True
+    )
+    probe_g_plan = plans.physical_plan(probe_g)
+    assert plans.count_exchanges(probe_g) == 0
+    assert "InPandas" not in probe_g_plan and "BatchEvalPython" not in probe_g_plan
+    assert probe_g_plan.count("ArrowEvalPython") == 1
 
     df = similarity.semantic_dedup(
         embs, n_clusters=4, threshold=0.9, kmeans_iter=1, n_probes=2

@@ -707,3 +707,47 @@ def test_bigram_lm_scores_empty_model_corpus_raises(spark):
     empty = spark.createDataFrame([(9, "   ")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="no non-empty tokens"):
         bigram_lm_scores(crawl, model_df=empty).collect()
+
+
+def test_simhash_vectorized_kernel_matches_reference(spark):
+    """r14: the per-batch unique-token simhash kernel must reproduce the
+    historical per-token accumulate bit-for-bit — pinned against an
+    inline pure-Python reference on an adversarial corpus (empty docs at
+    both ends, single tokens, heavy repetition, unicode, sign-bit hits)."""
+    import hashlib
+
+    import numpy as np
+
+    from tagmarshal_data_lakehouse_spark.training.simhash import with_simhash
+
+    def ref_simhash(text):
+        norm = " ".join(text.lower().split())
+        if not norm:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in norm.split(" "):
+            raw = np.frombuffer(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], dtype=np.uint8
+            )
+            acc += 2 * np.unpackbits(raw, bitorder="little").astype(np.int64) - 1
+        sig = 0
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= 1 << b
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    texts = [
+        "",
+        "solo",
+        "the the the the quick fox",
+        "a b c d e f g h i j k l m n o p",
+        "Ünïcode tökens ünïcode tökens",
+        " ".join(f"tok{i % 37}" for i in range(400)),
+        " ".join(f"w{i}" for i in range(123)),
+        "",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref_simhash(t), (i, t[:40], got[i], ref_simhash(t))

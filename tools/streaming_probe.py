@@ -280,7 +280,23 @@ def main() -> int:
         # session windows / stream-stream joins only support append
         "sessions": (lambda s: se.stream_session_windows(s, watermark=WM), "append"),
         "dedup": (lambda s: se.stream_dedup_within_watermark(s, watermark=WM), "update"),
-        "interval_join": (lambda s: se.stream_interval_join(s, watermark=WM), "append"),
+        # STREAM_PROBE_STATE_ROWS=<int>: pass a state_rows_estimate so
+        # the r13-build sizing plumb (sizing.size_session_for_stream)
+        # engages — the with/without pair is the VERDICT r13 item 8
+        # spot-check that the measured 1.9x store-width win survives
+        # the operator-parameter plumbing.
+        "interval_join": (
+            lambda s: se.stream_interval_join(
+                s,
+                watermark=WM,
+                state_rows_estimate=(
+                    int(os.environ["STREAM_PROBE_STATE_ROWS"])
+                    if os.environ.get("STREAM_PROBE_STATE_ROWS")
+                    else None
+                ),
+            ),
+            "append",
+        ),
     }
     only = os.environ.get("STREAM_PROBE_OPS")
     if only:
