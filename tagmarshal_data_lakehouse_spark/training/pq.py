@@ -266,6 +266,7 @@ def pq_topk(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: "list[list[list[float]]] | None" = None,
 ) -> DataFrame:
     """ADC top-k: queries score every candidate through its product code.
 
@@ -276,7 +277,13 @@ def pq_topk(
     a d-element float fold: the at-scale win is both bandwidth (codes
     are ~d/8 bytes) and compute (m << d).
     """
-    books = train_codebooks(embeddings, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    # codebooks= lets a caller composing several PQ indexes over the
+    # same corpus (ann_recall_report's pq + ivfpq branches) train once
+    # (r14, guide §1.2); train_codebooks is deterministic, so the books
+    # are identical either way.
+    books = codebooks if codebooks is not None else train_codebooks(
+        embeddings, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col
+    )
     coded = encode(embeddings, books, id_col, vec_col).select(
         F.col(id_col).alias("candidate_id"), F.col("pq_code")
     )
@@ -312,6 +319,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    centers: "np.ndarray | None" = None,
+    codebooks: "list[list[list[float]]] | None" = None,
 ) -> DataFrame:
     """IVF-PQ composite ANN (the Faiss IVFPQ shape): IVF cuts the
     candidate COUNT, PQ cuts the candidate BYTES — together the at-scale
@@ -343,20 +352,17 @@ def ivfpq_topk(
     broadcast rows the raw path already uses, just with cell-dependent
     tables.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.types import ArrayType, IntegerType
 
-    from .similarity import MAX_BROADCAST_QUERIES, _guard_query_bound
+    from .similarity import MAX_BROADCAST_QUERIES, _guard_query_bound, fit_coarse_centers
 
     _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "ivfpq_topk")
 
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
-    train = vecs.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
-    centers = np.stack(
-        [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
-    )
+    # centers=/codebooks= share deterministic fits with sibling indexes
+    # over the same corpus (r14, guide §1.2 — see fit_coarse_centers)
+    if centers is None:
+        centers = fit_coarse_centers(embeddings, n_cells, seed, vec_col)
     centers_n = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
 
     def _probe_udf(n: int):
@@ -395,7 +401,9 @@ def ivfpq_topk(
             F.col(id_col).alias("candidate_id"), F.col("pq_code"), "cell"
         )
     else:
-        books = train_codebooks(embeddings, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col)
+        books = codebooks if codebooks is not None else train_codebooks(
+            embeddings, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col
+        )
         cands = encode(with_cell, books, id_col, vec_col).select(
             F.col(id_col).alias("candidate_id"), F.col("pq_code"), "cell"
         )

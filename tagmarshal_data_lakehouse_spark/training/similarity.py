@@ -1079,6 +1079,31 @@ def cosine_near_duplicates_lsh_auto(
     )
 
 
+def fit_coarse_centers(
+    embeddings: DataFrame,
+    n_cells: int,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """The IVF coarse quantizer: MLlib KMeans (fixed seed) centers as a
+    plain (n_cells x d) float64 matrix.  Deterministic for a given
+    (input, n_cells, seed) — verified fit-to-fit identical — so callers
+    composing several IVF-family indexes over the SAME corpus (e.g.
+    ann_recall_report's ivf + ivfpq branches) fit ONCE and pass the
+    matrix through `centers=` (r14, guide §1.2: don't compute things
+    twice; one full MLlib fit ~1.1 s at sf0.1 per duplicated branch)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    return np.stack(
+        [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 20,
@@ -1088,6 +1113,7 @@ def ivf_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centers: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF-Flat approximate nearest neighbours (the inverted-file ANN
     structure Faiss popularized), Spark-first:
@@ -1111,15 +1137,9 @@ def ivf_topk(
 
     _guard_query_bound(n_queries, MAX_BROADCAST_QUERIES, "ivf_topk")
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
-    train = vecs.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
-    centers = np.stack(
-        [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
-    )  # (n_cells, d)
+    if centers is None:
+        centers = fit_coarse_centers(embeddings, n_cells, seed, vec_col)  # (n_cells, d)
     # normalized centroids => nearest-by-cosine cell assignment
     centers_n = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
 
@@ -1946,13 +1966,25 @@ def ann_recall_report(
             f"{n_queries} in the input; recall would be 0/0"
         )
     exact = spark.createDataFrame(exact_rows, "query_id long, candidate_id long")
+    # The ivf and ivfpq branches use the SAME coarse quantizer (same
+    # corpus, n_cells, seed) and the pq and ivfpq branches the SAME
+    # codebooks — both fits are deterministic (verified fit-to-fit
+    # identical), so fit each ONCE and share (r14, guide §1.2: one
+    # duplicated MLlib fit was ~1.1 s and one codebook train ~0.3 s of
+    # this report's cost; results bit-identical by determinism).
+    centers = fit_coarse_centers(embs, n_cells)
+    books = _pq.train_codebooks(embs)
     methods = {
         "gemm": cosine_topk_gemm(embs, n_queries=n_queries, k=k),
         "lsh": cosine_topk_lsh(embs, n_queries=n_queries, k=k),
-        "ivf": ivf_topk(embs, n_queries=n_queries, k=k, n_cells=n_cells, n_probe=n_probe),
-        "pq": _pq.pq_topk(embs, n_queries=n_queries, k=k),
+        "ivf": ivf_topk(
+            embs, n_queries=n_queries, k=k, n_cells=n_cells, n_probe=n_probe,
+            centers=centers,
+        ),
+        "pq": _pq.pq_topk(embs, n_queries=n_queries, k=k, codebooks=books),
         "ivfpq": _pq.ivfpq_topk(
-            embs, n_queries=n_queries, k=k, n_cells=n_cells, n_probe=n_probe
+            embs, n_queries=n_queries, k=k, n_cells=n_cells, n_probe=n_probe,
+            centers=centers, codebooks=books,
         ),
     }
     reports = []
